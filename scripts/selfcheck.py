@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mirroring the driver's correctness gate:
+runs DuckDB on SparkEntry.oracleSql (dumped by graft.Verify as
+oracle_sql.json) and compares against the Spark result parquet per query.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> [sf_dir]
+(Run `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout"` first.)
+"""
+import json, math, sys, glob, os
+import duckdb
+import pandas as pd
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    try:
+        got = canon(con.execute(f"SELECT * FROM read_parquet({pq!r})").df())
+        want = canon(con.execute(sql).df())
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails.append(name); continue
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        fails.append(name); continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails.append(name); continue
+    bad = None
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            af = a.astype(float); bf = b.astype(float)
+            neq = ~((af == bf) | (af.isna() & bf.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad = f"col {c} row {i}: {af[i]!r} vs {bf[i]!r} (maxdiff={(af-bf).abs().max()})"
+                break
+        else:
+            if not a.equals(b):
+                neq = a.astype(str) != b.astype(str)
+                i = neq.idxmax()
+                bad = f"col {c} row {i}: {a[i]!r} vs {b[i]!r}"
+                break
+    if bad:
+        print(f"FAIL {name}: {bad}"); fails.append(name)
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,264 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry implements one operator row from SURVEY.md §2 over the
+  * driver's star-schema tables (mapping per FIXTURES.md §B: events ≈ the
+  * OHLCV fact, documents ≈ headlines, orders ≈ quarterly fundamentals).
+  * Every query has an ANSI-SQL oracle in [[oracleSql]] runnable by DuckDB
+  * over the same parquet tables.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("t3_pct_change")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // G1 — trading-calendar generation (engine.py:248-263): sequence +
+    // explode + weekday filter; rows generated inside the engine.
+    "g1_trading_calendar" -> ((s, _) =>
+      Calendar.tradingDates(s, "2024-01-01", "2024-03-31")),
+
+    // G2 — calendar × key-universe cross product (engine.py:98-105);
+    // tiny calendar side broadcast.
+    "g2_cross_universe" -> ((s, dir) =>
+      Calendar.universe(
+        Calendar.tradingDates(s, "2024-01-01", "2024-01-31"),
+        Tables.events(s, dir).select(col("user_id")).distinct())),
+
+    // T3+T1/T2/T4/T5 — lag/pct-change over full history, range-filter
+    // AFTER the window (the Spark shape of the 10-day buffer, N6).
+    "t3_pct_change" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(DoubleType).as("value"))
+      PctChange.withPctChange(
+          ev, Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
+        .filter(col("ts") >= to_timestamp(lit("2024-01-02")))
+        .select("user_id", "event_id", "ts", "value", "pct_change")
+    }),
+
+    // A1 — top-1 by recency per key (news.py:170-185): rank-1 window.
+    "a1_top1_recency" -> ((s, dir) =>
+      Recency.top1(Tables.events(s, dir), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("value").as("last_value"))),
+
+    // A2/N3 — top-1 by *string* timestamp where unparseable times become
+    // "" and sort as oldest (news.py:288-291,319-330).
+    "a2_top1_string_recency" -> ((s, dir) =>
+      Recency.top1(
+          Tables.events(s, dir).withColumn("published_str",
+            when(col("event_type") === "error", lit(""))
+              .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))),
+          Seq("user_id"),
+          Seq(col("published_str").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("picked_event_id"),
+          col("published_str"))),
+
+    // T8 — recency-window predicate with a parameterized asOf
+    // (news.py:153,163-169) — never current_timestamp().
+    "t8_recency_window" -> ((s, dir) =>
+      Recency.recencyWindow(Tables.events(s, dir), "ts",
+          "2024-01-08 00:00:00", 72)
+        .select("event_id", "user_id", "ts", "event_type")),
+
+    // J1 — calendar×keys INNER join the fact: missing (key,date) rows are
+    // silently dropped (engine.py:130-146, N1).
+    "j1_calendar_inner_join" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+      Calendar.universe(
+          Calendar.tradingDates(s, "2024-01-01", "2024-01-31"),
+          Tables.events(s, dir).select(col("user_id")).distinct())
+        .join(daily, Seq("date", "user_id"), "inner")
+    }),
+
+    // J2+J3 — nullable dimension left-joins + coalesce default
+    // (engine.py:176-177, news_utils.py:120-131).
+    "j2_dim_left_join" -> ((s, dir) => {
+      val ordAgg = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("spend"))
+      Tables.customer(s, dir)
+        .join(ordAgg, col("c_custkey") === col("o_custkey"), "left")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("total_spend"))
+    }),
+
+    // J4/A9/A10/N4 — as-of self-join with tolerance: latest order per
+    // customer vs the order nearest to one year earlier (market.py:111-135).
+    "j4_asof_tolerance" -> ((s, dir) =>
+      AsOf.yoyAsOf(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+            col("o_orderkey")),
+        keyCol = "o_custkey", timeCol = "o_orderdate",
+        valueCol = "o_totalprice",
+        offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")),
+
+    // A5–A8 — the validator as ONE multi-aggregate pass (validator.py:25-100).
+    "a5a8_validator" -> ((s, dir) =>
+      Validator.measure(Tables.lineitem(s, dir), Validator.Rules(
+        rangeCol = "l_discount", rangeMin = 0.0, rangeMax = 1.0,
+        nonNullCols = Seq("l_quantity", "l_extendedprice"),
+        nullRateCol = "l_tax", nullRateMax = 0.33))),
+
+    // Headline scan-heavy aggregation (TPC-H Q1 shape): exercises
+    // predicate pushdown + partial aggregation; grouping keys carry ~6
+    // groups so the shuffle is trivial at any scale.
+    "q1_lineitem_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // Multi-join aggregation (TPC-H Q5 shape): dims broadcast, one fact
+    // shuffle on the join key.
+    "q5_join_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items")))
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same tables). Column
+    * names/aliases match the Spark output exactly (driver sorts columns by
+    * name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "g1_trading_calendar" ->
+      """SELECT d::DATE AS date
+        |FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 day) t(d)
+        |WHERE isodow(d::DATE) BETWEEN 1 AND 5""".stripMargin,
+
+    "g2_cross_universe" ->
+      """SELECT d::DATE AS date, u.user_id
+        |FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 day) t(d),
+        |     (SELECT DISTINCT user_id FROM events) u
+        |WHERE isodow(d::DATE) BETWEEN 1 AND 5""".stripMargin,
+
+    "t3_pct_change" ->
+      """SELECT * FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |         round((value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 100, 4) AS pct_change
+        |  FROM events)
+        |WHERE ts >= TIMESTAMP '2024-01-02'""".stripMargin,
+
+    "a1_top1_recency" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "a2_top1_string_recency" ->
+      """SELECT user_id, event_id AS picked_event_id, published_str
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY published_str DESC, event_id DESC) AS rn
+        |  FROM (SELECT *, CASE WHEN event_type = 'error' THEN '' ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS published_str FROM events))
+        |WHERE rn = 1""".stripMargin,
+
+    "t8_recency_window" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 72 HOURS
+        |  AND ts <= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+
+    "j1_calendar_inner_join" ->
+      """WITH cal AS (
+        |  SELECT d::DATE AS date
+        |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 day) t(d)
+        |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
+        |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
+        |daily AS (
+        |  SELECT user_id, ts::DATE AS date, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT uni.date, uni.user_id, daily.n_events, daily.total_value
+        |FROM uni JOIN daily ON uni.date = daily.date AND uni.user_id = daily.user_id""".stripMargin,
+
+    "j2_dim_left_join" ->
+      """SELECT c_custkey, c_name,
+        |       coalesce(n_name, 'UNKNOWN') AS nation_name,
+        |       coalesce(cnt, 0) AS n_orders,
+        |       coalesce(spend, 0.0) AS total_spend
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS spend
+        |           FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "j4_asof_tolerance" ->
+      """WITH latest AS (
+        |  SELECT o_custkey AS k, o_orderdate::DATE AS cur_time, o_totalprice AS cur_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT l.k, l.cur_time, l.cur_value,
+        |         o.o_orderdate::DATE AS prev_time, o.o_totalprice AS prev_value, o.o_orderkey,
+        |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) AS dd
+        |  FROM latest l JOIN orders o ON o.o_custkey = l.k
+        |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) <= 120)
+        |SELECT k AS o_custkey, cur_time, cur_value, prev_time, prev_value,
+        |       round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC, o_orderkey DESC) AS rn FROM cand)
+        |WHERE rn = 1 AND prev_value <> 0""".stripMargin,
+
+    "a5a8_validator" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_count,
+        |       CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS range_violations,
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+        |       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
+        |       round(avg(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate
+        |FROM lineitem""".stripMargin,
+
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_join_agg" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+  )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of self-join with tolerance — the YoY quarter match (reference:
+  * src/providers/market.py:111-135).
+  *
+  * Reference semantics reproduced exactly (SURVEY.md J4/N4):
+  *   1. per key, `current` = the latest non-null row (date desc);
+  *   2. target = current.time − `offsetMonths`;
+  *   3. candidate rows within `toleranceDays` of target;
+  *   4. pick the minimal |Δ|; the reference's `argmin` takes the FIRST
+  *      minimal diff in date-DESCENDING order, so ties break to the later
+  *      date (market.py:111,121-125);
+  *   5. previous value exactly 0 is rejected (market.py:130-132);
+  *   6. yoy = (cur − prev) / abs(prev) × 100, 2 dp (N4: abs denominator).
+  *
+  * Spark has no native tolerance as-of join; this is the compose-built-ins
+  * path (SURVEY.md §7.3): rank-1 window for `current`, an equi-join on key
+  * with a date-distance band predicate, and a rank-1 pick. Both shuffles
+  * hash on `key`, so at 100 TB they share one exchange; the band predicate
+  * is applied post-join (per-key row counts are small — quarters — so the
+  * join never explodes; for dense per-key history, bucket the time axis
+  * first).
+  */
+object AsOf {
+
+  /** @param fact  (key, time, value) rows; `time` date/timestamp
+    * @return one row per key that has a tolerable match:
+    *         (key, cur_time, cur_value, prev_time, prev_value, yoy_pct)
+    */
+  def yoyAsOf(
+      fact: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      offsetMonths: Int = 12,
+      toleranceDays: Int = 20,
+      tiebreakCol: String = ""): DataFrame = {
+
+    val baseCols = Seq(
+      col(keyCol).as("k"),
+      to_date(col(timeCol)).as("t"),
+      col(valueCol).as("v")) ++
+      (if (tiebreakCol.nonEmpty) Seq(col(tiebreakCol).as("tb")) else Nil)
+    val nonNull = fact.filter(col(valueCol).isNotNull).select(baseCols: _*)
+
+    val latest = {
+      val w = Window.partitionBy(col("k"))
+        .orderBy((col("t").desc +: (if (tiebreakCol.nonEmpty) Seq(col("tb").desc) else Nil)): _*)
+      nonNull.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("k"), col("t").as("cur_time"), col("v").as("cur_value"))
+    }
+
+    val dd = abs(datediff(col("t"), add_months(col("cur_time"), -offsetMonths)))
+    val cand = latest.join(nonNull, Seq("k"))
+      .withColumn("__dd", dd)
+      .filter(col("__dd") <= toleranceDays)
+
+    val wPick = Window.partitionBy(col("k"))
+      .orderBy((col("__dd").asc +: col("t").desc +:
+        (if (tiebreakCol.nonEmpty) Seq(col("tb").desc) else Nil)): _*)
+
+    cand.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1 && col("v") =!= 0)
+      .select(
+        col("k").as(keyCol),
+        col("cur_time"),
+        col("cur_value"),
+        col("t").as("prev_time"),
+        col("v").as("prev_value"),
+        round((col("cur_value") - col("v")) / abs(col("v")) * 100, 2).as("yoy_pct"))
+  }
+}
