@@ -215,15 +215,16 @@ object SparkEntry {
         |LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
     "j4_asof_tolerance" ->
-      """WITH latest AS (
+      """WITH nn AS (SELECT * FROM orders WHERE o_totalprice IS NOT NULL),
+        |latest AS (
         |  SELECT o_custkey AS k, o_orderdate::DATE AS cur_time, o_totalprice AS cur_value
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM nn)
         |  WHERE rn = 1),
         |cand AS (
         |  SELECT l.k, l.cur_time, l.cur_value,
         |         o.o_orderdate::DATE AS prev_time, o.o_totalprice AS prev_value, o.o_orderkey,
         |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) AS dd
-        |  FROM latest l JOIN orders o ON o.o_custkey = l.k
+        |  FROM latest l JOIN nn o ON o.o_custkey = l.k
         |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) <= 120)
         |SELECT k AS o_custkey, cur_time, cur_value, prev_time, prev_value,
         |       round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct

@@ -27,15 +27,16 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long (legacy conf) and rebuild a microsecond
-    * TimestampType column — the generator emits µs-clean values, so the
-    * `div 1000` is lossless and matches DuckDB's ns→µs view of the data.
+    * default. With `spark.sql.legacy.parquet.nanosAsLong=true` (set by every
+    * session builder in this repo — Verify, Bench, the test fixture — NOT
+    * mutated here; a loader must not have session-global side effects) the
+    * column arrives as a long, and we rebuild a microsecond TimestampType —
+    * the generator emits µs-clean values, so `div 1000` is lossless and
+    * matches DuckDB's ns→µs view of the data.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
