@@ -119,6 +119,62 @@ object SparkEntry {
         nonNullCols = Seq("l_quantity", "l_extendedprice"),
         nullRateCol = "l_tax", nullRateMax = 0.33))),
 
+    // T6 — corporate-suffix strip (news_utils.py:23-37). Company-name
+    // fixtures are built from the documents corpus (6 suffix variants,
+    // mixed case/punctuation) so the regex runs over real data.
+    "t6_suffix_strip" -> ((s, dir) => {
+      val variant = col("doc_id") % 6
+      val raw = concat(substring(col("text"), 1, 12),
+        when(variant === 0, lit(" Limited"))
+          .when(variant === 1, lit(" Ltd."))
+          .when(variant === 2, lit(", ltd"))
+          .when(variant === 3, lit(" CORPORATION"))
+          .when(variant === 4, lit(" Corp."))
+          .otherwise(lit(" corp  ")))
+      Tables.documents(s, dir).select(col("doc_id"), raw.as("raw_name"),
+        Text.stripSuffix(raw).as("stripped_name"))
+    }),
+
+    // T7 — title-relevance predicate (news_utils.py:40-79): standalone
+    // phrase match with the preceding-char-not-letter rule. The comma-
+    // rewritten title exercises the punctuation-prefix acceptance branch;
+    // the plain title only accepts at string start.
+    "t7_relevance" -> ((s, dir) => {
+      val lowerText = lower(col("text"))
+      val commaTitle = lower(regexp_replace(col("text"), lit(" "), lit(", ")))
+      Tables.documents(s, dir).select(col("doc_id"),
+        Text.relevantTitle(col("text"), "Hash Value Limited", "spark").as("relevant"),
+        Text.standaloneMatch(lowerText, "hash value").as("rel_name"),
+        Text.standaloneMatch(commaTitle, "spark").as("rel_comma_spark"),
+        Text.standaloneMatch(lowerText, "spark").as("rel_plain_spark"))
+    }),
+
+    // T9 — empty-title filter (news.py:157-159,285-287); every 7th title
+    // is blanked so the predicate has real selectivity.
+    "t9_empty_title" -> ((s, dir) => {
+      val title = when(col("doc_id") % 7 === 0, lit("   ")).otherwise(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"), title.as("title"))
+        .filter(Text.nonEmptyTitle(col("title")))
+        .select(col("doc_id"), substring(col("title"), 1, 40).as("title_prefix"))
+    }),
+
+    // M1 + T11/T12/T13 — deterministic sentiment scorer with the full
+    // analyze() contract (sentiment.py:73-159): default short-circuit,
+    // label canonicalization, signed 4-dp normalization. Every 11th doc
+    // carries the default placeholder, every 13th a blank headline.
+    "m1_sentiment" -> ((s, dir) => {
+      val headline = when(col("doc_id") % 11 === 0, lit(Sentiment.DefaultHeadline))
+        .when(col("doc_id") % 13 === 0, lit("  "))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), headline.as("headline"))
+        .withColumn("s", Sentiment.analyze(col("headline")))
+        .select(col("doc_id"),
+          substring(col("headline"), 1, 30).as("headline_prefix"),
+          col("s.raw_label").as("raw_label"), col("s.raw_score").as("raw_score"),
+          col("s.label").as("label"), col("s.score").as("score"))
+    }),
+
     // Headline scan-heavy aggregation (TPC-H Q1 shape): exercises
     // predicate pushdown + partial aggregation; grouping keys carry ~6
     // groups so the shuffle is trivial at any scale.
@@ -238,6 +294,66 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
         |       round(avg(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate
         |FROM lineitem""".stripMargin,
+
+    "t6_suffix_strip" ->
+      """SELECT doc_id, raw_name,
+        |       trim(regexp_replace(raw_name, '(?i)[\s,]+(limited|ltd\.|ltd|corporation|corp\.|corp)[\s.]*$', '')) AS stripped_name
+        |FROM (
+        |  SELECT doc_id,
+        |         substr(text, 1, 12) ||
+        |         CASE doc_id % 6
+        |           WHEN 0 THEN ' Limited'  WHEN 1 THEN ' Ltd.'
+        |           WHEN 2 THEN ', ltd'     WHEN 3 THEN ' CORPORATION'
+        |           WHEN 4 THEN ' Corp.'    ELSE ' corp  ' END AS raw_name
+        |  FROM documents)""".stripMargin,
+
+    "t7_relevance" ->
+      """SELECT doc_id,
+        |       (regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bhash value limited\b')
+        |        OR regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bhash value\b')
+        |        OR regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bspark\b')) AS relevant,
+        |       regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bhash value\b') AS rel_name,
+        |       regexp_matches(regexp_replace(lower(text), ' ', ', ', 'g'), '(?:^\s*|[^\p{L}\s]\s*)\bspark\b') AS rel_comma_spark,
+        |       regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bspark\b') AS rel_plain_spark
+        |FROM documents""".stripMargin,
+
+    "t9_empty_title" ->
+      """SELECT doc_id, substr(title, 1, 40) AS title_prefix
+        |FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '   ' ELSE text END AS title FROM documents)
+        |WHERE length(trim(title)) > 0""".stripMargin,
+
+    "m1_sentiment" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN 'No major headline available'
+        |              WHEN doc_id % 13 = 0 THEN '  ' ELSE text END AS headline
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, headline,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
+        |         (headline IS NULL OR length(trim(headline)) = 0
+        |          OR trim(headline) = 'No major headline available') AS dflt
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, headline,
+        |         CASE WHEN dflt THEN 'neutral'
+        |              WHEN pos > neg THEN 'positive'
+        |              WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS raw_label,
+        |         CASE WHEN dflt OR pos + neg = 0 THEN 0.0
+        |              WHEN pos > neg THEN round(pos / (pos + neg), 4)
+        |              WHEN neg > pos THEN round(neg / (pos + neg), 4)
+        |              ELSE 0.5 END AS raw_score
+        |  FROM c)
+        |SELECT doc_id, substr(headline, 1, 30) AS headline_prefix, raw_label, raw_score,
+        |       CASE raw_label WHEN 'positive' THEN 'Positive'
+        |                      WHEN 'negative' THEN 'Negative' ELSE 'Neutral' END AS label,
+        |       CASE WHEN raw_label = 'positive' THEN round(raw_score, 4)
+        |            WHEN raw_label = 'negative' THEN round(-raw_score, 4)
+        |            ELSE 0.0 END AS score
+        |FROM r""".stripMargin,
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
