@@ -20,6 +20,45 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("t3_pct_change")(spark, "/root/testdata/sf0.001")
 
+  /** The A4 selected-headline table: one winner per key from the four
+    * provider×query candidate sets, via [[Recency.fallbackChain]]
+    * (news.py:344-397; per-provider name≻ticker at :74-86,225-239).
+    *
+    * The batch shadow of the reference's live providers over `events`:
+    *  - Google pool = click/view events inside the recency window (the
+    *    `when:3d` server-side filter, news.py:218,226); ordering is by the
+    *    STRING timestamp with unparseable→"" sorting oldest (N3,
+    *    news.py:288-291,319-330) — unparseable simulated as minute%10==0;
+    *  - NewsData pool = purchase/signup events inside the window with
+    *    unparseable rows DROPPED (news.py:163-167);
+    *  - the name-query relevance filter (title filter ON) is the
+    *    event_id%5 predicate; ticker queries take the whole pool.
+    *
+    * Shared by a4_fallback_chain, j5_attach_provenance and e1_pipeline.
+    * Output: (user_id, headline_source, picked_event_id, pub_str) — one
+    * row per key that has any candidate.
+    */
+  def selectedHeadlines(s: SparkSession, dir: String, asOf: String): DataFrame = {
+    val inWindow = Recency.recencyWindow(Tables.events(s, dir), "ts", asOf, 72)
+    val unparseable = minute(col("ts")) % 10 === 0
+    val relevant = col("event_id") % 5 === 0
+    val google = inWindow.filter(col("event_type").isin("click", "view"))
+    val newsd = inWindow.filter(col("event_type").isin("purchase", "signup"))
+      .filter(!unparseable)
+    val cands = google.filter(relevant).withColumn("src", lit("google"))
+      .unionByName(google.withColumn("src", lit("google_ticker")))
+      .unionByName(newsd.filter(relevant).withColumn("src", lit("newsdata")))
+      .unionByName(newsd.withColumn("src", lit("newsdata_ticker")))
+      .withColumn("pub_str",
+        when(col("src").startsWith("google") && unparseable, lit(""))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+    Recency.fallbackChain(cands, Seq("user_id"), "src",
+        Seq("google", "google_ticker", "newsdata", "newsdata_ticker"),
+        Seq(col("pub_str").desc, col("event_id").desc))
+      .select(col("user_id"), col("src").as("headline_source"),
+        col("event_id").as("picked_event_id"), col("pub_str"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G1 — trading-calendar generation (engine.py:248-263): sequence +
@@ -173,6 +212,32 @@ object SparkEntry {
           substring(col("headline"), 1, 30).as("headline_prefix"),
           col("s.raw_label").as("raw_label"), col("s.raw_score").as("raw_score"),
           col("s.label").as("label"), col("s.score").as("score"))
+    }),
+
+    // A4/N8/N3 — the coalesce-fallback precedence chain as a live query
+    // (news.py:344-397): google name ≻ google ticker ≻ newsdata name ≻
+    // newsdata ticker, most-recent within the winning source.
+    "a4_fallback_chain" -> ((s, dir) =>
+      selectedHeadlines(s, dir, "2024-01-15 00:00:00")),
+
+    // J5 + T14/N2 — attach the per-key selected headline to every date of
+    // the calendar universe (left + default-fill, engine.py:149-162) and
+    // assemble the pipe-delimited provenance column (engine.py:136-188).
+    // The selected-headline side is one row per key — broadcast it.
+    "j5_attach_provenance" -> ((s, dir) => {
+      val selected = selectedHeadlines(s, dir, "2024-01-15 00:00:00")
+      Calendar.universe(
+          Calendar.tradingDates(s, "2024-01-08", "2024-01-19"),
+          Tables.events(s, dir).select(col("user_id")).distinct())
+        .join(broadcast(selected), Seq("user_id"), "left")
+        .select(col("date"), col("user_id"),
+          coalesce(col("headline_source"), lit("default")).as("headline_source"),
+          when(col("picked_event_id").isNull, lit(Sentiment.DefaultHeadline))
+            .otherwise(concat(lit("event:"), col("picked_event_id"))).as("headline"),
+          concat_ws(" | ",
+            lit("market=events"),
+            concat(lit("news="), coalesce(col("headline_source"), lit("default"))),
+            lit("sentiment=lexicon")).as("data_source_log"))
     }),
 
     // Headline scan-heavy aggregation (TPC-H Q1 shape): exercises
@@ -354,6 +419,62 @@ object SparkEntry {
         |            WHEN raw_label = 'negative' THEN round(-raw_score, 4)
         |            ELSE 0.0 END AS score
         |FROM r""".stripMargin,
+
+    "a4_fallback_chain" ->
+      """WITH ev AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |         (minute(ts) % 10 = 0) AS unp
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
+        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
+        |cands AS (
+        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
+        |w AS (
+        |  SELECT user_id, src, event_id,
+        |         CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END AS pub_str, prec
+        |  FROM cands),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY prec ASC, pub_str DESC, event_id DESC) AS rn FROM w)
+        |SELECT user_id, src AS headline_source, event_id AS picked_event_id, pub_str
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "j5_attach_provenance" ->
+      """WITH ev AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |         (minute(ts) % 10 = 0) AS unp
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
+        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
+        |cands AS (
+        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
+        |w AS (
+        |  SELECT user_id, src, event_id,
+        |         CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END AS pub_str, prec
+        |  FROM cands),
+        |sel AS (
+        |  SELECT user_id, src AS headline_source, event_id AS picked_event_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY prec ASC, pub_str DESC, event_id DESC) AS rn FROM w)
+        |  WHERE rn = 1),
+        |cal AS (
+        |  SELECT d::DATE AS date
+        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-19', INTERVAL 1 day) t(d)
+        |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
+        |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u)
+        |SELECT uni.date, uni.user_id,
+        |       coalesce(sel.headline_source, 'default') AS headline_source,
+        |       CASE WHEN sel.picked_event_id IS NULL THEN 'No major headline available'
+        |            ELSE 'event:' || sel.picked_event_id END AS headline,
+        |       'market=events | news=' || coalesce(sel.headline_source, 'default') || ' | sentiment=lexicon' AS data_source_log
+        |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
