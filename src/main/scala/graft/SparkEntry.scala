@@ -18,7 +18,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("t3_pct_change")(spark, "/root/testdata/sf0.001")
+    queries("e1_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** The A4 selected-headline table: one winner per key from the four
     * provider×query candidate sets, via [[Recency.fallbackChain]]
@@ -238,6 +238,65 @@ object SparkEntry {
             lit("market=events"),
             concat(lit("news="), coalesce(col("headline_source"), lit("default"))),
             lit("sentiment=lexicon")).as("data_source_log"))
+    }),
+
+    // E1 — the flagship end-to-end pipeline: the reference's whole batch
+    // run as ONE DataFrame DAG producing the 9-column PipelineRow schema
+    // (engine.py:62-112; header :33-37). Composition semantics per N1/N2:
+    //   calendar × keys  (G2, broadcast cross)
+    //   ⋈ inner  daily market fact with full-history lag (T3/N6; missing
+    //            (key,date) or first-ever day ⇒ row DROPPED, N1)
+    //   ⟕ left   per-key selected headline + document text (A4+J5, N2) —
+    //            one row per key ⇒ broadcast
+    //   ⟕ left   as-of YoY fundamentals (J4) — dimension ⇒ broadcast
+    //   → sentiment projection (M1/T11-T13), provenance (T14), rounding.
+    "e1_pipeline" -> ((s, dir) => {
+      val asOf = "2024-01-15 00:00:00"
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(sum(col("value")).as("close"), count(lit(1)).as("volume"))
+      val withPct = PctChange.withPctChange(
+        daily, Seq("user_id"), Seq(col("date")), "close")
+      val market = Calendar.universe(
+          Calendar.tradingDates(s, "2024-01-08", "2024-01-26"),
+          Tables.events(s, dir).select(col("user_id")).distinct())
+        .join(withPct, Seq("user_id", "date"), "inner")
+        .filter(col("pct_change").isNotNull)
+      val head = selectedHeadlines(s, dir, asOf)
+        .withColumn("doc_id", pmod(col("picked_event_id"), lit(500)))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 60).as("headline_text")),
+          Seq("doc_id"), "left")
+        .select(col("user_id"), col("headline_source"), col("headline_text"))
+      val fund = AsOf.yoyAsOf(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"), col("o_orderkey")),
+          keyCol = "o_custkey", timeCol = "o_orderdate",
+          valueCol = "o_totalprice",
+          offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")
+        .select(col("o_custkey").as("user_id"), col("yoy_pct"))
+      market
+        .join(broadcast(head), Seq("user_id"), "left")
+        .join(broadcast(fund), Seq("user_id"), "left")
+        .withColumn("Headline",
+          coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline)))
+        .withColumn("__s", Sentiment.analyze(col("Headline")))
+        .select(
+          col("date").as("Date"),
+          col("user_id").as("Stock"),
+          col("pct_change").as("Pct_Change"),
+          col("volume").as("Volume"),
+          col("Headline"),
+          col("__s.label").as("Sentiment_Label"),
+          col("__s.score").as("Sentiment_Score"),
+          col("yoy_pct").as("YoY_NetIncome_Pct"),
+          concat_ws(" | ",
+            lit("market=events"),
+            concat(lit("news="), coalesce(col("headline_source"), lit("default"))),
+            lit("sentiment=lexicon"),
+            concat(lit("fundamentals="),
+              when(col("yoy_pct").isNotNull, lit("orders"))
+                .otherwise(lit("unavailable")))).as("Data_Source_Log"))
     }),
 
     // Headline scan-heavy aggregation (TPC-H Q1 shape): exercises
@@ -475,6 +534,88 @@ object SparkEntry {
         |            ELSE 'event:' || sel.picked_event_id END AS headline,
         |       'market=events | news=' || coalesce(sel.headline_source, 'default') || ' | sentiment=lexicon' AS data_source_log
         |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
+
+    "e1_pipeline" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS date, sum(value) AS close, CAST(count(*) AS BIGINT) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |pct AS (
+        |  SELECT *, round((close / lag(close) OVER (PARTITION BY user_id ORDER BY date) - 1) * 100, 4) AS pct_change
+        |  FROM daily),
+        |cal AS (
+        |  SELECT d::DATE AS date
+        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-26', INTERVAL 1 day) t(d)
+        |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
+        |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
+        |market AS (
+        |  SELECT uni.date, uni.user_id, pct.pct_change, pct.volume
+        |  FROM uni JOIN pct ON uni.user_id = pct.user_id AND uni.date = pct.date
+        |  WHERE pct.pct_change IS NOT NULL),
+        |ev AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |         (minute(ts) % 10 = 0) AS unp
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
+        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
+        |cands AS (
+        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
+        |sel AS (
+        |  SELECT user_id, src AS headline_source, event_id AS picked_event_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY prec ASC, CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END DESC, event_id DESC) AS rn
+        |        FROM cands)
+        |  WHERE rn = 1),
+        |head AS (
+        |  SELECT sel.user_id, sel.headline_source, substr(d.text, 1, 60) AS headline_text
+        |  FROM sel LEFT JOIN documents d ON d.doc_id = sel.picked_event_id % 500),
+        |nn AS (SELECT * FROM orders WHERE o_totalprice IS NOT NULL),
+        |latest AS (
+        |  SELECT o_custkey AS k, o_orderdate::DATE AS cur_time, o_totalprice AS cur_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM nn)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT l.k, l.cur_value, o.o_totalprice AS prev_value, o.o_orderdate::DATE AS prev_time, o.o_orderkey,
+        |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) AS dd
+        |  FROM latest l JOIN nn o ON o.o_custkey = l.k
+        |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) <= 120),
+        |fund AS (
+        |  SELECT k AS user_id, round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC, o_orderkey DESC) AS rn FROM cand)
+        |  WHERE rn = 1 AND prev_value <> 0),
+        |base AS (
+        |  SELECT m.date, m.user_id, m.pct_change, m.volume,
+        |         coalesce(h.headline_text, 'No major headline available') AS headline,
+        |         h.headline_source, f.yoy_pct
+        |  FROM market m
+        |  LEFT JOIN head h ON m.user_id = h.user_id
+        |  LEFT JOIN fund f ON m.user_id = f.user_id),
+        |scored AS (
+        |  SELECT *,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
+        |         (length(trim(headline)) = 0 OR trim(headline) = 'No major headline available') AS dflt
+        |  FROM base)
+        |SELECT date AS "Date", user_id AS "Stock", pct_change AS "Pct_Change", volume AS "Volume",
+        |       headline AS "Headline",
+        |       CASE WHEN dflt THEN 'Neutral'
+        |            WHEN pos > neg THEN 'Positive'
+        |            WHEN neg > pos THEN 'Negative' ELSE 'Neutral' END AS "Sentiment_Label",
+        |       CASE WHEN dflt OR pos + neg = 0 THEN 0.0
+        |            WHEN pos > neg THEN round(pos / (pos + neg), 4)
+        |            WHEN neg > pos THEN round(-(neg / (pos + neg)), 4)
+        |            ELSE 0.0 END AS "Sentiment_Score",
+        |       yoy_pct AS "YoY_NetIncome_Pct",
+        |       'market=events | news=' || coalesce(headline_source, 'default')
+        |         || ' | sentiment=lexicon | fundamentals='
+        |         || CASE WHEN yoy_pct IS NOT NULL THEN 'orders' ELSE 'unavailable' END AS "Data_Source_Log"
+        |FROM scored""".stripMargin,
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
