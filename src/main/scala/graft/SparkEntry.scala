@@ -59,6 +59,14 @@ object SparkEntry {
         col("event_id").as("picked_event_id"), col("pub_str"))
   }
 
+  /** "Re-crawled" corpus for the dedup queries: documents twice, second
+    * copy with shifted ids — guarantees real duplicate groups.
+    */
+  private def recrawl(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G1 — trading-calendar generation (engine.py:248-263): sequence +
@@ -299,6 +307,98 @@ object SparkEntry {
                 .otherwise(lit("unavailable")))).as("Data_Source_Log"))
     }),
 
+    // ── LLM-data-pipeline pillar (graft-native extensions) ──────────────
+
+    // Exact dedup: hash-groupBy over a "re-crawled" corpus (documents ∪
+    // documents with shifted ids) — every text appears ≥2×, so the
+    // operator works against real duplicates, not a vacuous distinct.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(recrawl(s, dir), "doc_id", "text")),
+
+    // MinHash+LSH near-dup: shingle → 12-seed minhash → 4 bands → bucket
+    // join → exact-Jaccard verify ≥0.8. Candidates come ONLY from band
+    // collisions (never all-pairs).
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
+        numBands = 4, rowsPerBand = 3, threshold = 0.8)),
+
+    // SimHash 32-bit fingerprints per document.
+    "dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))),
+
+    // N-gram Jaccard near-dup with (lang, source) bucketing: pairs are
+    // generated only within buckets (bounded quadratic), similarity on
+    // unigram token sets with the 3-gram shingle Jaccard alongside.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("tok"),
+        Dedup.shingles(col("text")).as("sh"))
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+        col("tok").as("tok_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+        col("tok").as("tok_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard_1gram", Rounding.stable(
+          size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+            size(array_union(col("tok_a"), col("tok_b"))), 4))
+        .filter(col("jaccard_1gram") >= 0.5)
+        .withColumn("jaccard_3gram", Rounding.stable(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+          col("jaccard_1gram"), col("jaccard_3gram"))
+    }),
+
+    // Brute-force cosine top-k over embeddings (the ANN baseline): query
+    // side broadcast, corpus scan partition-local, dot products in
+    // codegen'd array expressions.
+    "sim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKBrute(emb.filter(col("id") < 5), emb, 5)
+    }),
+
+    // LSH-bucketed approximate top-k (the scale path): sign-bit buckets
+    // from 8 deterministic hyperplanes turn the cross product into an
+    // equality join.
+    "sim_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKLsh(emb.filter(col("id") < 5), emb, k = 3)
+    }),
+
+    // Language ID: character-trigram profile scoring with deterministic
+    // first-wins argmax.
+    "ta_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id") +: TextAnalysis.langId(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)),
+
+    // Quality scoring + token counting (whitespace and BPE-ish regex).
+    "ta_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id") +:
+          (TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) } ++
+            Seq(
+              TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+              TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))): _*)),
+
+    // Positional rolling-hash document fingerprint (full + 16-token
+    // prefix).
+    "ta_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint(col("text"), prefixTokens = 16).as("fp_prefix16"))),
+
+    // Multimodal plumbing: binary payload + typed metadata, per-partition
+    // lazily-initialized (stub) decoder via mapPartitions.
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.attachPayload(
+        Tables.documents(s, dir)))),
+
     // Headline scan-heavy aggregation (TPC-H Q1 shape): exercises
     // predicate pushdown + partial aggregation; grouping keys carry ~6
     // groups so the shuffle is trivial at any scale.
@@ -331,11 +431,190 @@ object SparkEntry {
           count(lit(1)).as("n_items")))
   )
 
+  // ── programmatic oracle builders (SQL must mirror the Scala constants
+  //    exactly — seeds, bit counts, plane literals) ─────────────────────
+
+  private val RecrawlCte =
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
+
+  /** Shingle CTE over `corpus`: same word-3-gram + distinct as Dedup.shingles. */
+  private val ShingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |         ELSE [text] END) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
+
+  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val sigCols = (0 until numBands * rowsPerBand).map(k =>
+      s"list_aggregate(list_transform(sh, s -> md5('$k' || '|' || s)), 'min') AS sig_$k").mkString(",\n         ")
+    val bandCases = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""WITH $RecrawlCte,
+       |$ShingleCte,
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |         $sigCols
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, band_id,
+       |         CASE band_id $bandCases END AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $numBands)) AS band_id)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} AS jaccard
+       |FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} >= $threshold""".stripMargin
+  }
+
+  private def simhashOracle(bits: Int): String = {
+    val bitExprs = (0 until bits).map(j =>
+      s"(CASE WHEN list_sum(list_transform(h, x -> (ascii(substr(x, ${j + 1}, 1)) % 2) * 2 - 1)) > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""SELECT doc_id, $bitExprs AS simhash
+       |FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS h FROM documents)""".stripMargin
+  }
+
+  /** Explicit sequential dot/norm so summation order matches Spark's
+    * aggregate fold.
+    */
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+  private def sqlCos(a: String, b: String) =
+    s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+
+  private def lshBucketSql(v: String, numPlanes: Int, dim: Int): String =
+    Similarity.hyperplanes(numPlanes, dim).map { w =>
+      val lits = w.mkString(",")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * ([$lits]::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private def fingerprintSql(hs: String, prefix: Int): String = {
+    val bound = if (prefix > 0) s"least(len($hs), $prefix)" else s"len($hs)"
+    s"list_sum(list_transform(range(1, $bound + 1), i -> i * (ascii(substr($hs[i], 1, 1)) * 256 + ascii(substr($hs[i], 2, 1))))) % 1000000007"
+  }
+
   /** DuckDB-runnable ANSI SQL oracle per query (same tables). Column
     * names/aliases match the Spark output exactly (driver sorts columns by
     * name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      s"""WITH $RecrawlCte
+         |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+         |       CAST(count(*) AS BIGINT) AS dup_count
+         |FROM corpus GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" -> minhashOracle(numBands = 4, rowsPerBand = 3, threshold = 0.8),
+
+    "dedup_simhash" -> simhashOracle(32),
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split(text, ' ')) AS tok,
+        |         list_distinct(
+        |           CASE WHEN len(string_split(text, ' ')) >= 3
+        |                THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+        |                ELSE [text] END) AS sh
+        |  FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round((len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))) * 10000) / 10000 AS jaccard_1gram,
+        |       round((len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))) * 10000) / 10000 AS jaccard_3gram
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round((len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))) * 10000) / 10000 >= 0.5""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q, e c WHERE q.q_id <> c.id)
+         |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "sim_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT id, v, ${lshBucketSql("v", 8, 64)} AS bucket FROM e),
+         |q AS (SELECT id AS q_id, v AS qv, bucket FROM b WHERE id < 5),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, c.bucket, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.q_id <> c.id)
+         |SELECT q_id, c_id, bucket, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3""".stripMargin,
+
+    "ta_langid" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), 'the')) + len(regexp_extract_all(lower(text), 'ing')) + len(regexp_extract_all(lower(text), 'ow ')) AS INT) AS score_en,
+        |       CAST(len(regexp_extract_all(lower(text), 'sch')) + len(regexp_extract_all(lower(text), 'der')) + len(regexp_extract_all(lower(text), 'ein')) AS INT) AS score_de,
+        |       CAST(len(regexp_extract_all(lower(text), 'ció')) + len(regexp_extract_all(lower(text), 'los')) + len(regexp_extract_all(lower(text), 'rde')) AS INT) AS score_es,
+        |       CAST(len(regexp_extract_all(lower(text), 'eau')) + len(regexp_extract_all(lower(text), 'oux')) + len(regexp_extract_all(lower(text), 'que')) AS INT) AS score_fr,
+        |       CASE WHEN CAST(len(regexp_extract_all(lower(text), 'eau')) + len(regexp_extract_all(lower(text), 'oux')) + len(regexp_extract_all(lower(text), 'que')) AS INT)
+        |              > greatest(CAST(len(regexp_extract_all(lower(text), 'the')) + len(regexp_extract_all(lower(text), 'ing')) + len(regexp_extract_all(lower(text), 'ow ')) AS INT),
+        |                         CAST(len(regexp_extract_all(lower(text), 'sch')) + len(regexp_extract_all(lower(text), 'der')) + len(regexp_extract_all(lower(text), 'ein')) AS INT),
+        |                         CAST(len(regexp_extract_all(lower(text), 'ció')) + len(regexp_extract_all(lower(text), 'los')) + len(regexp_extract_all(lower(text), 'rde')) AS INT)) THEN 'fr'
+        |            WHEN CAST(len(regexp_extract_all(lower(text), 'ció')) + len(regexp_extract_all(lower(text), 'los')) + len(regexp_extract_all(lower(text), 'rde')) AS INT)
+        |              > greatest(CAST(len(regexp_extract_all(lower(text), 'the')) + len(regexp_extract_all(lower(text), 'ing')) + len(regexp_extract_all(lower(text), 'ow ')) AS INT),
+        |                         CAST(len(regexp_extract_all(lower(text), 'sch')) + len(regexp_extract_all(lower(text), 'der')) + len(regexp_extract_all(lower(text), 'ein')) AS INT)) THEN 'es'
+        |            WHEN CAST(len(regexp_extract_all(lower(text), 'sch')) + len(regexp_extract_all(lower(text), 'der')) + len(regexp_extract_all(lower(text), 'ein')) AS INT)
+        |              > CAST(len(regexp_extract_all(lower(text), 'the')) + len(regexp_extract_all(lower(text), 'ing')) + len(regexp_extract_all(lower(text), 'ow ')) AS INT) THEN 'de'
+        |            ELSE 'en' END AS predicted_lang
+        |FROM documents""".stripMargin,
+
+    "ta_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,
+        |         length(replace(text, ' ', ''))::DOUBLE AS content_chars,
+        |         CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b')) AS INT) AS stop_hits,
+        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INT) AS punct_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       round((content_chars / n_tokens) * 10000) / 10000 AS avg_token_len,
+        |       round((stop_hits::DOUBLE / n_tokens) * 10000) / 10000 AS stopword_ratio,
+        |       round((punct_hits::DOUBLE / length(text)) * 10000) / 10000 AS punct_ratio,
+        |       round((least(1.0, greatest(0.0,
+        |         0.08 * (content_chars / n_tokens)
+        |         + 0.5 * (stop_hits::DOUBLE / n_tokens)
+        |         - (punct_hits::DOUBLE / length(text))))) * 10000) / 10000 AS quality,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
+        |FROM t""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)
+         |SELECT doc_id,
+         |       ${fingerprintSql("hs", 0)} AS fp,
+         |       ${fingerprintSql("hs", 16)} AS fp_prefix16
+         |FROM h""".stripMargin,
+
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS mx FROM documents),
+        |hv AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, 33), i ->
+        |           CASE WHEN ascii(substr(mx, i, 1)) >= 97
+        |                THEN ascii(substr(mx, i, 1)) - 87
+        |                ELSE ascii(substr(mx, i, 1)) - 48 END) AS nib
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
+        |       CAST(32 + (doc_id % 5) * 16 AS INT) AS height,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |       CAST(16 AS INT) AS n_bytes,
+        |       list_sum(list_transform(range(1, 17), k -> nib[2*k-1] * 16 + nib[2*k]))::DOUBLE / 16 AS brightness
+        |FROM hv""".stripMargin,
 
     "g1_trading_calendar" ->
       """SELECT d::DATE AS date

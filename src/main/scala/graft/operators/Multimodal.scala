@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, processed by a per-partition lazily-initialized decoder via
+  * `mapPartitions` — the Scala/JVM shape of the "Pandas UDF over
+  * mapInPandas" batch pattern (one decoder init per partition, streaming
+  * iterator, no per-row setup).
+  *
+  * graft-native extension (builder brief). The image/audio codec libraries
+  * are not in this container, so [[FakeDecoder]] is an explicitly-marked
+  * DETERMINISTIC STUB: it "decodes" a payload to features computable from
+  * the bytes alone (mean byte value). Everything around it — the binary
+  * column, the metadata struct, the partition-batched execution, the
+  * output schema — is the real plumbing a JNI/DJL decoder would drop into.
+  *
+  * Scale: decode is per-row map work behind one narrow stage;
+  * `repartition` upstream controls decoder parallelism/memory, and the
+  * payload column prunes away for queries that never touch it (parquet
+  * column pruning), so metadata-only scans never read image bytes.
+  */
+object Multimodal {
+
+  case class MMDoc(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int, format: String)
+
+  case class MMFeatures(doc_id: Long, width: Int, height: Int,
+      format: String, n_bytes: Int, brightness: Double)
+
+  /** Attach a synthetic binary payload + typed metadata to a text corpus:
+    * payload = md5 bytes of the text (16-byte deterministic stand-in for
+    * encoded image data), metadata derived from doc_id.
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      (lit(32) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("width"),
+      (lit(32) + pmod(col("doc_id"), lit(5)) * 16).cast("int").as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
+        .otherwise("webp").as("format"))
+
+  /** STUB decoder — stands in for a real image codec (libjpeg/ffmpeg/DJL),
+    * which this container does not have. Deterministic: features are pure
+    * functions of the payload bytes. The `open()`/`close()` lifecycle and
+    * per-partition reuse mirror how a native decoder handle would be held.
+    */
+  final class FakeDecoder private () {
+    def decodeBrightness(payload: Array[Byte]): Double = {
+      var s = 0
+      var i = 0
+      while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+      if (payload.length == 0) 0.0 else s.toDouble / payload.length
+    }
+    def close(): Unit = ()
+  }
+  object FakeDecoder {
+    /** Heavyweight-init stand-in: called once per partition, not per row. */
+    def open(): FakeDecoder = new FakeDecoder()
+  }
+
+  /** Batch feature extraction: one decoder per partition, streamed rows.
+    * Brightness = mean byte / 16-byte payload ⇒ an exact multiple of
+    * 1/16, so no rounding is needed for cross-engine comparison.
+    */
+  def extractFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMDoc].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      val out = rows.map { d =>
+        MMFeatures(d.doc_id, d.width, d.height, d.format,
+          d.payload.length, decoder.decodeBrightness(d.payload))
+      }
+      out // decoder closed with the partition; stub close is a no-op
+    }.toDF()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * graft-native extension (builder brief / SURVEY.md §7.2 step 10).
+  *
+  * Scale design:
+  *  - Brute force is O(|Q|·|C|) — correct, and the right choice when the
+  *    query set is small enough to broadcast (the plan below broadcasts
+  *    the query side so the corpus scan stays partition-local with NO
+  *    shuffle of the big side). It is the oracle for recall measurement.
+  *  - The LSH variant buckets both sides on sign-bit keys from
+  *    deterministic hyperplanes, turning the cross product into an
+  *    equality join: candidates = Σ_bucket |Q_b|·|C_b|. Recall < 1 by
+  *    construction; bits trade recall vs candidate count (8 bits ≈ 1/256
+  *    of the corpus per probe on uniform data).
+  *  - Dot products stay inside codegen'd array expressions
+  *    (`zip_with`/`aggregate`) — no UDF, no per-row JVM boxing.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float-array column (sum order is then
+    * identical across engines — float summation would not be).
+    */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double-array columns (callers pre-cast). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against every corpus row,
+    * rank per query. `queries`/`corpus`: (id, vec) with vec Array[Float].
+    * Self-matches (same id) are excluded.
+    */
+  def topKBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_vec"))
+    val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplanes: component i of plane p is the parity of
+    * the first hex char of md5("p|i"), mapped to ±1. Computed driver-side
+    * once (same md5 ⇒ the DuckDB oracle embeds identical literals).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val hex = digest.digest(s"$p|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (hex.charAt(0).toInt % 2) * 2 - 1
+      }
+    }
+  }
+
+  /** Sign-bit LSH bucket key ('0'/'1' string of length planes.size). */
+  def bucketKey(vecDouble: Column, planes: Seq[Seq[Int]]): Column =
+    concat(planes.map { w =>
+      val wCol = array(w.map(x => lit(x.toDouble)): _*)
+      when(dot(vecDouble, wCol) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed approximate top-k: candidates limited to the query's
+    * bucket, then exact cosine + rank within. Same output shape as
+    * [[topKBrute]] (bucket column added); recall is partial by design.
+    */
+  def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("bucket", bucketKey(col("q_vec"), planes))
+    val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
+      .withColumn("bucket", bucketKey(col("c_vec"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("bucket"), col("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (character-n-gram heuristic), quality scoring, token counting, and
+  * positional document fingerprinting.
+  *
+  * graft-native extension (builder brief). All operators are narrow,
+  * codegen'd per-row map work — zero shuffle at any scale; the only cost
+  * at 100 TB is the text scan itself, so these compose freely with the
+  * dedup/similarity stages without re-partitioning.
+  */
+object TextAnalysis {
+
+  /** Character-trigram profiles per language. A real system learns these
+    * from labeled corpora; the *operator* — profile hit-rate scoring with
+    * deterministic argmax — is the same either way.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "ow "),
+    "de" -> Seq("sch", "der", "ein"),
+    "es" -> Seq("ció", "los", "rde"),
+    "fr" -> Seq("eau", "oux", "que"))
+
+  private def profileHits(lowerText: Column, grams: Seq[String]): Column =
+    grams.map(g =>
+      regexp_count(lowerText, lit(java.util.regex.Pattern.quote(g))))
+      .reduce(_ + _)
+
+  /** Per-language trigram hit counts + argmax prediction (ties and
+    * no-hits resolve to the first profile in declaration order — a
+    * deterministic tiebreak both engines reproduce).
+    */
+  def langId(text: Column): Seq[(String, Column)] = {
+    val lower = org.apache.spark.sql.functions.lower(text)
+    val scores = LangProfiles.map { case (lang, grams) =>
+      lang -> profileHits(lower, grams)
+    }
+    val best = scores.tail.foldLeft(
+      (scores.head._2, lit(scores.head._1): Column)) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lang).otherwise(bestLang))
+    }
+    scores.map { case (l, c) => s"score_$l" -> c } :+ ("predicted_lang" -> best._2)
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * punctuation ratio — and a clamped linear quality score (pure
+    * arithmetic; no transcendental functions, so engines agree bit-wise).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(text), " +")
+    val nTok = size(toks)
+    val nChar = length(text)
+    val avgLen = (length(concat_ws("", toks)).cast("double") / nTok)
+    val stopHits = Stopwords.map(w =>
+      regexp_count(lower(text), lit("\\b" + w + "\\b"))).reduce(_ + _)
+    val punct = regexp_count(text, lit("[^a-zA-Z0-9\\s]"))
+    val stopRatio = stopHits.cast("double") / nTok
+    val punctRatio = punct.cast("double") / nChar
+    // Rounding.stable, not round(): arbitrary ratios land on decimal-half
+    // boundaries where Spark's shortest-repr rounding and binary rounding
+    // disagree (observed: 0.37924999999999997602 → 0.3793 vs 0.3792).
+    val quality = Rounding.stable(least(lit(1.0), greatest(lit(0.0),
+      lit(0.08) * avgLen + lit(0.5) * stopRatio - punctRatio)), 4)
+    Seq(
+      "n_tokens" -> nTok,
+      "avg_token_len" -> Rounding.stable(avgLen, 4),
+      "stopword_ratio" -> Rounding.stable(stopRatio, 4),
+      "punct_ratio" -> Rounding.stable(punctRatio, 4),
+      "quality" -> quality)
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs / digit runs / single other-symbols) — the usual
+    * pre-tokenizer shape for LLM token estimation.
+    */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
+  /** Positional rolling fingerprint: Σ_i i·v(token_i) mod 1e9+7, where
+    * v(t) packs the first two hex chars of md5(t). Order-sensitive (a
+    * permuted doc fingerprints differently), md5-stable across engines.
+    * `prefixTokens` > 0 fingerprints only the first k tokens — the cheap
+    * prefix key used to pre-cluster before full-text comparison.
+    */
+  def fingerprint(text: Column, prefixTokens: Int = 0): Column = {
+    val toks0 = split(text, " ")
+    val toks = if (prefixTokens > 0) slice(toks0, 1, prefixTokens) else toks0
+    val hashes = transform(toks, t => md5(t))
+    val total = aggregate(
+      zip_with(sequence(lit(1), size(hashes)), hashes,
+        (i, h) => i.cast("long") *
+          (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)))),
+      lit(0L), (acc, x) => acc + x)
+    pmod(total, lit(1000000007L))
+  }
+}
