@@ -27,4 +27,10 @@ object Rounding {
     val f = math.pow(10, scale).toLong
     s"round(($expr) * $f) / $f"
   }
+
+  /** Driver-side twin for tests/assertions. */
+  def stableVal(x: Double, scale: Int): Double = {
+    val f = math.pow(10, scale)
+    math.round(x * f).toDouble / f
+  }
 }

@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Unit specs for the core reference operators (SURVEY.md §5.2):
+  * T3 lag semantics, J4 tolerance boundary at the reference's real
+  * 20 days, T6/T7 corner cases, T11-T13 sentiment contract, A4
+  * precedence incl. the N3 empty-string ordering, validator aggregates,
+  * calendar invariants.
+  */
+class PctChangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T3: first row per key has null pct_change; later rows match the algebra") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 110.0), ("a", 3, 99.0), ("b", 1, 50.0))
+      .toDF("k", "t", "close")
+    val out = PctChange.withPctChange(df, Seq("k"), Seq(col("t")), "close")
+      .orderBy("k", "t").collect()
+    assert(out(0).isNullAt(3))                       // a@1: no previous row
+    assert(out(1).getDouble(3) == 10.0)              // 100 -> 110
+    assert(out(2).getDouble(3) == -10.0)             // 110 -> 99
+    assert(out(3).isNullAt(3))                       // b@1: per-key window
+  }
+
+  test("T3/N6: range filter AFTER the window keeps the buffer semantics") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 110.0)).toDF("k", "t", "close")
+    val out = PctChange.withPctChange(df, Seq("k"), Seq(col("t")), "close")
+      .filter(col("t") >= 2).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 10.0) // t=1 buffered the lag
+  }
+}
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fact(rows: (Int, String, Double)*) =
+    rows.toDF("k", "d", "v").select(col("k"), to_date(col("d")).as("d"), col("v"))
+
+  test("J4: 19- and 20-day distances match at tolerance 20; 21 does not") {
+    def run(prevDate: String) =
+      AsOf.yoyAsOf(fact((1, "2024-06-15", 200.0), (1, prevDate, 100.0)),
+        "k", "d", "v", offsetMonths = 12, toleranceDays = 20).collect()
+    assert(run("2023-07-04").length == 1)  // |target 2023-06-15 - d| = 19
+    assert(run("2023-07-05").length == 1)  // 20 — boundary inclusive (market.py:124)
+    assert(run("2023-07-06").isEmpty)      // 21 — rejected
+  }
+
+  test("J4/N4: zero previous value is rejected; abs(prev) denominator keeps direction") {
+    val zero = AsOf.yoyAsOf(fact((1, "2024-06-15", 200.0), (1, "2023-06-15", 0.0)),
+      "k", "d", "v", 12, 20)
+    assert(zero.collect().isEmpty)         // market.py:130-132
+    val neg = AsOf.yoyAsOf(fact((1, "2024-06-15", -50.0), (1, "2023-06-15", -100.0)),
+      "k", "d", "v", 12, 20).collect()(0)
+    assert(neg.getAs[Double]("yoy_pct") == 50.0) // (-50 - -100)/abs(-100) = +50%
+  }
+
+  test("J4/A9: ties on date distance break to the LATER date (argmin on desc order)") {
+    val out = AsOf.yoyAsOf(
+      fact((1, "2024-06-15", 200.0), (1, "2023-06-10", 100.0), (1, "2023-06-20", 150.0)),
+      "k", "d", "v", 12, 20).collect()(0)  // both 5 days from 2023-06-15
+    assert(out.getAs[java.sql.Date]("prev_time").toString == "2023-06-20")
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(s: String): String = {
+    val df = Seq(s).toDF("n").select(Text.stripSuffix(col("n")))
+    df.collect()(0).getString(0)
+  }
+
+  test("T6: trailing corporate suffixes strip; descriptors survive") {
+    assert(strip("Bank of India Limited") == "Bank of India")
+    assert(strip("Hindustan Zinc Ltd.") == "Hindustan Zinc")
+    assert(strip("Acme, ltd") == "Acme")
+    assert(strip("Mega CORPORATION") == "Mega")
+    assert(strip("Tata Corp.  ") == "Tata")
+    assert(strip("Jindal Industries") == "Jindal Industries") // not a legal suffix
+  }
+
+  private def rel(title: String, name: String, ticker: String = ""): Boolean = {
+    val df = Seq(title).toDF("t")
+      .select(Text.relevantTitle(col("t"), name, ticker).as("r"))
+    df.collect()(0).getBoolean(0)
+  }
+
+  test("T7: standalone-phrase semantics (news_utils.py:40-79)") {
+    // the canonical rejection: embedded inside a longer entity name
+    assert(!rel("State Bank of India cuts rates", "Bank of India Limited"))
+    assert(rel("Bank of India cuts rates", "Bank of India Limited"))
+    // comma precedes => standalone
+    assert(rel("Vedanta, BPCL, Hindustan Zinc among gainers", "Hindustan Zinc Ltd."))
+    // ticker term
+    assert(rel("BANKINDIA surges 5%", "Bank of India Limited", "BANKINDIA"))
+    // no word boundary after a digit-run prefix glued on
+    assert(!rel("state9bank of india", "Bank of India Limited"))
+    // digit then space is a valid standalone position
+    assert(rel("9 Bank of India branches shut", "Bank of India Limited"))
+  }
+
+  test("T7: the UDF twin agrees with the literal-phrase expression") {
+    val cases = Seq(
+      ("State Bank of India cuts rates", false),
+      ("Bank of India cuts rates", true),
+      ("rbi: bank of india fined", true),
+      ("xbank of india", false))
+    val df = cases.map(_._1).toDF("t").select(col("t"),
+      Text.relevantTitle(col("t"), "Bank of India Limited", "BANKINDIA").as("expr"),
+      Text.relevantTitleUdf(col("t"), lit("Bank of India Limited"), lit("BANKINDIA")).as("udf"))
+    df.collect().zip(cases).foreach { case (r, (title, expected)) =>
+      assert(r.getBoolean(1) == expected, s"expr mismatch: $title")
+      assert(r.getBoolean(2) == expected, s"udf mismatch: $title")
+    }
+  }
+
+  test("T9: blank titles filtered") {
+    val df = Seq("real title", "   ", "").toDF("t")
+    assert(df.filter(Text.nonEmptyTitle(col("t"))).count() == 1)
+  }
+}
+
+class SentimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def analyze(s: String) = {
+    val r = Seq(s).toDF("h").select(Sentiment.analyze(col("h")).as("s"))
+      .select("s.raw_label", "s.raw_score", "s.label", "s.score").collect()(0)
+    (r.getString(0), r.getDouble(1), r.getString(2), r.getDouble(3))
+  }
+
+  test("T13: default headline and blanks short-circuit to Neutral/0.0") {
+    assert(analyze("No major headline available") == (("neutral", 0.0, "Neutral", 0.0)))
+    assert(analyze("   ") == (("neutral", 0.0, "Neutral", 0.0)))
+  }
+
+  test("T11/T12: label map and signed 4-dp normalization") {
+    val (rl, rs, l, s) = analyze("fast fast slow gains")   // pos=2 neg=1
+    assert(rl == "positive" && l == "Positive")
+    assert(rs == 0.6667 && s == 0.6667)                     // round(2/3, 4), +sign
+    val (rl2, _, l2, s2) = analyze("big big slow crash")    // neg=3 pos=0
+    assert(rl2 == "negative" && l2 == "Negative" && s2 == -1.0)
+    val (rl3, rs3, l3, s3) = analyze("fast slow tie")       // tie -> neutral
+    assert(rl3 == "neutral" && rs3 == 0.5 && l3 == "Neutral" && s3 == 0.0)
+    val (rl4, _, l4, s4) = analyze("no lexicon words here") // no hits
+    assert(rl4 == "neutral" && l4 == "Neutral" && s4 == 0.0)
+  }
+
+  test("T11: unknown raw label canonicalizes to Neutral") {
+    val out = Seq("mixed").toDF("x")
+      .select(Sentiment.canonicalLabel(col("x"))).collect()(0).getString(0)
+    assert(out == "Neutral")
+  }
+}
+
+class RecencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T8: recency window is inclusive on both ends and parameterized") {
+    val df = Seq("2024-01-05 00:00:00", "2024-01-05 23:59:59", "2024-01-08 00:00:00",
+        "2024-01-04 23:59:59", "2024-01-08 00:00:01")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val out = Recency.recencyWindow(df, "ts", "2024-01-08 00:00:00", 72)
+    assert(out.count() == 3)
+  }
+
+  test("A4/N8: source precedence preempts recency; N3 empty string sorts oldest") {
+    val cands = Seq(
+      (1L, "newsdata", "2024-01-07 10:00:00", 10L),        // most recent overall
+      (1L, "google_ticker", "2024-01-05 10:00:00", 11L),   // weaker time, stronger source
+      (1L, "google_ticker", "", 12L),                      // unknown time = oldest in source
+      (2L, "newsdata_ticker", "2024-01-06 00:00:00", 20L),
+      (2L, "other_source", "2024-01-07 00:00:00", 21L)     // not in precedence list
+    ).toDF("k", "src", "pub", "id")
+    val out = Recency.fallbackChain(cands, Seq("k"), "src",
+        Seq("google", "google_ticker", "newsdata", "newsdata_ticker"),
+        Seq(col("pub").desc, col("id").desc))
+      .select("k", "src", "id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("google_ticker", 11L))) // provider preempts; "" loses within source
+    assert(out(2L) == (("newsdata_ticker", 20L))) // unlisted source ignored
+  }
+}
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (0.5, Some(1.0), Some("x")), (0.9, Some(2.0), None),
+    (1.5, Some(3.0), Some("y")), (0.1, Some(4.0), None))
+    .toDF("score", "mandatory", "optional")
+
+  test("A5-A8: one-pass aggregate measures all four rules") {
+    val m = Validator.measure(df, Validator.Rules(
+      rangeCol = "score", rangeMin = 0.0, rangeMax = 1.0,
+      nonNullCols = Seq("mandatory"), nullRateCol = "optional",
+      nullRateMax = 0.33)).collect()(0)
+    assert(m.getAs[Long]("row_count") == 4)
+    assert(m.getAs[Long]("range_violations") == 1)   // 1.5
+    assert(m.getAs[Long]("mandatory_nulls") == 0)
+    assert(m.getAs[Double]("null_rate") == 0.5)
+  }
+
+  test("validate() gates like validator.py") {
+    val rules = Validator.Rules("score", 0.0, 2.0, Seq("mandatory"), "optional", 0.6)
+    assert(Validator.validate(df, rules, Some(4L)))
+    assert(!Validator.validate(df, rules.copy(nullRateMax = 0.33), Some(4L)))
+    assert(!Validator.validate(df, rules, Some(15L)))
+  }
+}
+
+class CalendarSpec extends SparkSpec {
+
+  test("G1: inclusive bounds, weekdays only, holidays NOT excluded") {
+    val dates = Calendar.tradingDates(spark, "2024-01-01", "2024-01-07")
+      .collect().map(_.getDate(0).toString)
+    assert(dates.toSeq == Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-04", "2024-01-05")) // Jan 6/7 = weekend; Jan 1 kept (holiday)
+  }
+
+  test("G2: cross product defines output cardinality") {
+    import spark.implicits._
+    val keys = Seq("A", "B", "C").toDF("k")
+    val n = Calendar.universe(
+      Calendar.tradingDates(spark, "2024-01-01", "2024-01-05"), keys).count()
+    assert(n == 15) // 5 weekdays x 3 keys — the reference's 15-row contract
+  }
+}

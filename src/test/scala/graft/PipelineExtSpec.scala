@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Sinks
+
+/** Specs for the training-data-pipeline extensions (dedup, similarity,
+  * text analysis, multimodal) and the sink surface (K1-K3/T15/S8).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),            // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),          // near dup of 1
+    (4L, "completely different words about spark query engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (canonical, count)
+  }
+
+  test("minhash-LSH finds exact and near dups, not unrelated docs") {
+    // 6 bands x 2 rows: the 0.556-jaccard near-dup deterministically
+    // band-collides under these seeds (the default 4x3 needs J >~ 0.8,
+    // which is the production threshold regime).
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numBands = 6, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))          // identical: every band collides
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near-dup banding
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("shingles are distinct word 3-grams; short texts fall back to identity") {
+    val sh = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("x y"))
+  }
+
+  test("simhash: identical text => identical fingerprint; different text differs") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+    assert(fp(1L).length == 32 && fp(1L).forall(c => c == '0' || c == '1'))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L))) // near-dup is closer
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (2L, Array(2.0f, 0.0f, 0.0f)),   // colinear with 0
+    (3L, Array(1.0f, 1.0f, 0.0f))
+  ).toDF("id", "vec")
+
+  test("brute top-k: cosine correct, self excluded, ranked desc") {
+    val out = Similarity.topKBrute(vecs.filter(col("id") === 0), vecs, 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    assert(out(0).getDouble(2) == 1.0)                      // colinear
+    assert(math.abs(out(1).getDouble(2) - 0.707107) < 1e-6) // 45 degrees
+    assert(out(2).getDouble(2) == 0.0)                      // orthogonal
+  }
+
+  test("LSH buckets: colinear vectors share a bucket; deterministic planes") {
+    val planes = Similarity.hyperplanes(4, 3)
+    assert(planes == Similarity.hyperplanes(4, 3)) // deterministic
+    val b = vecs.select(col("id"),
+        Similarity.bucketKey(Similarity.asDouble(col("vec")), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) == b(2L)) // same direction => same sign pattern
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality columns: counts and clamped linear score") {
+    val r = Seq("the cat sat on a mat!").toDF("text")
+      .select(TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Double]("stopword_ratio") == Rounding.stableVal(2.0 / 6, 4))
+    assert(r.getAs[Double]("quality") >= 0.0 && r.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("token counting: whitespace vs BPE-ish regex") {
+    val r = Seq("hello world42 isn't x2!").toDF("text").select(
+      TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(r.getInt(0) == 4)
+    // hello | world | 42 | isn | ' | t | x | 2 | !
+    assert(r.getInt(1) == 9)
+  }
+
+  test("fingerprint: order-sensitive, prefix stable under suffix edits") {
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p q r", 1),
+      ("b a c d e f g h i j k l m n o p q r", 2),   // permuted prefix
+      ("a b c d e f g h i j k l m n o p q r EXTRA SUFFIX", 3)
+    ).toDF("text", "id")
+    val out = df.select(col("id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.fingerprint(col("text"), prefixTokens = 16).as("fp16"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1)._1 != out(2)._1)      // order matters for the full fp
+    assert(out(1)._2 == out(3)._2)      // 16-token prefix unaffected by suffix
+    assert(out(1)._1 != out(3)._1)      // but full fp sees the suffix
+  }
+
+  test("langid: profile hits score and argmax ties break to declaration order") {
+    val r = Seq("zzz qqq").toDF("text") // zero hits everywhere
+      .select(TextAnalysis.langId(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getAs[String]("predicted_lang") == "en") // first profile wins ties
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload plumbing: 16-byte md5 payload, metadata from id, features match bytes") {
+    val docs = Seq((0L, "hello world"), (7L, "spark engine")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(Multimodal.attachPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(out(0L)._1 == 32 && out(0L)._2 == 32 && out(0L)._3 == "png")
+    assert(out(7L)._1 == 32 + 7 * 16 && out(7L)._2 == 32 + 2 * 16 && out(7L)._3 == "jpeg")
+    assert(out.values.forall(_._4 == 16))
+    // brightness equals the mean unsigned byte of md5(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+    val expected = md.map(_ & 0xff).sum.toDouble / 16
+    assert(out(0L)._5 == expected)
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-sink").toString
+
+  test("K1/T15: final CSV has header; null->empty ONLY for the YoY column") {
+    val dir = tmpDir() + "/final"
+    val df = Seq(
+      ("2024-01-08", "A", 1.5, 100L, Some(12.34)),
+      ("2024-01-09", "B", -0.5, 200L, None)
+    ).toDF("Date", "Stock", "Pct_Change", "Volume", "YoY_NetIncome_Pct")
+    Sinks.writeFinalCsv(df, dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1) // coalesce(1): single file like the reference
+    val lines = scala.io.Source.fromFile(files(0)).getLines().toSeq
+    assert(lines.head == "Date,Stock,Pct_Change,Volume,YoY_NetIncome_Pct")
+    assert(lines.exists(_ == "2024-01-08,A,1.5,100,12.34"))
+    assert(lines.exists(_ == "2024-01-09,B,-0.5,200,")) // trailing empty, not "null"
+  }
+
+  test("S8: the written CSV reads back with header and re-validates (validator.py:39-46)") {
+    val dir = tmpDir() + "/final2"
+    val df = Seq(("A", 0.5, Some(1.0)), ("B", -0.5, None))
+      .toDF("Stock", "Sentiment_Score", "YoY_NetIncome_Pct")
+    Sinks.writeFinalCsv(df, dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(Validator.validate(back, Validator.Rules(
+      "Sentiment_Score", -1.0, 1.0, Seq("Stock"), "YoY_NetIncome_Pct", 0.5), Some(2L)))
+  }
+
+  test("K2: per-key partitioned CSV dump creates one directory per key") {
+    val dir = tmpDir() + "/perkey"
+    Seq(("A", 1), ("A", 2), ("B", 3)).toDF("stock", "v")
+      .transform { d => Sinks.writePerKeyCsv(d, dir, "stock"); d }
+    val parts = new java.io.File(dir).listFiles.map(_.getName).filter(_.startsWith("stock="))
+    assert(parts.toSet == Set("stock=A", "stock=B"))
+  }
+
+  test("K3: JSON dim dump round-trips") {
+    val dir = tmpDir() + "/dim"
+    Seq(("A", 12.3), ("B", -4.5)).toDF("stock", "yoy")
+      .transform { d => Sinks.writeJsonDim(d, dir); d }
+    val back = spark.read.json(dir).collect()
+      .map(r => r.getAs[String]("stock") -> r.getAs[Double]("yoy")).toMap
+    assert(back == Map("A" -> 12.3, "B" -> -4.5))
+  }
+}
