@@ -322,10 +322,15 @@ object SparkEntry {
       Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
         numBands = 4, rowsPerBand = 3, threshold = 0.8)),
 
-    // SimHash 32-bit fingerprints per document.
+    // SimHash 32-bit fingerprints per document. Token hashes projected
+    // ONCE, then 32 bit-folds over the materialized array — inlining the
+    // md5 transform would hash every token 32×.
     "dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))),
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          transform(split(col("text"), " "), t => md5(t)).as("__h"))
+        .select(col("doc_id"),
+          Dedup.simhashFromHashes(col("__h")).as("simhash"))),
 
     // N-gram Jaccard near-dup with (lang, source) bucketing: pairs are
     // generated only within buckets (bounded quadratic), similarity on
@@ -341,13 +346,22 @@ object SparkEntry {
         col("tok").as("tok_b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
+        // size-ratio prefilter (necessary condition for jaccard >= 0.5):
+        // skips the intersect for pairs that cannot pass; result unchanged.
+        .filter(least(size(col("tok_a")), size(col("tok_b"))).cast("double") /
+          greatest(size(col("tok_a")), size(col("tok_b"))) >= 0.5)
+        // |A∪B| = |A|+|B|-|A∩B| for the (distinct) arrays — one intersect
+        // per pair instead of intersect + union.
+        .withColumn("__i1", size(array_intersect(col("tok_a"), col("tok_b"))))
         .withColumn("jaccard_1gram", Rounding.stable(
-          size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-            size(array_union(col("tok_a"), col("tok_b"))), 4))
+          col("__i1").cast("double") /
+            (size(col("tok_a")) + size(col("tok_b")) - col("__i1")), 4))
         .filter(col("jaccard_1gram") >= 0.5)
+        .withColumn("__i3", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard_3gram", Rounding.stable(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 4))
+          col("__i3").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("__i3")), 4))
+        .drop("__i1", "__i3")
         .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
           col("jaccard_1gram"), col("jaccard_3gram"))
     }),
@@ -447,18 +461,30 @@ object SparkEntry {
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
 
   private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
-    val sigCols = (0 until numBands * rowsPerBand).map(k =>
-      s"list_aggregate(list_transform(sh, s -> md5('$k' || '|' || s)), 'min') AS sig_$k").mkString(",\n         ")
+    // 48-bit nibble packing of the first 12 hex chars of md5(shingle) —
+    // literal mirror of Dedup.shingleValues.
+    val nibSum = (0 until 12).map { i =>
+      val a = s"ascii(substr(h, ${i + 1}, 1))"
+      val p = math.pow(16, 11 - i).toLong
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)::BIGINT * $p"
+    }.mkString(" + ")
+    val sigCols = (0 until numBands * rowsPerBand).map { k =>
+      val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
+      s"list_aggregate(list_transform(sv, v -> ((v % ${Dedup.MinhashP}) * $a + $b) % ${Dedup.MinhashP}), 'min') AS sig_$k"
+    }.mkString(",\n         ")
     val bandCases = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}").mkString(" || ")
+      val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts)"
     }.mkString(" ")
     s"""WITH $RecrawlCte,
        |$ShingleCte,
-       |sig AS (
-       |  SELECT doc_id, sh,
-       |         $sigCols
+       |vals AS (
+       |  SELECT doc_id, list_transform(list_transform(sh, s -> md5(s)), h -> $nibSum) AS sv
        |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM vals),
        |banded AS (
        |  SELECT doc_id, band_id,
        |         CASE band_id $bandCases END AS band_key

@@ -38,24 +38,48 @@ object Dedup {
       .otherwise(array(text)))
   }
 
-  /** One minhash signature value: the lexicographic min of
-    * md5(seed + "|" + shingle) over the shingle set. A string min of hex
-    * digests is order-isomorphic to a numeric min of the underlying
-    * 128-bit values, so this is a faithful minhash.
+  /** Minhash scheme: each shingle is hashed ONCE (md5 → 48-bit integer
+    * via its first 12 hex nibbles), and the k signature hash functions are
+    * affine derivations h_k(v) = (A_k·(v mod P) + B_k) mod P — the
+    * standard permutation-family construction (what MLlib's MinHashLSH
+    * does). This is ~k× cheaper than hashing every shingle k times, which
+    * dominates minhash cost at scale. All arithmetic is BIGINT-exact and
+    * reproduced literally in the DuckDB oracle.
     */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s =>
-      md5(concat(lit(seed.toString), lit("|"), s))))
+  val MinhashP = 1000000007L
+  def minhashA(k: Int): Long = 1103515245L * (k + 1) % MinhashP
+  def minhashB(k: Int): Long = 12345L * (k + 7) % MinhashP
 
-  /** LSH band keys: `numBands` values, each hashing `rowsPerBand`
-    * consecutive signature values. Two docs collide on a band iff that
-    * band's signature slice matches exactly — P(collide) = jaccard^r per
-    * band, amplified by b bands.
+  private val Pow16: IndexedSeq[Long] =
+    (0 until 12).map(i => math.pow(16, 11 - i).toLong)
+
+  private def nib(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** 48-bit integer view of a shingle array: md5 once per shingle, then
+    * the first 12 hex nibbles packed positionally.
     */
-  def bandKeys(shingleCol: Column, numBands: Int, rowsPerBand: Int): Column =
+  def shingleValues(shingleCol: Column): Column = {
+    val hashes = transform(shingleCol, s => md5(s))
+    transform(hashes, h =>
+      (0 until 12).map(i => nib(substring(h, i + 1, 1)).cast("long") * Pow16(i))
+        .reduce(_ + _))
+  }
+
+  /** One minhash signature value over pre-computed shingle values. */
+  def minhashSig(valuesCol: Column, k: Int): Column =
+    array_min(transform(valuesCol, v =>
+      (pmod(v, lit(MinhashP)) * minhashA(k) + minhashB(k)) % MinhashP))
+
+  /** LSH band keys over pre-computed shingle values: `numBands` keys,
+    * each hashing `rowsPerBand` consecutive signature values. Two docs
+    * collide on a band iff that band's signature slice matches exactly —
+    * P(collide) = jaccard^r per band, amplified by b bands.
+    */
+  def bandKeys(valuesCol: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
-      md5(concat_ws("", (0 until rowsPerBand).map(r =>
-        minhash(shingleCol, b * rowsPerBand + r)): _*))
+      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        minhashSig(valuesCol, b * rowsPerBand + r).cast("string")): _*))
     }: _*)
 
   /** Exact dedup: group identical normalized text, keep the smallest id as
@@ -85,21 +109,37 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val withShingles = docs.select(
       col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // Candidate generation shuffles ONLY (id, band_id, band_key) — the
+    // shingle arrays must never ride through the explode+self-join (at
+    // scale that would serialize every array numBands× through two
+    // exchanges). They are re-joined below for candidates only.
+    // Shingle values are projected in their own step so the md5 transform
+    // runs once per row, not once per signature (CollapseProject keeps
+    // multi-referenced expensive projections separate).
     val banded = withShingles
-      .select(col("id"), col("sh"),
-        posexplode(bandKeys(col("sh"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
-    val a = banded.select(col("id").as("doc_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_key"))
-    val b = banded.select(col("id").as("doc_b"), col("sh").as("sh_b"),
-      col("band_id"), col("band_key"))
-    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .select(col("id"), shingleValues(col("sh")).as("sv"))
+      .select(col("id"),
+        posexplode(bandKeys(col("sv"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
+    val pairs = banded.select(col("id").as("doc_a"), col("band_id"), col("band_key"))
+      .join(banded.select(col("id").as("doc_b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    val verified = pairs
+      .join(withShingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withShingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so a
+      // pair failing the ratio can never pass the threshold — skips the
+      // expensive intersect for hopeless candidates, result unchanged.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+        greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
+    verified
+      // |A∪B| = |A|+|B|-|A∩B| on distinct arrays: one intersect per pair.
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", Rounding.stable(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        col("__i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -109,9 +149,16 @@ object Dedup {
     * i.e. the classic weighted-bit-vote simhash with md5-derived token
     * hashes. Identical texts get identical fingerprints; near-identical
     * texts differ in few bits (hamming-band joinable via substring keys).
+    *
+    * Prefer [[simhashFromHashes]] over a pre-projected hash column in
+    * query plans: each bit's fold re-evaluates its input array, so
+    * inlining the md5 transform here costs `bits`× the hashing work.
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val hashes = transform(split(text, " "), t => md5(t))
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashFromHashes(transform(split(text, " "), t => md5(t)), bits)
+
+  /** SimHash over an already-materialized md5-per-token array column. */
+  def simhashFromHashes(hashes: Column, bits: Int = 32): Column = {
     val bitCols = (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + (ascii(substring(h, j + 1, 1)) % 2) * 2 - 1)

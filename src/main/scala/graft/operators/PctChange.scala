@@ -32,7 +32,11 @@ object PctChange {
       outCol: String = "pct_change",
       scale: Int = 4): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // try_divide, not `/`: a zero previous value must yield NULL (DuckDB's
+    // x/0 semantics), not an ANSI DIVIDE_BY_ZERO error — zeros exist in
+    // the data at sf>=0.1 even though the reference's close prices can't
+    // be zero.
     df.withColumn(outCol,
-      round((col(valueCol) / lag(col(valueCol), 1).over(w) - 1) * 100, scale))
+      round((try_divide(col(valueCol), lag(col(valueCol), 1).over(w)) - 1) * 100, scale))
   }
 }
