@@ -59,6 +59,38 @@ object SparkEntry {
         col("event_id").as("picked_event_id"), col("pub_str"))
   }
 
+  /** T10: the news operator's "explain mode" (scripts/dump_news_debug.py:
+    * 83-157) — every candidate from the four provider×query combos,
+    * annotated with the selection flags instead of filtered, plus a
+    * SELECTED marker for the fallback-chain winner. This is the same
+    * candidate DataFrame as [[selectedHeadlines]] *without* the
+    * `row_number===1` filter (SURVEY.md §3 E3).
+    */
+  def debugCandidates(s: SparkSession, dir: String, asOf: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val inWindow =
+      col("ts") >= to_timestamp(lit(asOf)) - expr("INTERVAL 72 HOURS") &&
+        col("ts") <= to_timestamp(lit(asOf))
+    val google = ev.filter(col("event_type").isin("click", "view"))
+    val newsd = ev.filter(col("event_type").isin("purchase", "signup"))
+    val tagged = google.withColumn("src", lit("google"))
+      .unionByName(google.withColumn("src", lit("google_ticker")))
+      .unionByName(newsd.withColumn("src", lit("newsdata")))
+      .unionByName(newsd.withColumn("src", lit("newsdata_ticker")))
+    val annotated = tagged.select(
+      col("user_id"), col("src"), col("event_id"),
+      (col("event_id") % 5 === 0).as("relevant_title"),
+      inWindow.as("in_72hr_window"),
+      col("src").isin("google", "newsdata").as("title_filter_applied"),
+      (minute(col("ts")) % 10 =!= 0).as("parseable_date"))
+    val winners = selectedHeadlines(s, dir, asOf).select(
+      col("user_id"), col("headline_source").as("src"),
+      col("picked_event_id").as("event_id"), lit(true).as("__w"))
+    annotated.join(broadcast(winners), Seq("user_id", "src", "event_id"), "left")
+      .withColumn("SELECTED", coalesce(col("__w"), lit(false)))
+      .drop("__w")
+  }
+
   /** "Re-crawled" corpus for the dedup queries: documents twice, second
     * copy with shifted ids — guarantees real duplicate groups.
     */
@@ -307,6 +339,20 @@ object SparkEntry {
                 .otherwise(lit("unavailable")))).as("Data_Source_Log"))
     }),
 
+    // T10 — annotated candidate dump: the debug/explain view of the news
+    // selection (flags, no filtering; dump_news_debug.py:83-136).
+    "t10_debug_annotations" -> ((s, dir) =>
+      debugCandidates(s, dir, "2024-01-15 00:00:00")),
+
+    // A3 — per-(key, query) counting aggregates over the debug frame
+    // (dump_news_debug.py:149-157).
+    "a3_debug_counts" -> ((s, dir) =>
+      debugCandidates(s, dir, "2024-01-15 00:00:00")
+        .groupBy(col("user_id"), col("src"))
+        .agg(count(lit(1)).as("total_fetched"),
+          sum(when(col("relevant_title") && col("in_72hr_window") &&
+            col("parseable_date"), 1L).otherwise(0L)).as("relevant_in_window"))),
+
     // ── LLM-data-pipeline pillar (graft-native extensions) ──────────────
 
     // Exact dedup: hash-groupBy over a "re-crawled" corpus (documents ∪
@@ -448,6 +494,42 @@ object SparkEntry {
   // ── programmatic oracle builders (SQL must mirror the Scala constants
   //    exactly — seeds, bit counts, plane literals) ─────────────────────
 
+  /** Shared oracle CTE block: the annotated candidate frame (T10) and the
+    * fallback winner (sel), both at asOf 2024-01-15.
+    */
+  private val DebugCte =
+    """tagged AS (
+      |  SELECT user_id, event_id, ts, 'google' AS src, true AS tfa FROM events WHERE event_type IN ('click','view')
+      |  UNION ALL SELECT user_id, event_id, ts, 'google_ticker', false FROM events WHERE event_type IN ('click','view')
+      |  UNION ALL SELECT user_id, event_id, ts, 'newsdata', true FROM events WHERE event_type IN ('purchase','signup')
+      |  UNION ALL SELECT user_id, event_id, ts, 'newsdata_ticker', false FROM events WHERE event_type IN ('purchase','signup')),
+      |ann AS (
+      |  SELECT user_id, src, event_id,
+      |         (event_id % 5 = 0) AS relevant_title,
+      |         (ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+      |          AND ts <= TIMESTAMP '2024-01-15 00:00:00') AS in_72hr_window,
+      |         tfa AS title_filter_applied,
+      |         (minute(ts) % 10 != 0) AS parseable_date
+      |  FROM tagged),
+      |wev AS (
+      |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, (minute(ts) % 10 = 0) AS unp
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+      |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+      |wgoogle AS (SELECT * FROM wev WHERE event_type IN ('click','view')),
+      |wnewsd  AS (SELECT * FROM wev WHERE event_type IN ('purchase','signup') AND NOT unp),
+      |wcands AS (
+      |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM wgoogle WHERE event_id % 5 = 0
+      |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM wgoogle
+      |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM wnewsd WHERE event_id % 5 = 0
+      |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM wnewsd),
+      |sel AS (
+      |  SELECT user_id, src, event_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY prec ASC, CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END DESC, event_id DESC) AS rn
+      |        FROM wcands)
+      |  WHERE rn = 1)""".stripMargin
+
   private val RecrawlCte =
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
 
@@ -531,6 +613,20 @@ object SparkEntry {
     * name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
+
+    "t10_debug_annotations" ->
+      s"""WITH $DebugCte
+         |SELECT ann.user_id, ann.src, ann.event_id, ann.relevant_title,
+         |       ann.in_72hr_window, ann.title_filter_applied, ann.parseable_date,
+         |       (sel.user_id IS NOT NULL) AS "SELECTED"
+         |FROM ann LEFT JOIN sel
+         |  ON ann.user_id = sel.user_id AND ann.src = sel.src AND ann.event_id = sel.event_id""".stripMargin,
+
+    "a3_debug_counts" ->
+      s"""WITH $DebugCte
+         |SELECT user_id, src, CAST(count(*) AS BIGINT) AS total_fetched,
+         |       CAST(sum(CASE WHEN relevant_title AND in_72hr_window AND parseable_date THEN 1 ELSE 0 END) AS BIGINT) AS relevant_in_window
+         |FROM ann GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $RecrawlCte

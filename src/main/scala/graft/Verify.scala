@@ -23,12 +23,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Drive the sink surface (K1/T15) on the flagship result each round:
-    // the final CSV with header + null→"" for the one nullable column.
-    try graft.sources.Sinks.writeFinalCsv(
-      SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$outDir/e1_pipeline_csv")
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] e1 csv sink failed: ${e.getMessage}")
+    // Drive the sink surface each round: K1/T15 (final CSV, null→"" for
+    // the one nullable column) and K5 (debug JSON dump of the annotated
+    // candidates).
+    try {
+      graft.sources.Sinks.writeFinalCsv(
+        SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$outDir/e1_pipeline_csv")
+      graft.sources.Sinks.writeJsonDim(
+        SparkEntry.queries("t10_debug_annotations")(spark, sfDir),
+        s"$outDir/news_debug_json")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] sink stage failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
