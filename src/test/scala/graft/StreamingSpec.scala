@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingRecency
+import graft.streaming.StreamingRecency.NewsEvent
+
+/** Drives the streaming recency operators through real micro-batches
+  * (MemoryStream → memory sink), asserting watermark finalization and
+  * stateful-latest semantics.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(key: String, t: String, h: String) =
+    NewsEvent(key, java.sql.Timestamp.valueOf(t), h)
+
+  test("windowedLatest: append emits a window once its watermark passes; max_by wins") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[NewsEvent]
+    val q = StreamingRecency.windowedLatest(input.toDF(), "key", "ts", "headline")
+      .writeStream.format("memory").queryName("wl").outputMode("append").start()
+    try {
+      input.addData(
+        ev("A", "2024-01-01 10:05:00", "early"),
+        ev("A", "2024-01-01 10:20:00", "latest-in-window"),
+        ev("B", "2024-01-01 10:30:00", "only-b"))
+      q.processAllAvailable()
+      assert(spark.table("wl").count() == 0) // watermark 10:10 < window end 11:00
+
+      input.addData(ev("A", "2024-01-01 12:00:00", "advances-watermark"))
+      q.processAllAvailable()
+      input.addData(ev("A", "2024-01-01 12:01:00", "tick")) // extra batch flushes finalized state
+      q.processAllAvailable()
+
+      val out = spark.table("wl")
+        .filter($"window_start" === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(out == Map("A" -> "latest-in-window", "B" -> "only-b"))
+    } finally q.stop()
+  }
+
+  test("runningLatest: mapGroupsWithState keeps the per-key latest across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[NewsEvent]
+    val q = StreamingRecency.runningLatest(input.toDS())
+      .writeStream.format("memory").queryName("rl").outputMode("update").start()
+    try {
+      input.addData(ev("A", "2024-01-01 10:00:00", "first"))
+      q.processAllAvailable()
+      input.addData(
+        ev("A", "2024-01-01 09:00:00", "older-must-not-win"),
+        ev("B", "2024-01-01 11:00:00", "b1"))
+      q.processAllAvailable()
+      // last update per key wins in the memory sink's update log
+      val latest = spark.table("rl").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.maxBy(_.getTimestamp(1).getTime).getString(2) }
+      assert(latest == Map("A" -> "first", "B" -> "b1")) // state retained the newer A
+    } finally q.stop()
+  }
+}
