@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.RelevantTitle
+
+/** Session extensions registering graft's native Catalyst expressions
+  * (SURVEY.md §7.3 — custom `Expression`s as the perf upgrade path).
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * on the session builder; the functions then resolve by name through the
+  * registry (SQL `relevant_title(...)` or `call_function`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("relevant_title"),
+      new ExpressionInfo(classOf[RelevantTitle].getName, "relevant_title"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"relevant_title(title, long_name, ticker) takes 3 arguments, got ${args.length}")
+        RelevantTitle(args(0), args(1), args(2))
+      }))
+  }
+}

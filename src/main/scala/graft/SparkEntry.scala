@@ -228,6 +228,24 @@ object SparkEntry {
         Text.standaloneMatch(lowerText, "spark").as("rel_plain_spark"))
     }),
 
+    // T7 (native expression) — the dynamic-name case: company name and
+    // ticker are per-row columns from a broadcast dimension, so the
+    // pattern is not plan-time foldable; the custom Catalyst expression
+    // (graft.expressions.RelevantTitle, with codegen + per-thread pattern
+    // cache) evaluates it without UDF boxing.
+    "t7_relevance_native" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("HASHVAL", "Hash Value Limited"),
+        ("SPARKCO", "Spark Co"),
+        ("WINMERGE", "Window Merge Corp.")).toDF("ticker", "long_name")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(dim))
+        .select(col("doc_id"), col("ticker"),
+          graft.expressions.RelevantTitle(
+            col("text"), col("long_name"), col("ticker")).as("relevant"))
+    }),
+
     // T9 — empty-title filter (news.py:157-159,285-287); every 7th title
     // is blanked so the predicate has real selectivity.
     "t9_empty_title" -> ((s, dir) => {
@@ -841,6 +859,24 @@ object SparkEntry {
         |       regexp_matches(regexp_replace(lower(text), ' ', ', ', 'g'), '(?:^\s*|[^\p{L}\s]\s*)\bspark\b') AS rel_comma_spark,
         |       regexp_matches(lower(text), '(?:^\s*|[^\p{L}\s]\s*)\bspark\b') AS rel_plain_spark
         |FROM documents""".stripMargin,
+
+    "t7_relevance_native" ->
+      """SELECT d.doc_id, c.ticker,
+        |       CASE c.ticker
+        |         WHEN 'HASHVAL' THEN
+        |           (regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bhash value limited\b')
+        |            OR regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bhash value\b')
+        |            OR regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bhashval\b'))
+        |         WHEN 'SPARKCO' THEN
+        |           (regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bspark co\b')
+        |            OR regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bsparkco\b'))
+        |         ELSE
+        |           (regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bwindow merge corp\.\b')
+        |            OR regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bwindow merge\b')
+        |            OR regexp_matches(lower(d.text), '(?:^\s*|[^\p{L}\s]\s*)\bwinmerge\b'))
+        |       END AS relevant
+        |FROM documents d,
+        |     (SELECT * FROM (VALUES ('HASHVAL'), ('SPARKCO'), ('WINMERGE')) t(ticker)) c""".stripMargin,
 
     "t9_empty_title" ->
       """SELECT doc_id, substr(title, 1, 40) AS title_prefix
