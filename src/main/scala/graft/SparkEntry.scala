@@ -371,7 +371,36 @@ object SparkEntry {
           sum(when(col("relevant_title") && col("in_72hr_window") &&
             col("parseable_date"), 1L).otherwise(0L)).as("relevant_in_window"))),
 
+    // E2 — the acceptance query: the reference's validator run over the
+    // full pipeline output as ONE composed plan (validator.py:25-100 over
+    // engine.py's CSV; here over the e1 DAG directly — no materialization
+    // between pipeline and gate).
+    "e2_validate_pipeline" -> ((s, dir) =>
+      Validator.measure(queries("e1_pipeline")(s, dir), Validator.Rules(
+        rangeCol = "Sentiment_Score", rangeMin = -1.0, rangeMax = 1.0,
+        nonNullCols = Seq("Pct_Change", "Volume"),
+        nullRateCol = "YoY_NetIncome_Pct", nullRateMax = 0.5))),
+
+    // Skew-tolerant two-phase aggregation (salting): identical result to
+    // a direct groupBy, but a hot key spreads over 8 reducers first.
+    "salted_agg" -> ((s, dir) =>
+      Salting.saltedSumCount(Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"), valueCol = "l_quantity",
+        saltCol = "l_orderkey", saltBuckets = 8)),
+
     // ── LLM-data-pipeline pillar (graft-native extensions) ──────────────
+
+    // Embedding-cosine near-dup: LSH sign-bit buckets → within-bucket
+    // exact cosine ≥ 0.99. The corpus carries planted re-encoded copies
+    // (scaled vectors) — scale-invariant sign patterns guarantee the
+    // bucketing never misses them.
+    "dedup_embedding" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vecd"))
+      val reencoded = base.select((col("id") + 100000).as("id"),
+        transform(col("vecd"), x => x * lit(1.5)).as("vecd"))
+      Similarity.cosineDedupPairs(base.unionByName(reencoded), threshold = 0.99)
+    }),
 
     // Exact dedup: hash-groupBy over a "re-crawled" corpus (documents ∪
     // documents with shifted ids) — every text appears ≥2×, so the
@@ -625,6 +654,91 @@ object SparkEntry {
     val bound = if (prefix > 0) s"least(len($hs), $prefix)" else s"len($hs)"
     s"list_sum(list_transform(range(1, $bound + 1), i -> i * (ascii(substr($hs[i], 1, 1)) * 256 + ascii(substr($hs[i], 2, 1))))) % 1000000007"
   }
+
+  /** The E1 oracle, shared by e1_pipeline and the e2 validation
+    * composition.
+    */
+  private val E1OracleSql: String =
+    """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS date, sum(value) AS close, CAST(count(*) AS BIGINT) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |pct AS (
+        |  SELECT *, round((close / lag(close) OVER (PARTITION BY user_id ORDER BY date) - 1) * 100, 4) AS pct_change
+        |  FROM daily),
+        |cal AS (
+        |  SELECT d::DATE AS date
+        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-26', INTERVAL 1 day) t(d)
+        |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
+        |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
+        |market AS (
+        |  SELECT uni.date, uni.user_id, pct.pct_change, pct.volume
+        |  FROM uni JOIN pct ON uni.user_id = pct.user_id AND uni.date = pct.date
+        |  WHERE pct.pct_change IS NOT NULL),
+        |ev AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |         (minute(ts) % 10 = 0) AS unp
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
+        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
+        |cands AS (
+        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
+        |sel AS (
+        |  SELECT user_id, src AS headline_source, event_id AS picked_event_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY prec ASC, CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END DESC, event_id DESC) AS rn
+        |        FROM cands)
+        |  WHERE rn = 1),
+        |head AS (
+        |  SELECT sel.user_id, sel.headline_source, substr(d.text, 1, 60) AS headline_text
+        |  FROM sel LEFT JOIN documents d ON d.doc_id = sel.picked_event_id % 500),
+        |nn AS (SELECT * FROM orders WHERE o_totalprice IS NOT NULL),
+        |latest AS (
+        |  SELECT o_custkey AS k, o_orderdate::DATE AS cur_time, o_totalprice AS cur_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM nn)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT l.k, l.cur_value, o.o_totalprice AS prev_value, o.o_orderdate::DATE AS prev_time, o.o_orderkey,
+        |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) AS dd
+        |  FROM latest l JOIN nn o ON o.o_custkey = l.k
+        |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) <= 120),
+        |fund AS (
+        |  SELECT k AS user_id, round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC, o_orderkey DESC) AS rn FROM cand)
+        |  WHERE rn = 1 AND prev_value <> 0),
+        |base AS (
+        |  SELECT m.date, m.user_id, m.pct_change, m.volume,
+        |         coalesce(h.headline_text, 'No major headline available') AS headline,
+        |         h.headline_source, f.yoy_pct
+        |  FROM market m
+        |  LEFT JOIN head h ON m.user_id = h.user_id
+        |  LEFT JOIN fund f ON m.user_id = f.user_id),
+        |scored AS (
+        |  SELECT *,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
+        |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
+        |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
+        |         (length(trim(headline)) = 0 OR trim(headline) = 'No major headline available') AS dflt
+        |  FROM base)
+        |SELECT date AS "Date", user_id AS "Stock", pct_change AS "Pct_Change", volume AS "Volume",
+        |       headline AS "Headline",
+        |       CASE WHEN dflt THEN 'Neutral'
+        |            WHEN pos > neg THEN 'Positive'
+        |            WHEN neg > pos THEN 'Negative' ELSE 'Neutral' END AS "Sentiment_Label",
+        |       CASE WHEN dflt OR pos + neg = 0 THEN 0.0
+        |            WHEN pos > neg THEN round(pos / (pos + neg), 4)
+        |            WHEN neg > pos THEN round(-(neg / (pos + neg)), 4)
+        |            ELSE 0.0 END AS "Sentiment_Score",
+        |       yoy_pct AS "YoY_NetIncome_Pct",
+        |       'market=events | news=' || coalesce(headline_source, 'default')
+        |         || ' | sentiment=lexicon | fundamentals='
+        |         || CASE WHEN yoy_pct IS NOT NULL THEN 'orders' ELSE 'unavailable' END AS "Data_Source_Log"
+        |FROM scored""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables). Column
     * names/aliases match the Spark output exactly (driver sorts columns by
@@ -972,87 +1086,33 @@ object SparkEntry {
         |       'market=events | news=' || coalesce(sel.headline_source, 'default') || ' | sentiment=lexicon' AS data_source_log
         |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
 
-    "e1_pipeline" ->
-      """WITH daily AS (
-        |  SELECT user_id, ts::DATE AS date, sum(value) AS close, CAST(count(*) AS BIGINT) AS volume
-        |  FROM events GROUP BY 1, 2),
-        |pct AS (
-        |  SELECT *, round((close / lag(close) OVER (PARTITION BY user_id ORDER BY date) - 1) * 100, 4) AS pct_change
-        |  FROM daily),
-        |cal AS (
-        |  SELECT d::DATE AS date
-        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-26', INTERVAL 1 day) t(d)
-        |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
-        |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
-        |market AS (
-        |  SELECT uni.date, uni.user_id, pct.pct_change, pct.volume
-        |  FROM uni JOIN pct ON uni.user_id = pct.user_id AND uni.date = pct.date
-        |  WHERE pct.pct_change IS NOT NULL),
-        |ev AS (
-        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |         (minute(ts) % 10 = 0) AS unp
-        |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
-        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
-        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
-        |cands AS (
-        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
-        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
-        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
-        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
-        |sel AS (
-        |  SELECT user_id, src AS headline_source, event_id AS picked_event_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |          ORDER BY prec ASC, CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END DESC, event_id DESC) AS rn
-        |        FROM cands)
-        |  WHERE rn = 1),
-        |head AS (
-        |  SELECT sel.user_id, sel.headline_source, substr(d.text, 1, 60) AS headline_text
-        |  FROM sel LEFT JOIN documents d ON d.doc_id = sel.picked_event_id % 500),
-        |nn AS (SELECT * FROM orders WHERE o_totalprice IS NOT NULL),
-        |latest AS (
-        |  SELECT o_custkey AS k, o_orderdate::DATE AS cur_time, o_totalprice AS cur_value
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM nn)
-        |  WHERE rn = 1),
-        |cand AS (
-        |  SELECT l.k, l.cur_value, o.o_totalprice AS prev_value, o.o_orderdate::DATE AS prev_time, o.o_orderkey,
-        |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) AS dd
-        |  FROM latest l JOIN nn o ON o.o_custkey = l.k
-        |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, o.o_orderdate::DATE)) <= 120),
-        |fund AS (
-        |  SELECT k AS user_id, round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC, o_orderkey DESC) AS rn FROM cand)
-        |  WHERE rn = 1 AND prev_value <> 0),
-        |base AS (
-        |  SELECT m.date, m.user_id, m.pct_change, m.volume,
-        |         coalesce(h.headline_text, 'No major headline available') AS headline,
-        |         h.headline_source, f.yoy_pct
-        |  FROM market m
-        |  LEFT JOIN head h ON m.user_id = h.user_id
-        |  LEFT JOIN fund f ON m.user_id = f.user_id),
-        |scored AS (
-        |  SELECT *,
-        |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
-        |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
-        |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
-        |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
-        |         (length(trim(headline)) = 0 OR trim(headline) = 'No major headline available') AS dflt
-        |  FROM base)
-        |SELECT date AS "Date", user_id AS "Stock", pct_change AS "Pct_Change", volume AS "Volume",
-        |       headline AS "Headline",
-        |       CASE WHEN dflt THEN 'Neutral'
-        |            WHEN pos > neg THEN 'Positive'
-        |            WHEN neg > pos THEN 'Negative' ELSE 'Neutral' END AS "Sentiment_Label",
-        |       CASE WHEN dflt OR pos + neg = 0 THEN 0.0
-        |            WHEN pos > neg THEN round(pos / (pos + neg), 4)
-        |            WHEN neg > pos THEN round(-(neg / (pos + neg)), 4)
-        |            ELSE 0.0 END AS "Sentiment_Score",
-        |       yoy_pct AS "YoY_NetIncome_Pct",
-        |       'market=events | news=' || coalesce(headline_source, 'default')
-        |         || ' | sentiment=lexicon | fundamentals='
-        |         || CASE WHEN yoy_pct IS NOT NULL THEN 'orders' ELSE 'unavailable' END AS "Data_Source_Log"
-        |FROM scored""".stripMargin,
+    "e1_pipeline" -> E1OracleSql,
+
+    // NOTE: concatenation, not interpolation into a stripMargin string —
+    // the embedded E1 SQL contains lines starting with "||" whose leading
+    // "|" an outer stripMargin would eat.
+    "e2_validate_pipeline" ->
+      ("WITH e1 AS (SELECT * FROM (" + E1OracleSql + "\n) t)\n" +
+        """SELECT CAST(count(*) AS BIGINT) AS row_count,
+          |       CAST(sum(CASE WHEN "Sentiment_Score" IS NULL OR "Sentiment_Score" < -1.0 OR "Sentiment_Score" > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS range_violations,
+          |       CAST(sum(CASE WHEN "Pct_Change" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "Pct_Change_nulls",
+          |       CAST(sum(CASE WHEN "Volume" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "Volume_nulls",
+          |       round(avg(CASE WHEN "YoY_NetIncome_Pct" IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate
+          |FROM e1""".stripMargin),
+
+    "salted_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS total
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corpus AS (SELECT id, v FROM e
+         |           UNION ALL SELECT id + 100000, list_transform(v, x -> x * 1.5) FROM e),
+         |b AS (SELECT id, v, ${lshBucketSql("v", 8, 64)} AS bucket FROM corpus),
+         |p AS (
+         |  SELECT a.id AS vec_a, c.id AS vec_b, round(${sqlCos("a.v", "c.v")}, 6) AS cos
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.99""".stripMargin,
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -75,6 +75,29 @@ object Similarity {
       when(dot(vecDouble, wCol) > 0, "1").otherwise("0")
     }: _*)
 
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: self-join the corpus
+    * on sign-bit buckets, verify with exact cosine ≥ `threshold`. A
+    * scaled/re-encoded copy of a vector lands in the same bucket by
+    * construction (sign pattern is scale-invariant), so true duplicates
+    * are never missed by the bucketing; only rotated near-dups pay the
+    * LSH recall trade. Never all-pairs.
+    *
+    * `corpus`: (id, vecd) with vecd already double (see [[asDouble]]).
+    */
+  def cosineDedupPairs(corpus: DataFrame, threshold: Double,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val withBucket = corpus.select(col("id"), col("vecd"),
+      bucketKey(col("vecd"), planes).as("bucket"))
+    withBucket.select(col("id").as("vec_a"), col("vecd").as("va"), col("bucket"))
+      .join(withBucket.select(col("id").as("vec_b"), col("vecd").as("vb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to the query's
     * bucket, then exact cosine + rank within. Same output shape as
     * [[topKBrute]] (bucket column added); recall is partial by design.
