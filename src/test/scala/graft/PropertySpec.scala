@@ -1,0 +1,146 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{Rounding, Text}
+import graft.expressions.RelevantTitleMatcher
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure (no-Spark) ScalaCheck properties over the driver-side twins of
+  * the operators — fast, hundreds of samples each.
+  */
+object TextProps extends Properties("text") {
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val companyName: Gen[String] = for {
+    n <- Gen.chooseNum(1, 4)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  property("stripSuffixLiteral is idempotent") = forAll(companyName) { n =>
+    val once = Text.stripSuffixLiteral(n)
+    Text.stripSuffixLiteral(once) == once
+  }
+
+  property("stripping a just-appended suffix restores the name") =
+    forAll(companyName, Gen.oneOf(Text.CorporateSuffixes)) { (n, sfx) =>
+      // names that already end in a (different) suffix strip twice by design
+      val base = Text.stripSuffixLiteral(n)
+      base.isEmpty || Text.stripSuffixLiteral(s"$base $sfx") == base
+    }
+
+  property("relevant title implies the title contains some search phrase") =
+    forAll(companyName, companyName, word) { (title, longName, ticker) =>
+      val hit = RelevantTitleMatcher.matches(
+        UTF8String.fromString(title), UTF8String.fromString(longName),
+        UTF8String.fromString(ticker))
+      !hit || {
+        val t = title.toLowerCase
+        t.contains(longName.toLowerCase) ||
+          t.contains(Text.stripSuffixLiteral(longName.toLowerCase)) ||
+          t.contains(ticker.toLowerCase)
+      }
+    }
+}
+
+object RoundingProps extends Properties("rounding") {
+  private val reasonable = Gen.chooseNum(-1e6, 1e6)
+
+  property("stableVal(x,4) within half-ulp of a true 4dp rounding") =
+    forAll(reasonable) { x =>
+      math.abs(Rounding.stableVal(x, 4) - x) <= 5.001e-5
+    }
+
+  property("stableVal is idempotent") = forAll(reasonable) { x =>
+    val r = Rounding.stableVal(x, 4)
+    Rounding.stableVal(r, 4) == r
+  }
+}
+
+/** Spark-side property-style checks: one seeded random dataset, one job
+  * per property, row-level assertions (the forAll-per-sample pattern
+  * would launch hundreds of Spark jobs).
+  */
+class SparkAlgebraSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.operators._
+
+  private val rng = new scala.util.Random(42)
+  private val series = (1 to 40).flatMap { k =>
+    (1 to 25).map(t => (k.toLong, t, rng.nextDouble() * 100 + 1))
+  }
+
+  test("property: pct_change matches the direct two-row algebra on random series") {
+    val df = series.toDF("k", "t", "v")
+    val got = PctChange.withPctChange(df, Seq("k"), Seq(col("t")), "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    val byKey = series.groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, prev), (_, t, cur)) =>
+          // mirror Spark's round(): shortest-decimal-repr HALF_UP
+          val expected = new java.math.BigDecimal(
+              java.lang.Double.toString((cur / prev - 1) * 100))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          assert(got((k, t)).get == expected)
+        case _ =>
+      }
+      assert(got((k, sorted.head._2)).isEmpty) // first row null
+    }
+  }
+
+  test("property: top1 equals the max over candidates for every key") {
+    val df = series.toDF("k", "t", "v")
+    val got = Recency.top1(df, Seq("k"), Seq(col("t").desc))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    series.groupBy(_._1).foreach { case (k, rows) =>
+      assert(got(k) == rows.map(_._2).max)
+    }
+  }
+
+  test("property: sentiment score stays in [-1,1] and sign matches label on random text") {
+    val words = Seq("fast", "slow", "big", "small", "table", "query", "the", "a")
+    val texts = (1 to 300).map(_ =>
+      (1 to rng.nextInt(12) + 1).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    val out = texts.toDF("h").select(Sentiment.analyze(col("h")).as("s"))
+      .select("s.label", "s.score").collect()
+    out.foreach { r =>
+      val (label, score) = (r.getString(0), r.getDouble(1))
+      assert(score >= -1.0 && score <= 1.0)
+      label match {
+        case "Positive" => assert(score > 0)
+        case "Negative" => assert(score < 0)
+        case "Neutral"  => assert(score == 0.0)
+      }
+    }
+  }
+
+  test("property: salted aggregation equals direct aggregation") {
+    val df = series.toDF("k", "t", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val salted = Salting.saltedSumCount(df, Seq("k"), "v", "t", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    direct.foreach { case (k, (n, tot)) =>
+      val (sn, stot) = salted(k)
+      assert(sn == n && math.abs(stot - tot) < 1e-6)
+    }
+  }
+
+  test("property: calendar emits only weekdays and respects inclusive bounds") {
+    val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
+      .collect().map(_.getDate(0).toLocalDate)
+    assert(dates.head == java.time.LocalDate.parse("2023-11-07"))
+    assert(dates.last == java.time.LocalDate.parse("2024-02-19"))
+    assert(dates.forall(d => d.getDayOfWeek.getValue <= 5))
+    // every weekday in range present exactly once
+    val expected = Iterator.iterate(java.time.LocalDate.parse("2023-11-07"))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse("2024-02-19")))
+      .filter(_.getDayOfWeek.getValue <= 5).toSeq
+    assert(dates.toSeq == expected)
+  }
+}
