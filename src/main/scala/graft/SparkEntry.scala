@@ -477,6 +477,15 @@ object SparkEntry {
       Similarity.topKLsh(emb.filter(col("id") < 5), emb, k = 3)
     }),
 
+    // IVF-style ANN (the second scale path): deterministic coarse
+    // centroids → inverted lists → nProbe-list probing.
+    "sim_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKIvf(emb.filter(col("id") < 5), emb, k = 3,
+        nLists = 8, nProbe = 2)
+    }),
+
     // Language ID: character-trigram profile scoring with deterministic
     // first-wins argmax.
     "ta_langid" -> ((s, dir) =>
@@ -804,6 +813,31 @@ object SparkEntry {
          |  SELECT q.q_id, c.id AS c_id, c.bucket, ${sqlCos("qv", "c.v")} AS cos
          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.q_id <> c.id)
          |SELECT q_id, c_id, bucket, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3""".stripMargin,
+
+    "sim_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |cscore AS (
+         |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
+         |  FROM e c CROSS JOIN cent),
+         |cassign AS (
+         |  SELECT c_id, c_vec, cid AS list_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cscore)
+         |  WHERE rn = 1),
+         |qscore AS (
+         |  SELECT q.id AS q_id, q.v AS q_vec, cent.cid, ${sqlCos("q.v", "cent.cv")} AS qcos
+         |  FROM (SELECT * FROM e WHERE id < 5) q CROSS JOIN cent),
+         |qassign AS (
+         |  SELECT q_id, q_vec, cid AS list_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM qscore)
+         |  WHERE rn <= 2),
+         |s AS (
+         |  SELECT q.q_id, c.c_id, round(${sqlCos("q.q_vec", "c.c_vec")}, 6) AS cos
+         |  FROM qassign q JOIN cassign c USING (list_id)
+         |  WHERE q.q_id <> c.c_id)
+         |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
          |WHERE rnk <= 3""".stripMargin,
 

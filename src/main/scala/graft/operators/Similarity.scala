@@ -98,6 +98,55 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * first `nLists` corpus vectors as centroids — the offline stand-in
+    * for k-means training), every vector assigned to its
+    * highest-cosine centroid (the inverted lists), and each query
+    * probing only its `nProbe` nearest lists.
+    *
+    * Scale shape: centroids are plan-time literals, so corpus assignment
+    * is a narrow codegen'd map (no join, no shuffle); the probe is an
+    * equality join on list id — candidates = Σ_probed |list|, about
+    * nProbe/nLists of the corpus per query on balanced lists.
+    */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    val centroids: Seq[Seq[Double]] = corpus
+      .orderBy(col("id")).limit(nLists)
+      .select(asDouble(col("vec")))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+    def centroidCos(vecd: Column, c: Seq[Double]): Column = {
+      val cCol = array(c.map(lit): _*)
+      cosine(vecd, cCol)
+    }
+    // argmax over centroid cosines; ties break to the lowest list id
+    // (strict > in the fold keeps the first).
+    def assignRank(vecd: Column): Seq[(Int, Column)] =
+      centroids.indices.map(i => i -> centroidCos(vecd, centroids(i)))
+
+    def topLists(vecd: Column, n: Int): Column = {
+      // rank centroid ids by cosine desc (id asc on ties) via a sorted
+      // struct array — all plan-time width, no shuffle
+      val scored = array(assignRank(vecd).map { case (i, c) =>
+        struct((-c).as("negCos"), lit(i).as("list_id"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("list_id")), 1, n)
+    }
+
+    val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
+      .withColumn("list_id", element_at(topLists(col("c_vec"), 1), 1))
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("list_id", explode(topLists(col("q_vec"), nProbe)))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to the query's
     * bucket, then exact cosine + rank within. Same output shape as
     * [[topKBrute]] (bucket column added); recall is partial by design.

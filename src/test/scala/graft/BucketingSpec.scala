@@ -1,0 +1,47 @@
+package graft
+
+/** Bucketing = the pre-shuffle: two tables bucketed the same way on the
+  * join key sort-merge-join with NO exchange on either side. At 100 TB
+  * this is the difference between re-shuffling the fact table on every
+  * join and paying the partitioning once at write time (SURVEY.md §4
+  * physical-execution notes).
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables sort-merge join with zero shuffle") {
+    val df = (1 to 1000).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
+    df.write.format("parquet").bucketBy(8, "k").sortBy("k")
+      .mode("overwrite").saveAsTable("bucketed_a")
+    df.write.format("parquet").bucketBy(8, "k").sortBy("k")
+      .mode("overwrite").saveAsTable("bucketed_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a")
+        .join(spark.table("bucketed_b"), "k")
+      assert(joined.count() == 20000L) // 50 keys x 20 x 20
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("a non-bucketed copy of the same join DOES shuffle (the baseline)") {
+    val df = (1 to 1000).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = df.join(df.select($"k", $"id".as("id2")), "k")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
