@@ -39,7 +39,9 @@ object SparkEntry {
     * row per key that has any candidate.
     */
   def selectedHeadlines(s: SparkSession, dir: String, asOf: String): DataFrame = {
-    val inWindow = Recency.recencyWindow(Tables.events(s, dir), "ts", asOf, 72)
+    // window pushed to the raw-nanos scan (see Tables.eventsInWindow) —
+    // semantically Recency.recencyWindow, physically partition-prunable
+    val inWindow = Tables.eventsInWindow(s, dir, asOf, 72)
     val unparseable = minute(col("ts")) % 10 === 0
     val relevant = col("event_id") % 5 === 0
     val google = inWindow.filter(col("event_type").isin("click", "view"))
@@ -145,10 +147,11 @@ object SparkEntry {
           col("published_str"))),
 
     // T8 — recency-window predicate with a parameterized asOf
-    // (news.py:153,163-169) — never current_timestamp().
+    // (news.py:153,163-169) — never current_timestamp(). Uses the
+    // raw-column pushdown form; Recency.recencyWindow is the same
+    // predicate for already-typed timestamp columns (and streaming).
     "t8_recency_window" -> ((s, dir) =>
-      Recency.recencyWindow(Tables.events(s, dir), "ts",
-          "2024-01-08 00:00:00", 72)
+      Tables.eventsInWindow(s, dir, "2024-01-08 00:00:00", 72)
         .select("event_id", "user_id", "ts", "event_type")),
 
     // J1 — calendar×keys INNER join the fact: missing (key,date) rows are

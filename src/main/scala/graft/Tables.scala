@@ -37,6 +37,29 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  /** Events restricted to a recency window, with the predicate applied on
+    * the RAW nanos column BEFORE the timestamp rebuild — a filter on the
+    * derived `timestamp_micros(...)` column cannot push into the parquet
+    * scan (observed: only IsNotNull pushed), which at 100 TB means a
+    * full-history read for a 72-hour window. Here the scan shows
+    * `PushedFilters: [GreaterThanOrEqual(ts,...), LessThanOrEqual(ts,...)]`
+    * and row groups outside the window never leave disk.
+    * `asOf` is UTC (session timezone), inclusive on both ends — identical
+    * semantics to [[graft.operators.Recency.recencyWindow]].
+    */
+  def eventsInWindow(spark: SparkSession, dir: String,
+      asOf: String, lookbackHours: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hiNanos = java.time.LocalDateTime
+      .parse(asOf.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000000L
+    val loNanos = hiNanos - lookbackHours * 3600L * 1000000000L
+    apply(spark, dir, "events")
+      .filter(col("ts") >= loNanos && col("ts") <= hiNanos)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
