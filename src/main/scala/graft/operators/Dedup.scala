@@ -126,6 +126,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    // Verify joins re-derive shingles from the corpus rather than
+    // semi-join-pruning on a broadcast candidate-id set: deriving the id
+    // set from `pairs` would force the whole banding subtree to compute
+    // a second time for the broadcast (benchmarked 2× slower) — Spark
+    // does not share results between a broadcast subplan and the main
+    // plan. The two shingle re-derivations are narrow map work over the
+    // corpus scan, and both shuffles hash on `id`, so the exchange is
+    // reused between the two join builds.
     val verified = pairs
       .join(withShingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withShingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
