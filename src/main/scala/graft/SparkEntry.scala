@@ -374,6 +374,17 @@ object SparkEntry {
           sum(when(col("relevant_title") && col("in_72hr_window") &&
             col("parseable_date"), 1L).otherwise(0L)).as("relevant_in_window"))),
 
+    // ST1 — the streaming recency operator's batch shadow as an oracle
+    // query: windowedLatestAgg is the exact aggregation behind
+    // StreamingRecency.windowedLatest (minus the watermark, which only
+    // bounds lateness, not results) — so the DuckDB check pins the
+    // streaming semantics.
+    "st1_windowed_latest" -> ((s, dir) =>
+      graft.streaming.StreamingRecency.windowedLatestAgg(
+        Tables.events(s, dir)
+          .withColumn("headline", concat(lit("event:"), col("event_id"))),
+        "user_id", "ts", "headline", "1 day")),
+
     // E2 — the acceptance query: the reference's validator run over the
     // full pipeline output as ONE composed plan (validator.py:25-100 over
     // engine.py's CSV; here over the e1 DAG directly — no materialization
@@ -906,7 +917,11 @@ object SparkEntry {
         |       CASE WHEN doc_id % 3 = 0 THEN 'png'
         |            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |       CAST(16 AS INT) AS n_bytes,
-        |       list_sum(list_transform(range(1, 17), k -> nib[2*k-1] * 16 + nib[2*k]))::DOUBLE / 16 AS brightness
+        |       list_sum(list_transform(range(1, 17), k -> nib[2*k-1] * 16 + nib[2*k]))::DOUBLE / 16 AS brightness,
+        |       CAST(greatest(1, ((32 + (doc_id % 8) * 16) * 64) // greatest(32 + (doc_id % 8) * 16, 32 + (doc_id % 5) * 16)) AS INT) AS resized_w,
+        |       CAST(greatest(1, ((32 + (doc_id % 5) * 16) * 64) // greatest(32 + (doc_id % 8) * 16, 32 + (doc_id % 5) * 16)) AS INT) AS resized_h,
+        |       CAST(doc_id % 4 AS INT) AS frame_id,
+        |       list_sum(list_transform(range(4 * (doc_id % 4) + 1, 4 * (doc_id % 4) + 5), k -> nib[2*k-1] * 16 + nib[2*k])) AS frame_byte_sum
         |FROM hv""".stripMargin,
 
     "g1_trading_calendar" ->
@@ -1126,6 +1141,12 @@ object SparkEntry {
         |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
 
     "e1_pipeline" -> E1OracleSql,
+
+    "st1_windowed_latest" ->
+      """SELECT user_id, date_trunc('day', ts) AS window_start,
+        |       max(ts) AS ts,
+        |       arg_max('event:' || CAST(event_id AS VARCHAR), ts) AS headline
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // NOTE: concatenation, not interpolation into a stripMargin string —
     // the embedded E1 SQL contains lines starting with "||" whose leading

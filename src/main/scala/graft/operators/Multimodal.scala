@@ -27,7 +27,8 @@ object Multimodal {
       width: Int, height: Int, format: String)
 
   case class MMFeatures(doc_id: Long, width: Int, height: Int,
-      format: String, n_bytes: Int, brightness: Double)
+      format: String, n_bytes: Int, brightness: Double,
+      resized_w: Int, resized_h: Int, frame_id: Int, frame_byte_sum: Long)
 
   /** Attach a synthetic binary payload + typed metadata to a text corpus:
     * payload = md5 bytes of the text (16-byte deterministic stand-in for
@@ -55,6 +56,26 @@ object Multimodal {
       while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
       if (payload.length == 0) 0.0 else s.toDouble / payload.length
     }
+
+    /** "Resize": fit inside maxSide × maxSide preserving aspect; pure
+      * integer arithmetic (floor), min dimension 1 — the metadata
+      * transform a real resampler would report.
+      */
+    def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      val m = math.max(w, h)
+      (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+    }
+
+    /** "Frame sample": treat the payload as 4-byte frames and sum the
+      * bytes of one selected frame — the shape of keyframe extraction.
+      */
+    def frameByteSum(payload: Array[Byte], frameId: Int): Long = {
+      var s = 0L
+      var i = frameId * 4
+      val end = math.min(i + 4, payload.length)
+      while (i < end) { s += payload(i) & 0xff; i += 1 }
+      s
+    }
     def close(): Unit = ()
   }
   object FakeDecoder {
@@ -72,8 +93,11 @@ object Multimodal {
     withPayload.as[MMDoc].mapPartitions { rows =>
       val decoder = FakeDecoder.open()
       val out = rows.map { d =>
+        val (rw, rh) = decoder.resize(d.width, d.height, 64)
+        val frame = (d.doc_id % 4).toInt
         MMFeatures(d.doc_id, d.width, d.height, d.format,
-          d.payload.length, decoder.decodeBrightness(d.payload))
+          d.payload.length, decoder.decodeBrightness(d.payload),
+          rw, rh, frame, decoder.frameByteSum(d.payload, frame))
       }
       out // decoder closed with the partition; stub close is a no-op
     }.toDF()

@@ -29,6 +29,25 @@ object StreamingRecency {
   case class KeyLatest(key: String, ts: java.sql.Timestamp, headline: String)
   case class LatestState(ts: java.sql.Timestamp, headline: String)
 
+  /** The watermark-free aggregation shared by the streaming operator and
+    * its batch shadow: most recent row per (key, tumbling window). On a
+    * batch DataFrame this is the exact batch semantics of the stream —
+    * which is how the DuckDB oracle checks the streaming operator
+    * (st1_windowed_latest).
+    */
+  def windowedLatestAgg(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      headlineCol: String,
+      windowLen: String): DataFrame =
+    df.groupBy(col(keyCol), window(col(timeCol), windowLen))
+      .agg(max_by(
+        struct(col(timeCol).as("ts"), col(headlineCol).as("headline")),
+        col(timeCol)).as("latest"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("latest.ts").as("ts"), col("latest.headline").as("headline"))
+
   /** T8+A1, streaming-native: most recent headline per key per
     * `windowLen` tumbling window, finalized `watermark` after the window
     * closes.
@@ -40,13 +59,8 @@ object StreamingRecency {
       headlineCol: String,
       watermark: String = "10 minutes",
       windowLen: String = "1 hour"): DataFrame =
-    df.withWatermark(timeCol, watermark)
-      .groupBy(col(keyCol), window(col(timeCol), windowLen))
-      .agg(max_by(
-        struct(col(timeCol).as("ts"), col(headlineCol).as("headline")),
-        col(timeCol)).as("latest"))
-      .select(col(keyCol), col("window.start").as("window_start"),
-        col("latest.ts").as("ts"), col("latest.headline").as("headline"))
+    windowedLatestAgg(df.withWatermark(timeCol, watermark),
+      keyCol, timeCol, headlineCol, windowLen)
 
   /** A1 with explicit managed state: the running latest article per key.
     * Use with `outputMode("update")`.

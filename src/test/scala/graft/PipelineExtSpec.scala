@@ -144,6 +144,17 @@ class MultimodalSpec extends SparkSpec {
     val expected = md.map(_ & 0xff).sum.toDouble / 16
     assert(out(0L)._5 == expected)
   }
+
+  test("resize preserves aspect inside 64x64; frame sample sums the selected 4 bytes") {
+    val docs = Seq((7L, "spark engine")).toDF("doc_id", "text")
+    val r = Multimodal.extractFeatures(Multimodal.attachPayload(docs)).collect()(0)
+    // doc 7: width=32+7*16=144, height=32+2*16=64 -> fit 64: (64, 28)
+    assert(r.getAs[Int]("resized_w") == 64 && r.getAs[Int]("resized_h") == 28)
+    assert(r.getAs[Int]("frame_id") == 3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("spark engine".getBytes("UTF-8"))
+    assert(r.getAs[Long]("frame_byte_sum") == md.slice(12, 16).map(_ & 0xff).sum.toLong)
+  }
 }
 
 class SinksSpec extends SparkSpec {
