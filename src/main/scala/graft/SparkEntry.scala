@@ -605,40 +605,41 @@ object SparkEntry {
   private val RecrawlCte =
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
 
-  /** Shingle CTE over `corpus`: same word-3-gram + distinct as Dedup.shingles. */
-  private val ShingleCte =
-    """sh AS (
-      |  SELECT doc_id, list_distinct(
-      |    CASE WHEN len(toks) >= 3
-      |         THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      |         ELSE [text] END) AS sh
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus))""".stripMargin
 
   private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
-    // 48-bit nibble packing of the first 12 hex chars of md5(shingle) —
-    // literal mirror of Dedup.shingleValues.
+    // 48-bit nibble packing of the first 12 hex chars of md5(token) —
+    // literal mirror of Dedup.tokenValues + shingleValuesFromTokens.
     val nibSum = (0 until 12).map { i =>
       val a = s"ascii(substr(h, ${i + 1}, 1))"
       val p = math.pow(16, 11 - i).toLong
       s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)::BIGINT * $p"
     }.mkString(" + ")
+    val P = Dedup.MinhashP
+    val combine =
+      s"((tv[i] % $P) * ${Dedup.ShingleC1} + (tv[i+1] % $P) * ${Dedup.ShingleC2} + tv[i+2]) % $P"
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
-      s"list_aggregate(list_transform(sv, v -> ((v % ${Dedup.MinhashP}) * $a + $b) % ${Dedup.MinhashP}), 'min') AS sig_$k"
+      s"list_aggregate(list_transform(sh, v -> ((v % $P) * $a + $b) % $P), 'min') AS sig_$k"
     }.mkString(",\n         ")
     val bandCases = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts)"
     }.mkString(" ")
     s"""WITH $RecrawlCte,
-       |$ShingleCte,
-       |vals AS (
-       |  SELECT doc_id, list_transform(list_transform(sh, s -> md5(s)), h -> $nibSum) AS sv
-       |  FROM sh),
+       |tvals AS (
+       |  SELECT doc_id,
+       |         list_transform(list_transform(string_split(text, ' '), t -> md5(t)), h -> $nibSum) AS tv
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(tv) >= 3
+       |         THEN list_transform(range(1, len(tv) - 1), i -> $combine)
+       |         ELSE [tv[1]] END) AS sh
+       |  FROM tvals),
        |sig AS (
        |  SELECT doc_id,
        |         $sigCols
-       |  FROM vals),
+       |  FROM sh),
        |banded AS (
        |  SELECT doc_id, band_id,
        |         CASE band_id $bandCases END AS band_key

@@ -66,6 +66,37 @@ object Dedup {
         .reduce(_ + _))
   }
 
+  /** Hash-once-per-TOKEN shingle values: each token is md5'd once
+    * (nibble-packed to 48 bits) and a word-3-gram shingle's value is the
+    * positional combination (a·h_i + b·h_{i+1} + h_{i+2}) mod P of its
+    * token hashes. ~3× less hashing than md5-per-shingle (tokens ≪
+    * shingles × length), and the resulting long arrays make the
+    * verify-stage intersections integer comparisons instead of string
+    * compares. Collisions (~n²/2^48) only perturb accuracy, never
+    * oracle agreement — the oracle runs the identical construction.
+    * Texts with <3 tokens contribute their first token hash.
+    */
+  val ShingleC1 = 1000003L
+  val ShingleC2 = 10007L
+
+  def tokenValues(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => md5(t))
+    transform(hashes, h =>
+      (0 until 12).map(i => nib(substring(h, i + 1, 1)).cast("long") * Pow16(i))
+        .reduce(_ + _))
+  }
+
+  def shingleValuesFromTokens(tv: Column): Column = {
+    val n = size(tv)
+    array_distinct(
+      when(n >= 3,
+        transform(sequence(lit(1), n - 2), i =>
+          (pmod(element_at(tv, i), lit(MinhashP)) * ShingleC1 +
+            pmod(element_at(tv, i + 1), lit(MinhashP)) * ShingleC2 +
+            element_at(tv, i + 2)) % MinhashP))
+      .otherwise(array(element_at(tv, 1))))
+  }
+
   /** One minhash signature value over pre-computed shingle values. */
   def minhashSig(valuesCol: Column, k: Int): Column =
     array_min(transform(valuesCol, v =>
@@ -107,19 +138,22 @@ object Dedup {
       numBands: Int = 4,
       rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val withShingles = docs.select(
-      col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    // Token-hash shingling: md5 once per TOKEN, shingle values combined
+    // arithmetically (see shingleValuesFromTokens). The two-step select
+    // keeps each expensive higher-order transform in its own projection
+    // (multi-referenced lambdas are interpreted, not codegen'd, so
+    // CollapseProject merging them would re-run the md5 transform per
+    // reference).
+    val withShingles = docs
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
     // Candidate generation shuffles ONLY (id, band_id, band_key) — the
     // shingle arrays must never ride through the explode+self-join (at
     // scale that would serialize every array numBands× through two
     // exchanges). They are re-joined below for candidates only.
-    // Shingle values are projected in their own step so the md5 transform
-    // runs once per row, not once per signature (CollapseProject keeps
-    // multi-referenced expensive projections separate).
     val banded = withShingles
-      .select(col("id"), shingleValues(col("sh")).as("sv"))
       .select(col("id"),
-        posexplode(bandKeys(col("sv"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
+        posexplode(bandKeys(col("sh"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
     val pairs = banded.select(col("id").as("doc_a"), col("band_id"), col("band_key"))
       .join(banded.select(col("id").as("doc_b"), col("band_id"), col("band_key")),
         Seq("band_id", "band_key"))
