@@ -443,10 +443,15 @@ object SparkEntry {
     // generated only within buckets (bounded quadratic), similarity on
     // unigram token sets with the 3-gram shingle Jaccard alongside.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(
-        col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("tok"),
-        Dedup.shingles(col("text")).as("sh"))
+      // token-hash representation (see Dedup.tokenValues): both jaccard
+      // stages intersect long arrays, not strings; the two-step select
+      // keeps the md5 transform in its own projection.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          Dedup.tokenValues(col("text")).as("tv"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(col("tv")).as("tok"),
+          Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
       val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         col("tok").as("tok_a"), col("sh").as("sh_a"))
       val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
@@ -606,17 +611,31 @@ object SparkEntry {
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
 
 
-  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
-    // 48-bit nibble packing of the first 12 hex chars of md5(token) —
-    // literal mirror of Dedup.tokenValues + shingleValuesFromTokens.
-    val nibSum = (0 until 12).map { i =>
-      val a = s"ascii(substr(h, ${i + 1}, 1))"
-      val p = math.pow(16, 11 - i).toLong
-      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)::BIGINT * $p"
-    }.mkString(" + ")
+  /** SQL mirrors of Dedup.tokenValues / shingleValuesFromTokens — the
+    * 48-bit nibble packing of md5(token) and the positional 3-gram
+    * combination, shared by the minhash and ngram oracles.
+    */
+  private val NibSumSql: String = (0 until 12).map { i =>
+    val a = s"ascii(substr(h, ${i + 1}, 1))"
+    val p = math.pow(16, 11 - i).toLong
+    s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)::BIGINT * $p"
+  }.mkString(" + ")
+
+  private val TokenValsSql: String =
+    s"list_transform(list_transform(string_split(text, ' '), t -> md5(t)), h -> $NibSumSql)"
+
+  private val ShingleValsSql: String = {
     val P = Dedup.MinhashP
     val combine =
       s"((tv[i] % $P) * ${Dedup.ShingleC1} + (tv[i+1] % $P) * ${Dedup.ShingleC2} + tv[i+2]) % $P"
+    s"""list_distinct(
+       |    CASE WHEN len(tv) >= 3
+       |         THEN list_transform(range(1, len(tv) - 1), i -> $combine)
+       |         ELSE [tv[1]] END)""".stripMargin
+  }
+
+  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val P = Dedup.MinhashP
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
       s"list_aggregate(list_transform(sh, v -> ((v % $P) * $a + $b) % $P), 'min') AS sig_$k"
@@ -627,14 +646,10 @@ object SparkEntry {
     }.mkString(" ")
     s"""WITH $RecrawlCte,
        |tvals AS (
-       |  SELECT doc_id,
-       |         list_transform(list_transform(string_split(text, ' '), t -> md5(t)), h -> $nibSum) AS tv
+       |  SELECT doc_id, $TokenValsSql AS tv
        |  FROM corpus),
        |sh AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(tv) >= 3
-       |         THEN list_transform(range(1, len(tv) - 1), i -> $combine)
-       |         ELSE [tv[1]] END) AS sh
+       |  SELECT doc_id, $ShingleValsSql AS sh
        |  FROM tvals),
        |sig AS (
        |  SELECT doc_id,
@@ -797,15 +812,14 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(32),
 
     "dedup_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(string_split(text, ' ')) AS tok,
-        |         list_distinct(
-        |           CASE WHEN len(string_split(text, ' ')) >= 3
-        |                THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
-        |                ELSE [text] END) AS sh
-        |  FROM documents)
+      s"""WITH tvals AS (
+         |  SELECT doc_id, lang, source, $TokenValsSql AS tv
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang, source,
+         |         list_distinct(tv) AS tok,
+         |         $ShingleValsSql AS sh
+         |  FROM tvals)
         |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       round((len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))) * 10000) / 10000 AS jaccard_1gram,
         |       round((len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))) * 10000) / 10000 AS jaccard_3gram
