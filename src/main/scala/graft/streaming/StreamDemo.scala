@@ -53,6 +53,18 @@ object StreamDemo {
     // windows are still in state, exactly as they would be on a live feed.
     println(s"STREAM_DEMO finalized_windows=$n keys=$keys")
     out.orderBy("key", "window_start").show(5, truncate = false)
+
+    // Streaming exact dedup over the same feed: "content" = the key, so
+    // each user's stream of events collapses to its first occurrence per
+    // watermark window.
+    val q2 = StreamingDedup
+      .exactWithinWatermark(stream, "key", "ts", "1 hour")
+      .writeStream.format("memory").queryName("demo_dedup")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val total = spark.read.parquet(streamDir.toString).count()
+    println(s"STREAM_DEMO dedup_emitted=${spark.table("demo_dedup").count()} from_raw=$total")
     spark.stop()
   }
 }

@@ -58,4 +58,23 @@ class StreamingSpec extends SparkSpec {
       assert(latest == Map("A" -> "first", "B" -> "b1")) // state retained the newer A
     } finally q.stop()
   }
+
+  test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[NewsEvent]
+    val q = graft.streaming.StreamingDedup
+      .exactWithinWatermark(input.toDF(), "headline", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try {
+      input.addData(
+        ev("A", "2024-01-01 10:00:00", "same story"),
+        ev("B", "2024-01-01 10:01:00", "same story"),     // dup within batch
+        ev("C", "2024-01-01 10:02:00", "different story"))
+      q.processAllAvailable()
+      input.addData(ev("D", "2024-01-01 10:30:00", "same story")) // dup across batches
+      q.processAllAvailable()
+      val got = spark.table("sd").collect().map(_.getString(2)).toSeq.sorted
+      assert(got == Seq("different story", "same story")) // each text exactly once
+    } finally q.stop()
+  }
 }
