@@ -458,10 +458,11 @@ object SparkEntry {
         col("tok").as("tok_b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
-        // size-ratio prefilter (necessary condition for jaccard >= 0.5):
-        // skips the intersect for pairs that cannot pass; result unchanged.
+        // size-ratio prefilter (necessary condition for jaccard >= 0.5)
+        // with 1e-4 slack so the bound stays pure pruning relative to the
+        // 4-dp ROUNDED jaccard filtered on below (oracle has no prefilter).
         .filter(least(size(col("tok_a")), size(col("tok_b"))).cast("double") /
-          greatest(size(col("tok_a")), size(col("tok_b"))) >= 0.5)
+          greatest(size(col("tok_a")), size(col("tok_b"))) >= 0.5 - 1e-4)
         // |A∪B| = |A|+|B|-|A∩B| for the (distinct) arrays — one intersect
         // per pair instead of intersect + union. The 3-gram intersect
         // runs only on jac1 survivors (filter ordering); a two-pass
@@ -693,7 +694,9 @@ object SparkEntry {
 
   private def fingerprintSql(hs: String, prefix: Int): String = {
     val bound = if (prefix > 0) s"least(len($hs), $prefix)" else s"len($hs)"
-    s"list_sum(list_transform(range(1, $bound + 1), i -> i * (ascii(substr($hs[i], 1, 1)) * 256 + ascii(substr($hs[i], 2, 1))))) % 1000000007"
+    // CAST: list_sum over integers is HUGEINT, which pandas renders as
+    // float64 — the driver's exact hash then sees float vs Spark's int64.
+    s"CAST(list_sum(list_transform(range(1, $bound + 1), i -> i * (ascii(substr($hs[i], 1, 1)) * 256 + ascii(substr($hs[i], 2, 1))))) % 1000000007 AS BIGINT)"
   }
 
   /** The E1 oracle, shared by e1_pipeline and the e2 validation
@@ -849,7 +852,7 @@ object SparkEntry {
 
     "sim_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |cent AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
          |cscore AS (
          |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
          |  FROM e c CROSS JOIN cent),
@@ -936,7 +939,7 @@ object SparkEntry {
         |       CAST(greatest(1, ((32 + (doc_id % 8) * 16) * 64) // greatest(32 + (doc_id % 8) * 16, 32 + (doc_id % 5) * 16)) AS INT) AS resized_w,
         |       CAST(greatest(1, ((32 + (doc_id % 5) * 16) * 64) // greatest(32 + (doc_id % 8) * 16, 32 + (doc_id % 5) * 16)) AS INT) AS resized_h,
         |       CAST(doc_id % 4 AS INT) AS frame_id,
-        |       list_sum(list_transform(range(4 * (doc_id % 4) + 1, 4 * (doc_id % 4) + 5), k -> nib[2*k-1] * 16 + nib[2*k])) AS frame_byte_sum
+        |       CAST(list_sum(list_transform(range(4 * (doc_id % 4) + 1, 4 * (doc_id % 4) + 5), k -> nib[2*k-1] * 16 + nib[2*k])) AS BIGINT) AS frame_byte_sum
         |FROM hv""".stripMargin,
 
     "g1_trading_calendar" ->
@@ -1157,11 +1160,18 @@ object SparkEntry {
 
     "e1_pipeline" -> E1OracleSql,
 
+    // (ts DESC, headline DESC) ordering mirrors windowedLatestAgg's
+    // deterministic (ts, headline) max_by tie-break for equal-ts rows
+    // (DuckDB arg_max has no composite key, so rank instead).
     "st1_windowed_latest" ->
-      """SELECT user_id, date_trunc('day', ts) AS window_start,
-        |       max(ts) AS ts,
-        |       arg_max('event:' || CAST(event_id AS VARCHAR), ts) AS headline
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      """SELECT user_id, window_start, ts, headline
+        |FROM (SELECT user_id, date_trunc('day', ts) AS window_start, ts,
+        |             'event:' || CAST(event_id AS VARCHAR) AS headline,
+        |             row_number() OVER (
+        |               PARTITION BY user_id, date_trunc('day', ts)
+        |               ORDER BY ts DESC, 'event:' || CAST(event_id AS VARCHAR) DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     // NOTE: concatenation, not interpolation into a stripMargin string —
     // the embedded E1 SQL contains lines starting with "||" whose leading

@@ -26,13 +26,18 @@ object Verify {
     }
     // Drive the sink surface each round: K1/T15 (final CSV, null→"" for
     // the one nullable column) and K5 (debug JSON dump of the annotated
-    // candidates).
+    // candidates). Written OUTSIDE outDir: the driver treats every outDir
+    // subdirectory as a query's parquet result, so csv/json dumps there
+    // register as broken queries (CORRECTNESS_r02 e1_pipeline_csv /
+    // news_debug_json errors).
     try {
+      val sinkDir = Files.createTempDirectory("graft_sinks").toString
       graft.sources.Sinks.writeFinalCsv(
-        SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$outDir/e1_pipeline_csv")
+        SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$sinkDir/e1_pipeline_csv")
       graft.sources.Sinks.writeJsonDim(
         SparkEntry.queries("t10_debug_annotations")(spark, sfDir),
-        s"$outDir/news_debug_json")
+        s"$sinkDir/news_debug_json")
+      System.err.println(s"[verify] sink surface exercised under $sinkDir")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] sink stage failed: ${e.getMessage}")
     }

@@ -173,9 +173,12 @@ object Dedup {
       .join(withShingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so a
       // pair failing the ratio can never pass the threshold — skips the
-      // expensive intersect for hopeless candidates, result unchanged.
+      // expensive intersect for hopeless candidates. The 1e-4 slack keeps
+      // it a pure pruning bound relative to the 4-dp ROUNDED jaccard the
+      // final filter uses (a ratio in [threshold-5e-5, threshold) can
+      // still round up to the threshold); the oracle has no prefilter.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
-        greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
+        greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold - 1e-4)
     verified
       // |A∪B| = |A|+|B|-|A∩B| on distinct arrays: one intersect per pair.
       .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -28,9 +28,14 @@ object Rounding {
     s"round(($expr) * $f) / $f"
   }
 
-  /** Driver-side twin for tests/assertions. */
+  /** Driver-side twin for tests/assertions. Half-away-from-zero on the
+    * product (Spark `round` / DuckDB `round` semantics) — `math.round`
+    * alone rounds halves toward +∞ and disagrees on negative exact halves
+    * (-0.00005 at scale 4: 0.0 vs the engines' -0.0001).
+    */
   def stableVal(x: Double, scale: Int): Double = {
     val f = math.pow(10, scale)
-    math.round(x * f).toDouble / f
+    val r = if (x < 0) -math.round(-x * f) else math.round(x * f)
+    r.toDouble / f
   }
 }

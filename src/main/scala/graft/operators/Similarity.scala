@@ -127,9 +127,12 @@ object Similarity {
 
     def topLists(vecd: Column, n: Int): Column = {
       // rank centroid ids by cosine desc (id asc on ties) via a sorted
-      // struct array — all plan-time width, no shuffle
+      // struct array — all plan-time width, no shuffle. Cosines rounded
+      // to 6 dp BEFORE ranking: the oracle ranks by its 6-dp sqlCos, so
+      // an unrounded rank here would break 6-dp centroid-cosine ties
+      // differently and assign different inverted lists.
       val scored = array(assignRank(vecd).map { case (i, c) =>
-        struct((-c).as("negCos"), lit(i).as("list_id"))
+        struct((-round(c, 6)).as("negCos"), lit(i).as("list_id"))
       }: _*)
       slice(transform(array_sort(scored), s => s.getField("list_id")), 1, n)
     }

@@ -42,9 +42,12 @@ object StreamingRecency {
       headlineCol: String,
       windowLen: String): DataFrame =
     df.groupBy(col(keyCol), window(col(timeCol), windowLen))
+      // tie-break: key the max_by on (ts, headline), not bare ts — two
+      // events with identical ts in one (key, window) would otherwise pick
+      // nondeterministically in BOTH engines and flake the oracle.
       .agg(max_by(
         struct(col(timeCol).as("ts"), col(headlineCol).as("headline")),
-        col(timeCol)).as("latest"))
+        struct(col(timeCol), col(headlineCol))).as("latest"))
       .select(col(keyCol), col("window.start").as("window_start"),
         col("latest.ts").as("ts"), col("latest.headline").as("headline"))
 
