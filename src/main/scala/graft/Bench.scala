@@ -36,8 +36,14 @@ object Bench {
     // Warmup: exercise scan + shuffle + codegen paths once, untimed.
     try materialize("q1_lineitem_agg") catch { case _: Throwable => () }
 
+    // Dev-only: SPARK_GRAFT_ONLY=q1,q2 times a subset while iterating on
+    // one operator; the driver never sets it, so the round bench is full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         materialize(name)

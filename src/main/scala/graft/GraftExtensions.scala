@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.RelevantTitle
+import graft.expressions.{RelevantTitle, SortedIntersectCount}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §7.3 — custom `Expression`s as the perf upgrade path).
@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           s"relevant_title(title, long_name, ticker) takes 3 arguments, got ${args.length}")
         RelevantTitle(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sorted_intersect_count(a, b) takes 2 arguments, got ${args.length}")
+        SortedIntersectCount(args(0), args(1))
       }))
   }
 }

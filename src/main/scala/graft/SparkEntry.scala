@@ -266,9 +266,9 @@ object SparkEntry {
       val headline = when(col("doc_id") % 11 === 0, lit(Sentiment.DefaultHeadline))
         .when(col("doc_id") % 13 === 0, lit("  "))
         .otherwise(col("text"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), headline.as("headline"))
-        .withColumn("s", Sentiment.analyze(col("headline")))
+      Sentiment.withAnalysis(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), headline.as("headline")), "headline", "s")
         .select(col("doc_id"),
           substring(col("headline"), 1, 30).as("headline_prefix"),
           col("s.raw_label").as("raw_label"), col("s.raw_score").as("raw_score"),
@@ -336,12 +336,13 @@ object SparkEntry {
           valueCol = "o_totalprice",
           offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")
         .select(col("o_custkey").as("user_id"), col("yoy_pct"))
-      market
-        .join(broadcast(head), Seq("user_id"), "left")
-        .join(broadcast(fund), Seq("user_id"), "left")
-        .withColumn("Headline",
-          coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline)))
-        .withColumn("__s", Sentiment.analyze(col("Headline")))
+      Sentiment.withAnalysis(
+        market
+          .join(broadcast(head), Seq("user_id"), "left")
+          .join(broadcast(fund), Seq("user_id"), "left")
+          .withColumn("Headline",
+            coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline))),
+        "Headline", "__s")
         .select(
           col("date").as("Date"),
           col("user_id").as("Stock"),
@@ -429,15 +430,11 @@ object SparkEntry {
       Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
         numBands = 4, rowsPerBand = 3, threshold = 0.8)),
 
-    // SimHash 32-bit fingerprints per document. Token hashes projected
-    // ONCE, then 32 bit-folds over the materialized array — inlining the
-    // md5 transform would hash every token 32×.
+    // SimHash 32-bit fingerprints per document, in the explode + codegen
+    // hash-aggregate form (identical bits to the fold-over-array form;
+    // map-side combine keeps the shuffle at one row per doc).
     "dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          transform(split(col("text"), " "), t => md5(t)).as("__h"))
-        .select(col("doc_id"),
-          Dedup.simhashFromHashes(col("__h")).as("simhash"))),
+      Dedup.simhashAgg(Tables.documents(s, dir), "doc_id", "text")),
 
     // N-gram Jaccard near-dup with (lang, source) bucketing: pairs are
     // generated only within buckets (bounded quadratic), similarity on
@@ -449,9 +446,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           Dedup.tokenValues(col("text")).as("tv"))
+        // both arrays sorted ascending → verify intersections run on the
+        // native allocation-free merge (SortedIntersectCount)
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(col("tv")).as("tok"),
-          Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+          array_sort(array_distinct(col("tv"))).as("tok"),
+          Dedup.sortedShingleValuesFromTokens(col("tv")).as("sh"))
       val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         col("tok").as("tok_a"), col("sh").as("sh_a"))
       val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
@@ -468,12 +467,12 @@ object SparkEntry {
         // runs only on jac1 survivors (filter ordering); a two-pass
         // survivor-pruned variant benchmarked identical here and doubles
         // the bucket join, so single-pass wins.
-        .withColumn("__i1", size(array_intersect(col("tok_a"), col("tok_b"))))
+        .withColumn("__i1", Dedup.intersectCount(s, col("tok_a"), col("tok_b")))
         .withColumn("jaccard_1gram", Rounding.stable(
           col("__i1").cast("double") /
             (size(col("tok_a")) + size(col("tok_b")) - col("__i1")), 4))
         .filter(col("jaccard_1gram") >= 0.5)
-        .withColumn("__i3", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("__i3", Dedup.intersectCount(s, col("sh_a"), col("sh_b")))
         .withColumn("jaccard_3gram", Rounding.stable(
           col("__i3").cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - col("__i3")), 4))
@@ -616,14 +615,8 @@ object SparkEntry {
     * 48-bit nibble packing of md5(token) and the positional 3-gram
     * combination, shared by the minhash and ngram oracles.
     */
-  private val NibSumSql: String = (0 until 12).map { i =>
-    val a = s"ascii(substr(h, ${i + 1}, 1))"
-    val p = math.pow(16, 11 - i).toLong
-    s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)::BIGINT * $p"
-  }.mkString(" + ")
-
   private val TokenValsSql: String =
-    s"list_transform(list_transform(string_split(text, ' '), t -> md5(t)), h -> $NibSumSql)"
+    "list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)"
 
   private val ShingleValsSql: String = {
     val P = Dedup.MinhashP

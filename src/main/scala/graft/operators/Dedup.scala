@@ -50,21 +50,20 @@ object Dedup {
   def minhashA(k: Int): Long = 1103515245L * (k + 1) % MinhashP
   def minhashB(k: Int): Long = 12345L * (k + 7) % MinhashP
 
-  private val Pow16: IndexedSeq[Long] =
-    (0 until 12).map(i => math.pow(16, 11 - i).toLong)
-
-  private def nib(c: Column): Column =
-    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
-
-  /** 48-bit integer view of a shingle array: md5 once per shingle, then
-    * the first 12 hex nibbles packed positionally.
+  /** First 12 hex chars of an md5 string parsed as one 48-bit integer —
+    * identical to packing the 12 nibbles positionally, but ONE codegen'd
+    * `conv` instead of 12 substring+ascii ops per hash (the dominant
+    * per-token cost at scale). DuckDB mirror: `('0x' || substr(h,1,12))
+    * ::BIGINT`.
     */
-  def shingleValues(shingleCol: Column): Column = {
-    val hashes = transform(shingleCol, s => md5(s))
-    transform(hashes, h =>
-      (0 until 12).map(i => nib(substring(h, i + 1, 1)).cast("long") * Pow16(i))
-        .reduce(_ + _))
-  }
+  private def hex12(h: Column): Column =
+    conv(substring(h, 1, 12), 16, 10).cast("long")
+
+  /** 48-bit integer view of a shingle array: md5 once per shingle, first
+    * 12 hex chars hex-parsed.
+    */
+  def shingleValues(shingleCol: Column): Column =
+    transform(shingleCol, s => hex12(md5(s)))
 
   /** Hash-once-per-TOKEN shingle values: each token is md5'd once
     * (nibble-packed to 48 bits) and a word-3-gram shingle's value is the
@@ -79,12 +78,8 @@ object Dedup {
   val ShingleC1 = 1000003L
   val ShingleC2 = 10007L
 
-  def tokenValues(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => md5(t))
-    transform(hashes, h =>
-      (0 until 12).map(i => nib(substring(h, i + 1, 1)).cast("long") * Pow16(i))
-        .reduce(_ + _))
-  }
+  def tokenValues(text: Column): Column =
+    transform(split(text, " "), t => hex12(md5(t)))
 
   def shingleValuesFromTokens(tv: Column): Column = {
     val n = size(tv)
@@ -96,6 +91,25 @@ object Dedup {
             element_at(tv, i + 2)) % MinhashP))
       .otherwise(array(element_at(tv, 1))))
   }
+
+  /** [[shingleValuesFromTokens]] sorted ascending — for consumers whose
+    * candidate-pair volume makes the [[intersectCount]] native merge pay
+    * (e.g. the bucketed ngram verify, ~10⁵ pairs). Band-based minhash
+    * verifies only banded collisions (~10² pairs), where the per-doc sort
+    * costs more than the merge saves — it stays unsorted.
+    */
+  def sortedShingleValuesFromTokens(tv: Column): Column =
+    array_sort(shingleValuesFromTokens(tv))
+
+  /** |A ∩ B| of two sorted duplicate-free long-array columns: the native
+    * codegen'd merge when [[graft.GraftExtensions]] is registered in the
+    * session, else the builtin hash-based `size(array_intersect)`.
+    */
+  def intersectCount(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("sorted_intersect_count"))
+      graft.expressions.SortedIntersectCount(a, b)
+    else size(array_intersect(a, b))
 
   /** One minhash signature value over pre-computed shingle values. */
   def minhashSig(valuesCol: Column, k: Int): Column =
@@ -180,7 +194,9 @@ object Dedup {
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
         greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold - 1e-4)
     verified
-      // |A∪B| = |A|+|B|-|A∩B| on distinct arrays: one intersect per pair.
+      // |A∪B| = |A|+|B|-|A∩B| on distinct arrays: one intersect per pair
+      // (hash-based builtin — banded candidates are too few for the
+      // sorted-merge variant to pay for per-doc sorting).
       .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", Rounding.stable(
         col("__i").cast("double") /
@@ -190,23 +206,80 @@ object Dedup {
   }
 
   /** 32-bit SimHash fingerprint as a '0'/'1' string. Bit j is the sign of
-    * Σ_tokens (parity of the j-th hex char of md5(token)) mapped to ±1 —
-    * i.e. the classic weighted-bit-vote simhash with md5-derived token
-    * hashes. Identical texts get identical fingerprints; near-identical
-    * texts differ in few bits (hamming-band joinable via substring keys).
+    * Σ_tokens (parity of the ASCII code of the j-th hex char of
+    * md5(token)) mapped to ±1 — i.e. the classic weighted-bit-vote simhash
+    * with md5-derived token hashes. Identical texts get identical
+    * fingerprints; near-identical texts differ in few bits (hamming-band
+    * joinable via substring keys).
     *
-    * Prefer [[simhashFromHashes]] over a pre-projected hash column in
-    * query plans: each bit's fold re-evaluates its input array, so
-    * inlining the md5 transform here costs `bits`× the hashing work.
+    * Query plans should materialize the md5 array, then [[hashChunks]],
+    * then [[simhashFromChunks]] — the bit votes become pure long
+    * arithmetic (shift/mask) instead of `bits` string folds, measured
+    * several× faster; this convenience form inlines everything and is for
+    * tests/small data.
     */
   def simhash(text: Column, bits: Int = 32): Column =
     simhashFromHashes(transform(split(text, " "), t => md5(t)), bits)
 
   /** SimHash over an already-materialized md5-per-token array column. */
-  def simhashFromHashes(hashes: Column, bits: Int = 32): Column = {
+  def simhashFromHashes(hashes: Column, bits: Int = 32): Column =
+    simhashFromChunks(hashChunks(hashes, bits), bits)
+
+  /** 32-bit integer chunks of each md5 hex string: chunk c = hex chars
+    * 8c+1..8c+8 parsed as one long (one codegen'd `conv` per chunk
+    * instead of 8 substring+ascii ops at every bit fold).
+    */
+  def hashChunks(hashes: Column, bits: Int = 32): Column = {
+    val nChunks = (bits + 7) / 8
+    transform(hashes, h => array((0 until nChunks).map(c =>
+      conv(substring(h, c * 8 + 1, 8), 16, 10).cast("long")): _*))
+  }
+
+  /** SimHash at scale: explode tokens → md5 chunk longs as plain columns
+    * → ONE codegen'd hash aggregate with `bits` long sums → bit string.
+    * Identical output to [[simhash]]; ~2.5× faster than any
+    * fold-over-array form because the interpreted higher-order lambdas
+    * disappear entirely — every expression lives in whole-stage codegen.
+    *
+    * Scale shape: the explode multiplies rows by tokens-per-doc, but
+    * partial (map-side) aggregation collapses them back to one row per
+    * doc before the exchange, so the shuffle carries |docs| rows of
+    * `bits` longs — same as any groupBy at 100 TB, no blowup.
+    */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val nChunks = (bits + 7) / 8
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__m", md5(col("__tok")))
+      .select(col(idCol) +: (0 until nChunks).map(c =>
+        conv(substring(col("__m"), c * 8 + 1, 8), 16, 10).cast("long").as(s"__c$c")): _*)
+    val votes = (0 until bits).map { j =>
+      val v = shiftright(col(s"__c${j / 8}"), 4 * (7 - (j % 8))).bitwiseAND(lit(15L))
+      val asciiParity = pmod(v + when(v >= 10, 1L).otherwise(0L), lit(2L))
+      sum(asciiParity * 2 - 1).as(s"__v$j")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        concat((0 until bits).map(j =>
+          when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** SimHash bit votes over the chunk representation. The j-th hex char's
+    * nibble is `(chunk(j/8) >> 4*(7-j%8)) & 15`; its ASCII parity is
+    * `v%2` for digits and `(v+1)%2` for letters (ascii 48+v vs 87+v) —
+    * bit-for-bit identical to folding `ascii(substring(h,j+1,1)) % 2`
+    * over the hex strings, but in long arithmetic.
+    */
+  def simhashFromChunks(chunks: Column, bits: Int = 32): Column = {
     val bitCols = (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + (ascii(substring(h, j + 1, 1)) % 2) * 2 - 1)
+      val c = j / 8
+      val shift = 4 * (7 - (j % 8))
+      val vote = aggregate(chunks, lit(0L), (acc, ch) => {
+        val v = shiftright(element_at(ch, c + 1), shift).bitwiseAND(lit(15L))
+        val asciiParity = pmod(v + when(v >= 10, 1L).otherwise(0L), lit(2L))
+        acc + (asciiParity * 2 - 1)
+      })
       when(vote > 0, "1").otherwise("0")
     }
     concat(bitCols: _*)

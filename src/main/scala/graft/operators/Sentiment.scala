@@ -93,11 +93,32 @@ object Sentiment {
     * struct(raw_label, raw_score, label, score) — with the T13
     * short-circuit wrapped around the scorer exactly like
     * sentiment.py:85-92 wraps the pipeline call.
+    *
+    * NOTE: as a single Column the lexicon counts are re-evaluated at every
+    * reference in the when/struct tree (CaseWhen branches defeat codegen
+    * subexpression elimination — measured 10× the regexp work). Query
+    * plans should use [[withAnalysis]], which stages the counts in their
+    * own projection; this Column form is for tests/small data.
     */
   def analyze(headline: Column): Column = {
     val lower = org.apache.spark.sql.functions.lower(trim(headline))
-    val rl = rawLabel(lower)
-    val rs = round(rawScore(lower), 4)
+    analysisFromCounts(headline,
+      countAny(lower, PositiveLexicon), countAny(lower, NegativeLexicon))
+  }
+
+  /** The analyze() struct from already-materialized lexicon hit counts —
+    * everything here is cheap integer arithmetic, so expression-tree
+    * duplication no longer multiplies regex scans.
+    */
+  def analysisFromCounts(headline: Column, pos: Column, neg: Column): Column = {
+    val tot = pos + neg
+    val rl = when(pos > neg, "positive").when(neg > pos, "negative")
+      .otherwise("neutral")
+    val rs = round(
+      when(tot === 0, 0.0)
+        .when(pos > neg, pos / tot)
+        .when(neg > pos, neg / tot)
+        .otherwise(0.5), 4)
     when(isDefaultHeadline(headline),
       struct(
         lit("neutral").as("raw_label"), lit(0.0).as("raw_score"),
@@ -106,5 +127,21 @@ object Sentiment {
       struct(
         rl.as("raw_label"), rs.as("raw_score"),
         canonicalLabel(rl).as("label"), signedScore(rl, rs).as("score")))
+  }
+
+  /** M1 for query plans: stage the two regexp-count columns in their own
+    * projection (multi-referenced non-cheap exprs stay un-inlined under
+    * CollapseProject), then assemble the struct from the cheap counts.
+    * Scale: still a narrow zero-shuffle map; just ~10× less regex work
+    * than inlining [[analyze]] directly.
+    */
+  def withAnalysis(df: org.apache.spark.sql.DataFrame, headlineCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val lower = org.apache.spark.sql.functions.lower(trim(col(headlineCol)))
+    df.withColumn("__sent_pos", countAny(lower, PositiveLexicon))
+      .withColumn("__sent_neg", countAny(lower, NegativeLexicon))
+      .withColumn(outCol, analysisFromCounts(
+        col(headlineCol), col("__sent_pos"), col("__sent_neg")))
+      .drop("__sent_pos", "__sent_neg")
   }
 }
