@@ -386,6 +386,49 @@ object SparkEntry {
           .withColumn("headline", concat(lit("event:"), col("event_id"))),
         "user_id", "ts", "headline", "1 day")),
 
+    // ST2 — stream-stream interval join, batch shadow: news attached to
+    // market rows of the same key with n_ts ∈ (m_ts − 24h, m_ts]. The
+    // streaming form (StreamingJoin.streamIntervalJoin) is this exact
+    // plan plus watermarks; the oracle pins the shared semantics.
+    "st2_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val market = ev.select(col("user_id").as("m_key"),
+        col("ts").as("m_ts"), col("event_id").as("m_event_id"))
+      val news = ev.filter(pmod(col("event_id"), lit(97)) === 0)
+        .select(col("user_id").as("n_key"), col("ts").as("n_ts"),
+          concat(lit("event:"), col("event_id")).as("headline"))
+      graft.streaming.StreamingJoin
+        .intervalJoin(market, news, "m_key", "n_key", "m_ts", "n_ts", "24 hours")
+        .select(col("m_key").as("user_id"), col("m_event_id"),
+          col("m_ts"), col("n_ts"), col("headline"))
+    }),
+
+    // Incremental dedup: the daily-ingest form — near-dup pairs between a
+    // new batch (re-crawl copy, shifted ids) and the base corpus only;
+    // candidate volume is proportional to the BATCH, not the history.
+    "dedup_incremental" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
+        numBands = 4, rowsPerBand = 3, threshold = 0.8)
+    }),
+
+    // ANN recall measurement: per-query fraction of the exact top-3
+    // recovered by the LSH-bucketed index — "measure, don't guess" as a
+    // first-class query (the number that justifies bits/planes choices).
+    "sim_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val lsh = Similarity.topKLsh(q, emb, 3)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
     // E2 — the acceptance query: the reference's validator run over the
     // full pipeline output as ONE composed plan (validator.py:25-100 over
     // engine.py's CSV; here over the e1 DAG directly — no materialization
@@ -628,7 +671,14 @@ object SparkEntry {
        |         ELSE [tv[1]] END)""".stripMargin
   }
 
-  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String = {
+  /** MinHash oracle over the re-crawled corpus. `pairPred` selects which
+    * banded collisions count as candidates (self-dedup: ordered pairs;
+    * incremental: base-side × batch-side only), with the a/b doc ids
+    * surfaced under `aName`/`bName`.
+    */
+  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double,
+      pairPred: String = "a.doc_id < b.doc_id",
+      aName: String = "doc_a", bName: String = "doc_b"): String = {
     val P = Dedup.MinhashP
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
@@ -654,12 +704,12 @@ object SparkEntry {
        |         CASE band_id $bandCases END AS band_key
        |  FROM sig, (SELECT unnest(range(0, $numBands)) AS band_id)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  SELECT DISTINCT a.doc_id AS $aName, b.doc_id AS $bName
        |  FROM banded a JOIN banded b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND $pairPred)
+       |SELECT $aName, $bName,
        |       ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} AS jaccard
-       |FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |FROM pairs JOIN sh sa ON sa.doc_id = $aName JOIN sh sb ON sb.doc_id = $bName
        |WHERE ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} >= $threshold""".stripMargin
   }
 
@@ -804,6 +854,12 @@ object SparkEntry {
          |FROM corpus GROUP BY 1""".stripMargin,
 
     "dedup_minhash" -> minhashOracle(numBands = 4, rowsPerBand = 3, threshold = 0.8),
+
+    // incremental: candidates restricted to base (< 1e6) × batch (>= 1e6)
+    "dedup_incremental" -> minhashOracle(numBands = 4, rowsPerBand = 3,
+      threshold = 0.8,
+      pairPred = "a.doc_id < 1000000 AND b.doc_id >= 1000000",
+      aName = "doc_base", bName = "doc_new"),
 
     "dedup_simhash" -> simhashOracle(32),
 
@@ -1165,6 +1221,39 @@ object SparkEntry {
         |               ORDER BY ts DESC, 'event:' || CAST(event_id AS VARCHAR) DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "st2_interval_join" ->
+      """SELECT m.user_id, m.event_id AS m_event_id, m.ts AS m_ts, n.ts AS n_ts,
+        |       'event:' || CAST(n.event_id AS VARCHAR) AS headline
+        |FROM events m JOIN events n
+        |  ON m.user_id = n.user_id
+        | AND n.event_id % 97 = 0
+        | AND n.ts > m.ts - INTERVAL 24 HOUR
+        | AND n.ts <= m.ts""".stripMargin,
+
+    "sim_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |bs AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q, e c WHERE q.q_id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 3),
+         |b2 AS (SELECT id, v, ${lshBucketSql("v", 8, 64)} AS bucket FROM e),
+         |q2 AS (SELECT id AS q_id, v AS qv, bucket FROM b2 WHERE id < 5),
+         |ls AS (
+         |  SELECT q2.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q2 JOIN b2 c ON q2.bucket = c.bucket AND q2.q_id <> c.id),
+         |lsh AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ls)
+         |  WHERE rnk <= 3)
+         |SELECT b.q_id, CAST(count(l.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(l.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
+         |GROUP BY b.q_id""".stripMargin,
 
     // NOTE: concatenation, not interpolation into a stripMargin string —
     // the embedded E1 SQL contains lines starting with "||" whose leading

@@ -205,6 +205,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
+    * and an existing BASE corpus — the daily-ingest shape of
+    * [[minhashPairs]] (production dedup never re-pairs the historical
+    * corpus against itself; only new×base and new×new candidates are
+    * generated). Candidates come from band-key collisions between the
+    * batch's banded keys and the base's — the join output is
+    * Σ_bucket |new_b|·|base_b|, proportional to the BATCH size, not the
+    * corpus: the property that keeps day-N dedup cost flat at 100 TB of
+    * history. At scale the base side's banded keys are a precomputed,
+    * bucketed table (written once per ingest); here they are derived in
+    * the same plan.
+    *
+    * @return (doc_new, doc_base, jaccard) — one row per near-dup pair.
+    */
+  def minhashPairsBetween(
+      newDocs: DataFrame,
+      baseDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
+    def banded(df: DataFrame) = prep(df)
+      .select(col("id"),
+        posexplode(bandKeys(col("sh"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
+    val pairs = banded(newDocs)
+      .select(col("id").as("doc_new"), col("band_id"), col("band_key"))
+      .join(banded(baseDocs)
+        .select(col("id").as("doc_base"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select("doc_new", "doc_base")
+      .dropDuplicates("doc_new", "doc_base")
+    pairs
+      .join(prep(newDocs).select(col("id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(prep(baseDocs).select(col("id").as("doc_base"), col("sh").as("sh_b")), Seq("doc_base"))
+      .filter(least(size(col("sh_n")), size(col("sh_b"))).cast("double") /
+        greatest(size(col("sh_n")), size(col("sh_b"))) >= threshold - 1e-4)
+      .withColumn("__i", size(array_intersect(col("sh_n"), col("sh_b"))))
+      .withColumn("jaccard", Rounding.stable(
+        col("__i").cast("double") /
+          (size(col("sh_n")) + size(col("sh_b")) - col("__i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_new", "doc_base", "jaccard")
+  }
+
   /** 32-bit SimHash fingerprint as a '0'/'1' string. Bit j is the sign of
     * Σ_tokens (parity of the ASCII code of the j-th hex char of
     * md5(token)) mapped to ±1 — i.e. the classic weighted-bit-vote simhash

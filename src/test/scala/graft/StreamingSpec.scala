@@ -59,6 +59,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin: joins within (m_ts - lookback, m_ts], drops outside") {
+    implicit val ctx = spark.sqlContext
+    val market = MemoryStream[NewsEvent] // (key, ts, headline≈event id)
+    val news = MemoryStream[NewsEvent]
+    val joined = graft.streaming.StreamingJoin.streamIntervalJoin(
+      market.toDF().selectExpr("key AS m_key", "ts AS m_ts", "headline AS m_id"),
+      news.toDF().selectExpr("key AS n_key", "ts AS n_ts", "headline AS n_id"),
+      "m_key", "n_key", "m_ts", "n_ts", "2 hours", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    try {
+      news.addData(ev("A", "2024-01-01 10:00:00", "n1"))
+      market.addData(
+        ev("A", "2024-01-01 11:00:00", "m-in"),      // n_ts within (09:00, 11:00]
+        ev("A", "2024-01-01 13:00:00", "m-too-late"), // n_ts ≤ m_ts−2h → out
+        ev("A", "2024-01-01 09:30:00", "m-before"),   // n_ts > m_ts → out
+        ev("B", "2024-01-01 10:30:00", "m-wrong-key"))
+      q.processAllAvailable()
+      // advance both watermarks so buffered state flushes
+      market.addData(ev("A", "2024-01-02 00:00:00", "m-tick"))
+      news.addData(ev("A", "2024-01-02 00:00:00", "n-tick"))
+      q.processAllAvailable()
+      val got = spark.table("sj").collect()
+        .map(r => r.getAs[String]("m_id") -> r.getAs[String]("n_id")).toSet
+      assert(got.filter(_._2 == "n1") == Set("m-in" -> "n1"))
+    } finally q.stop()
+  }
+
   test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
