@@ -1,0 +1,51 @@
+package graft
+
+/** Plan audits: assert the physical plans are the ones we designed —
+  * dims broadcast, candidate generation never degenerates to a cross
+  * product, and the recency predicate reaches the parquet scan. These pin
+  * the 100 TB properties that row-count correctness cannot see (a
+  * CartesianProduct is "correct" and fatal at scale).
+  */
+class ExplainAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5_join_agg: dimension joins broadcast; no cartesian product") {
+    val p = plan("q5_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e1_pipeline: headline/fundamentals sides broadcast; no cartesian product") {
+    val p = plan("e1_pipeline")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded/bucketed candidate generation never plans a cross product") {
+    for (q <- Seq("dedup_minhash", "dedup_incremental", "dedup_ngram_jaccard",
+        "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "dedup_exact")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+    }
+    // sim_topk is the deliberate exception: brute force IS the broadcast
+    // nested-loop baseline the approximate paths are measured against.
+    assert(plan("sim_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("recency window pushes ts bounds into the parquet scan") {
+    val p = Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"),
+      s"ts bounds not pushed:\n$p")
+  }
+
+  test("st2 interval join is a hash join on the key, not a pure theta join") {
+    val p = plan("st2_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
