@@ -566,6 +566,46 @@ object SparkEntry {
               TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
               TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))): _*)),
 
+    // Vocabulary statistics: top-5 tokens per language by frequency — the
+    // token-distribution profile every curation run reports. Explode →
+    // count (map-side combined) → per-lang rank; the shuffle carries
+    // (lang, token) partial counts, never raw token rows.
+    "ta_token_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("token"), col("cnt"), col("rnk"))
+    }),
+
+    // E3 — the LLM-pillar flagship: the training-data curation DAG over a
+    // re-crawled corpus as ONE composed plan — exact-dedup to canonical
+    // docs (hash groupBy + hash join, the only shuffles), quality scoring
+    // and token-count bounds as narrow maps, curated rows out. The
+    // composition mirrors how e1 composes the reference's market surface.
+    "e3_curation" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val canon = Dedup.exact(corpus, "doc_id", "text")
+        .select(col("text_hash"), col("canonical_doc_id"))
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      corpus
+        .withColumn("text_hash", md5(col("text")))
+        .join(canon, Seq("text_hash"))
+        .filter(col("doc_id") === col("canonical_doc_id"))
+        .select(col("doc_id"),
+          q("n_tokens").as("n_tokens"),
+          q("avg_token_len").as("avg_token_len"),
+          q("quality").as("quality"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"))
+        .filter(col("quality") >= 0.2 &&
+          col("ws_tokens").between(5, 200))
+    }),
+
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
     "ta_fingerprint" -> ((s, dir) =>
@@ -652,6 +692,28 @@ object SparkEntry {
 
   private val RecrawlCte =
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
+
+  /** Quality-signal scan over `src` — the SQL mirror of
+    * TextAnalysis.qualityColumns' intermediate counts, shared by
+    * ta_quality and e3_curation.
+    */
+  private def qualityCteSql(src: String): String =
+    s"""SELECT doc_id, text,
+       |         CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,
+       |         length(replace(text, ' ', ''))::DOUBLE AS content_chars,
+       |         CAST(len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\ba\\b')) AS INT) AS stop_hits,
+       |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT) AS punct_hits
+       |  FROM $src""".stripMargin
+
+  /** The rounded quality score over qualityCteSql's columns. */
+  private val QualitySql: String =
+    """round((least(1.0, greatest(0.0,
+      |         0.08 * (content_chars / n_tokens)
+      |         + 0.5 * (stop_hits::DOUBLE / n_tokens)
+      |         - (punct_hits::DOUBLE / length(text))))) * 10000) / 10000""".stripMargin
+
+  private val WsTokensSql: String =
+    """CAST(len(string_split_regex(trim(text), '\s+')) AS INT)"""
 
 
   /** SQL mirrors of Dedup.tokenValues / shingleValuesFromTokens — the
@@ -943,24 +1005,41 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "ta_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,
-        |         length(replace(text, ' ', ''))::DOUBLE AS content_chars,
-        |         CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b')) AS INT) AS stop_hits,
-        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INT) AS punct_hits
-        |  FROM documents)
-        |SELECT doc_id, n_tokens,
-        |       round((content_chars / n_tokens) * 10000) / 10000 AS avg_token_len,
-        |       round((stop_hits::DOUBLE / n_tokens) * 10000) / 10000 AS stopword_ratio,
-        |       round((punct_hits::DOUBLE / length(text)) * 10000) / 10000 AS punct_ratio,
-        |       round((least(1.0, greatest(0.0,
-        |         0.08 * (content_chars / n_tokens)
-        |         + 0.5 * (stop_hits::DOUBLE / n_tokens)
-        |         - (punct_hits::DOUBLE / length(text))))) * 10000) / 10000 AS quality,
-        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
-        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
-        |FROM t""".stripMargin,
+      (s"""WITH t AS (
+         |${qualityCteSql("documents")})
+         |SELECT doc_id, n_tokens,
+         |       round((content_chars / n_tokens) * 10000) / 10000 AS avg_token_len,
+         |       round((stop_hits::DOUBLE / n_tokens) * 10000) / 10000 AS stopword_ratio,
+         |       round((punct_hits::DOUBLE / length(text)) * 10000) / 10000 AS punct_ratio,
+         |""".stripMargin +
+        s"       $QualitySql AS quality,\n" +
+        s"       $WsTokensSql AS ws_tokens,\n" +
+        """       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
+          |FROM t""".stripMargin),
+
+    "ta_token_topk" ->
+      """WITH c AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2)
+        |SELECT lang, token, cnt, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk FROM g)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "e3_curation" ->
+      (s"""WITH $RecrawlCte,
+         |t AS (
+         |${qualityCteSql("corpus")}),
+         |canon AS (SELECT md5(text) AS h, min(doc_id) AS cid FROM corpus GROUP BY 1)
+         |SELECT t.doc_id, n_tokens,
+         |       round((content_chars / n_tokens) * 10000) / 10000 AS avg_token_len,
+         |""".stripMargin +
+        s"       $QualitySql AS quality,\n" +
+        s"       $WsTokensSql AS ws_tokens\n" +
+        "FROM t JOIN canon ON md5(t.text) = canon.h AND t.doc_id = canon.cid\n" +
+        s"WHERE $QualitySql >= 0.2 AND $WsTokensSql BETWEEN 5 AND 200"),
 
     "ta_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)
