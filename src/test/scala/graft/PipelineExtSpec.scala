@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L))) // near-dup is closer
   }
+
+  test("simhashAgg produces bit-identical fingerprints to the fold form") {
+    val fold = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg == fold)
+  }
+
+  test("minhashPairsBetween yields only cross-batch pairs, never base-base") {
+    val base = docs
+    val batch = docs.withColumn("doc_id", col("doc_id") + 100)
+    val pairs = Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
+        numBands = 6, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (n, b) => n >= 100 && b < 100 })
+    // exact copies pair across the batch boundary (1≡2, so 101/102 match
+    // both); the 0.556-jaccard near-dup stays below the 0.9 threshold
+    assert(pairs == Set((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 3L), (104L, 4L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
