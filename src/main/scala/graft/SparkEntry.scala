@@ -413,6 +413,18 @@ object SparkEntry {
         numBands = 4, rowsPerBand = 3, threshold = 0.8)
     }),
 
+    // Duplicate clusters: transitive closure of the minhash near-dup
+    // pairs by min-label propagation — the canonicalization step after
+    // pair generation (a≈b≈c groups a,c even when (a,c) never banded).
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.duplicateClusters(corpus.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }),
+
     // ANN recall measurement: per-query fraction of the exact top-3
     // recovered by the LSH-bucketed index — "measure, don't guess" as a
     // first-class query (the number that justifies bits/planes choices).
@@ -733,14 +745,18 @@ object SparkEntry {
        |         ELSE [tv[1]] END)""".stripMargin
   }
 
-  /** MinHash oracle over the re-crawled corpus. `pairPred` selects which
-    * banded collisions count as candidates (self-dedup: ordered pairs;
-    * incremental: base-side × batch-side only), with the a/b doc ids
-    * surfaced under `aName`/`bName`.
+  private val MinhashJaccardSql: String =
+    Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)
+
+  /** The shared minhash CTE chain (corpus → token values → shingles →
+    * signatures → band keys → candidate pairs) over the re-crawled
+    * corpus. `pairPred` selects which banded collisions count as
+    * candidates (self-dedup: ordered pairs; incremental: base-side ×
+    * batch-side only), with the a/b doc ids surfaced under
+    * `aName`/`bName`.
     */
-  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double,
-      pairPred: String = "a.doc_id < b.doc_id",
-      aName: String = "doc_a", bName: String = "doc_b"): String = {
+  private def minhashCtes(numBands: Int, rowsPerBand: Int,
+      pairPred: String, aName: String, bName: String): String = {
     val P = Dedup.MinhashP
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
@@ -750,7 +766,7 @@ object SparkEntry {
       val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts)"
     }.mkString(" ")
-    s"""WITH $RecrawlCte,
+    s"""$RecrawlCte,
        |tvals AS (
        |  SELECT doc_id, $TokenValsSql AS tv
        |  FROM corpus),
@@ -768,12 +784,39 @@ object SparkEntry {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS $aName, b.doc_id AS $bName
        |  FROM banded a JOIN banded b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND $pairPred)
-       |SELECT $aName, $bName,
-       |       ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} AS jaccard
-       |FROM pairs JOIN sh sa ON sa.doc_id = $aName JOIN sh sb ON sb.doc_id = $bName
-       |WHERE ${Rounding.stableSql("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh))", 4)} >= $threshold""".stripMargin
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND $pairPred)""".stripMargin
   }
+
+  private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double,
+      pairPred: String = "a.doc_id < b.doc_id",
+      aName: String = "doc_a", bName: String = "doc_b"): String =
+    s"WITH ${minhashCtes(numBands, rowsPerBand, pairPred, aName, bName)}\n" +
+      s"""SELECT $aName, $bName,
+         |       $MinhashJaccardSql AS jaccard
+         |FROM pairs JOIN sh sa ON sa.doc_id = $aName JOIN sh sb ON sb.doc_id = $bName
+         |WHERE $MinhashJaccardSql >= $threshold""".stripMargin
+
+  /** Connected components over the verified near-dup pairs as a recursive
+    * CTE: walk accumulates every label reachable from a node; min = the
+    * component-min id — the unique fixpoint the Spark label-propagation
+    * loop also converges to.
+    */
+  private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"WITH RECURSIVE ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+      s"""verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |  WHERE $MinhashJaccardSql >= $threshold),
+         |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL SELECT doc_b, doc_a FROM verified),
+         |walk(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
+         |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin
 
   private def simhashOracle(bits: Int): String = {
     val bitExprs = (0 until bits).map(j =>
@@ -922,6 +965,9 @@ object SparkEntry {
       threshold = 0.8,
       pairPred = "a.doc_id < 1000000 AND b.doc_id >= 1000000",
       aName = "doc_base", bName = "doc_new"),
+
+    "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
+      threshold = 0.8),
 
     "dedup_simhash" -> simhashOracle(32),
 

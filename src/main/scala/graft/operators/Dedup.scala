@@ -205,6 +205,56 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation — the canonicalization step a real
+    * curation pipeline runs after pair generation (pairs say "a≈b";
+    * keeping one doc per GROUP needs the transitive closure, since
+    * a≈b≈c links a and c through b even when (a,c) never banded).
+    *
+    * Each iteration: every node takes the min of its own label and its
+    * neighbors' labels; converged when no label changes. The fixpoint
+    * (component-min label) is unique, so the result is deterministic
+    * regardless of execution order — which is what lets a recursive-CTE
+    * oracle check it.
+    *
+    * Scale design: the classic large-scale label propagation loop —
+    * iterations bounded by component DIAMETER (dup clusters are near-
+    * cliques: 2-3 rounds), per-iteration cost one shuffle join + one
+    * aggregate on the edge list. `localCheckpoint` truncates lineage each
+    * round (iterative joins otherwise stack plans exponentially) and
+    * pre-materializes the edge list so the upstream pair generation runs
+    * once, not once per iteration. Driver-side is only the loop control
+    * and a converged-count — never row data.
+    *
+    * @param nodes (id) — every doc, so singletons keep their own id
+    * @param pairs (doc_a, doc_b) — undirected near-dup edges
+    * @return (id, label) — label = min doc id of the component
+    */
+  def duplicateClusters(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("min_nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
     * and an existing BASE corpus — the daily-ingest shape of
     * [[minhashPairs]] (production dedup never re-pairs the historical

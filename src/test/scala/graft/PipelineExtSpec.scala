@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(agg == fold)
   }
 
+  test("duplicateClusters closes chains transitively; singletons keep their id") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (1 and 3 never directly paired), island 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("minhashPairsBetween yields only cross-batch pairs, never base-base") {
     val base = docs
     val batch = docs.withColumn("doc_id", col("doc_id") + 100)
