@@ -618,6 +618,27 @@ object SparkEntry {
           col("ws_tokens").between(5, 200))
     }),
 
+    // Per-language length statistics: count, mean, exact median and p90
+    // of n_chars — the distribution profile a curation run reports before
+    // setting length cutoffs. Exact percentiles via one sort-based
+    // aggregate per language partition.
+    "ta_length_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Rounding.stable(avg(col("n_chars")), 4).as("avg_chars"),
+          Rounding.stable(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+          Rounding.stable(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))),
+
+    // Deterministic 10% sample stratified by content key: md5(doc_id)
+    // mod 100 — reproducible across runs/engines/partitionings, unlike
+    // RNG sample(); zero shuffle.
+    "ta_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(Sampling.deterministicKeep(col("doc_id"), 10))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
     "ta_fingerprint" -> ((s, dir) =>
@@ -1062,6 +1083,19 @@ object SparkEntry {
         s"       $WsTokensSql AS ws_tokens,\n" +
         """       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
           |FROM t""".stripMargin),
+
+    "ta_length_stats" ->
+      s"""SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       ${Rounding.stableSql("avg(n_chars)", 4)} AS avg_chars,
+         |       ${Rounding.stableSql("quantile_cont(n_chars, 0.5)", 4)} AS median_chars,
+         |       ${Rounding.stableSql("quantile_cont(n_chars, 0.9)", 4)} AS p90_chars
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "ta_sample" ->
+      s"""SELECT doc_id, lang, n_chars
+         |FROM documents
+         |WHERE ${graft.operators.Sampling.keepSql("doc_id", 10)}""".stripMargin,
 
     "ta_token_topk" ->
       """WITH c AS (
