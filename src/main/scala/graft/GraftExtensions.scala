@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sorted_intersect_count(a, b) takes 2 arguments, got ${args.length}")
         SortedIntersectCount(args(0), args(1))
       }))
+    // Whole-operator extension (SURVEY.md §7.3 option c): the native
+    // as-of join's planner strategy.
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -386,6 +386,25 @@ object SparkEntry {
           .withColumn("headline", concat(lit("event:"), col("event_id"))),
         "user_id", "ts", "headline", "1 day")),
 
+    // J4b — the native whole-operator as-of join (custom LogicalPlan →
+    // AsOfJoinStrategy → AsOfJoinExec via GraftExtensions): every daily
+    // close picks the latest order total of the same key within 30 days.
+    // One shuffle per side + a linear merge walk — no window stage, no
+    // per-key history fan-out.
+    "j4b_asof_native" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d_ts"))
+        .agg(Rounding.stable(sum(col("value")), 4).as("close"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("o_key"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+        .agg(Rounding.stable(sum(col("o_totalprice")), 2).as("o_total"))
+      AsOf.asOfJoin(daily, ord, "user_id", "o_key", "d_ts", "o_ts",
+          java.time.Duration.ofDays(30))
+        .select(col("user_id"), col("d_ts"), col("close"),
+          col("o_ts"), col("o_total"))
+    }),
+
     // ST2 — stream-stream interval join, batch shadow: news attached to
     // market rows of the same key with n_ts ∈ (m_ts − 24h, m_ts]. The
     // streaming form (StreamingJoin.streamIntervalJoin) is this exact
@@ -1380,6 +1399,24 @@ object SparkEntry {
         |               ORDER BY ts DESC, 'event:' || CAST(event_id AS VARCHAR) DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "j4b_asof_native" ->
+      s"""WITH l AS (
+         |  SELECT user_id, date_trunc('day', ts) AS d_ts,
+         |         ${Rounding.stableSql("sum(value)", 4)} AS close
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT o_custkey AS o_key, o_orderdate::TIMESTAMP AS o_ts,
+         |         ${Rounding.stableSql("sum(o_totalprice)", 2)} AS o_total
+         |  FROM orders GROUP BY 1, 2),
+         |m AS (
+         |  SELECT l.user_id AS u, l.d_ts AS d, r.o_ts, r.o_total,
+         |         row_number() OVER (PARTITION BY l.user_id, l.d_ts ORDER BY r.o_ts DESC) AS rn
+         |  FROM l JOIN r ON r.o_key = l.user_id
+         |    AND r.o_ts <= l.d_ts AND r.o_ts >= l.d_ts - INTERVAL 30 DAY)
+         |SELECT l.user_id, l.d_ts, l.close, m.o_ts, m.o_total
+         |FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+         |  ON m.u = l.user_id AND m.d = l.d_ts""".stripMargin,
 
     "st2_interval_join" ->
       """SELECT m.user_id, m.event_id AS m_event_id, m.ts AS m_ts, n.ts AS n_ts,

@@ -74,4 +74,33 @@ object AsOf {
         col("v").as("prev_value"),
         round((col("cur_value") - col("v")) / abs(col("v")) * 100, 2).as("yoy_pct"))
   }
+
+  /** The native whole-operator as-of join (preference (c) of SURVEY.md
+    * §7.3): every left row picks the latest right row of the same key
+    * with rightTime ≤ leftTime and a gap ≤ `tolerance`; no match → right
+    * columns null. Plans as [[graft.plans.AsOfJoinExec]] — one shuffle
+    * per side + a linear merge walk per partition, vs the window+join
+    * composition's extra window shuffle and per-key history fan-out.
+    *
+    * Requires [[graft.GraftExtensions]] (the planner strategy). Key and
+    * time columns must be non-null; both time columns must be
+    * TimestampType. Right-side (key, time) should be unique for a
+    * deterministic pick (ties take the last in sort order).
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tolerance: java.time.Duration): DataFrame = {
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime),
+        tolerance.toNanos / 1000L))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Physical as-of join: hash-partition both sides on the key, sort each
+  * partition by (key, time), then a single streaming merge walk per
+  * partition pair — O(|L| + |R|) after the sort, no per-row lookups, no
+  * buffering beyond ONE retained right row.
+  *
+  * Scale shape: exactly a sort-merge join's exchange profile (one
+  * shuffle per side, co-partitioned by EnsureRequirements, sort amortized
+  * by the exchange), but the probe is the as-of walk instead of an
+  * equality match — the operator a window+join composition approximates
+  * with two extra shuffles and a full per-key history join.
+  *
+  * Tie-break: among right rows with equal (key, time) the LAST in sort
+  * order wins — callers wanting determinism ensure unique (key, time) on
+  * the right (the bundled query pre-aggregates).
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceMicros: Long) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    val tol = toleranceMicros
+    val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
+    val nOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyEval = UnsafeProjection.create(Seq(lk), lOut)
+      val rKeyEval = UnsafeProjection.create(Seq(rk), rOut)
+      val lTimeEval = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeEval = UnsafeProjection.create(Seq(rt), rOut)
+      // Bind against a nullability-forced right schema: BoundReference
+      // takes `nullable` from the INPUT attribute, and a non-nullable
+      // right column would skip the null check and read garbage from the
+      // all-null unmatched row.
+      val result = UnsafeProjection.create(nOut,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight: InternalRow = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      // Retained state: the latest right row (copied — iterators reuse
+      // row objects) with key == current left key and time ≤ left time.
+      var heldKey: Any = null
+      var heldTime: Long = 0L
+      var held: InternalRow = null
+
+      lIter.map { l =>
+        val lKey = lKeyEval(l).copy()
+        val lKeyVal = lKey.get(0, lk.dataType)
+        val lTimeVal = lTimeEval(l).getLong(0)
+        // Drop held state from an earlier key.
+        if (held != null && keyOrd.compare(heldKey.asInstanceOf[AnyRef],
+            lKeyVal.asInstanceOf[AnyRef]) != 0) {
+          held = null
+        }
+        // Advance the right side: consume every row at a smaller key, and
+        // every same-key row with time ≤ left time (later ones overwrite —
+        // sorted input makes the last retained row the as-of match).
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val r = rBuf.head
+          val rKeyVal = rKeyEval(r).get(0, rk.dataType)
+          val cmp = keyOrd.compare(rKeyVal.asInstanceOf[AnyRef],
+            lKeyVal.asInstanceOf[AnyRef])
+          if (cmp < 0) {
+            rBuf.next() // smaller key: discard
+          } else if (cmp == 0) {
+            val rTimeVal = rTimeEval(r).getLong(0)
+            if (rTimeVal <= lTimeVal) {
+              held = rBuf.next().copy()
+              heldKey = rKeyEval(held).copy().get(0, rk.dataType)
+              heldTime = rTimeVal
+            } else advancing = false
+          } else advancing = false
+        }
+        val matched = held != null && (lTimeVal - heldTime) <= tol
+        result(joined(l, if (matched) held else nullRight))
+      }
+    }
+  }
+}

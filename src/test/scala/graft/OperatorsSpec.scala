@@ -61,6 +61,45 @@ class AsOfSpec extends SparkSpec {
       "k", "d", "v", 12, 20).collect()(0)  // both 5 days from 2023-06-15
     assert(out.getAs[java.sql.Date]("prev_time").toString == "2023-06-20")
   }
+
+  private def tsDf(name: String, rows: (Long, String, Double)*) =
+    rows.toDF("k", "t", name)
+      .select(col("k"), to_timestamp(col("t")).as("t"), col(name))
+
+  test("native asOfJoin: latest right <= left time within tolerance; else nulls") {
+    val left = tsDf("lv",
+      (1L, "2024-01-10 00:00:00", 1.0),
+      (1L, "2024-01-20 00:00:00", 2.0),
+      (2L, "2024-01-10 00:00:00", 3.0),   // key with no right rows
+      (3L, "2024-01-10 00:00:00", 4.0))   // match beyond tolerance
+    val right = tsDf("rv",
+      (1L, "2024-01-08 00:00:00", 10.0),
+      (1L, "2024-01-15 00:00:00", 20.0),  // latest for left@20th, not left@10th
+      (1L, "2024-02-01 00:00:00", 30.0),  // future: never matches
+      (3L, "2023-12-01 00:00:00", 40.0))  // 40 days before left@10th
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7))
+      .select(col("k"), col("t"), col("lv"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(2), Option(r.get(3)))).toSet
+    assert(out == Set(
+      (1L, "2024-01-10", 1.0, Some(10.0)),
+      (1L, "2024-01-20", 2.0, Some(20.0)),
+      (2L, "2024-01-10", 3.0, None),
+      (3L, "2024-01-10", 4.0, None)))     // 40-day gap > 7-day tolerance
+  }
+
+  test("native asOfJoin plans as AsOfJoinExec with sorted co-partitioned children") {
+    val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
+    val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    val p = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+      java.time.Duration.ofDays(7)).queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("AsOfJoin"))
+    assert(p.contains("Sort") && p.contains("Exchange hashpartitioning"))
+  }
 }
 
 class TextSpec extends SparkSpec {
