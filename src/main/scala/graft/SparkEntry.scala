@@ -432,6 +432,25 @@ object SparkEntry {
         numBands = 4, rowsPerBand = 3, threshold = 0.8)
     }),
 
+    // Decontamination: flag corpus docs sharing word-3-gram shingles with
+    // a benchmark/eval set (docs < 20 stand in for the eval suite) — the
+    // overlap check every training-data pipeline runs before release.
+    // The benchmark shingle set is tiny → broadcast; the corpus side is
+    // an explode + map-side join + partial-agg count, no corpus shuffle
+    // beyond the per-doc counts.
+    "ta_decontam" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.tokenValues(col("text")).as("tv"))
+        .select(col("doc_id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("g")).as("contaminated_grams"))
+    }),
+
     // Duplicate clusters: transitive closure of the minhash near-dup
     // pairs by min-label propagation — the canonicalization step after
     // pair generation (a≈b≈c groups a,c even when (a,c) never banded).
@@ -1008,6 +1027,19 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "ta_decontam" ->
+      s"""WITH tvals AS (
+         |  SELECT doc_id, $TokenValsSql AS tv
+         |  FROM documents),
+         |shl AS (
+         |  SELECT doc_id, $ShingleValsSql AS sh
+         |  FROM tvals),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shl WHERE doc_id < 20),
+         |cand AS (SELECT doc_id, unnest(sh) AS g FROM shl WHERE doc_id >= 20)
+         |SELECT doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS contaminated_grams
+         |FROM cand c JOIN bench b ON c.g = b.g
+         |GROUP BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashOracle(32),
 

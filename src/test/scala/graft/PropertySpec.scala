@@ -131,6 +131,44 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: native asOfJoin equals the brute-force pick on random data") {
+    val left = (1 to 30).flatMap { k =>
+      (1 to 10).map(i => (k.toLong, rng.nextInt(1000).toLong, i.toDouble))
+    }
+    val right = (1 to 30).flatMap { k =>
+      // distinct times per key for a deterministic pick
+      rng.shuffle((0 until 1000).toList).take(8).map(t => (k.toLong, t.toLong, k * 1000.0 + t))
+    }
+    def ts(v: Long) = new java.sql.Timestamp(v * 1000L)
+    val lDf = left.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "t", "lv")
+    val rDf = right.map { case (k, t, v) => (k, ts(t), v) }.toDF("rk", "rt", "rv")
+    val tol = java.time.Duration.ofSeconds(100)
+    val got = AsOf.asOfJoin(lDf, rDf, "k", "rk", "t", "rt", tol)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2)) -> Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+    val rByKey = right.groupBy(_._1)
+    left.foreach { case (k, t, lv) =>
+      val expected = rByKey.getOrElse(k, Nil)
+        .filter(r => r._2 <= t && t - r._2 <= 100)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got((k, t, lv)) == expected, s"key $k t $t")
+    }
+  }
+
+  test("property: sorted_intersect_count equals size(array_intersect) on random sets") {
+    val rows = (1 to 200).map { i =>
+      val a = (1 to rng.nextInt(30)).map(_ => rng.nextInt(50).toLong).distinct.sorted
+      val b = (1 to rng.nextInt(30)).map(_ => rng.nextInt(50).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val out = df.select(col("i"),
+        graft.expressions.SortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+  }
+
   test("property: calendar emits only weekdays and respects inclusive bounds") {
     val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
       .collect().map(_.getDate(0).toLocalDate)
