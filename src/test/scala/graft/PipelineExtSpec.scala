@@ -125,6 +125,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("quality") >= 0.0 && r.getAs[Double]("quality") <= 1.0)
   }
 
+  test("approx distinct stays within the configured rsd of exact") {
+    val df = (1 to 5000).map(i => s"tok${i % 700}").toDF("t")
+    val r = df.agg(
+      approx_count_distinct(col("t"), 0.01).as("a"),
+      count_distinct(col("t")).as("e")).collect()(0)
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    assert(e == 700L)
+    assert(math.abs(a - e).toDouble / e < 0.05) // 5× rsd headroom
+  }
+
   test("token counting: whitespace vs BPE-ish regex") {
     val r = Seq("hello world42 isn't x2!").toDF("text").select(
       TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
