@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{RelevantTitle, SortedIntersectCount}
+import graft.expressions.{CosineSim, DotProduct, RelevantTitle, SortedIntersectCount}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §7.3 — custom `Expression`s as the perf upgrade path).
@@ -30,6 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"sorted_intersect_count(a, b) takes 2 arguments, got ${args.length}")
         SortedIntersectCount(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"dot_product(a, b) takes 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_sim(a, b) takes 2 arguments, got ${args.length}")
+        CosineSim(args(0), args(1))
       }))
     // Whole-operator extension (SURVEY.md §7.3 option c): the native
     // as-of join's planner strategy.

@@ -30,13 +30,22 @@ object Similarity {
     */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Native codegen'd kernels (graft.expressions.VectorOps — require
+    * GraftExtensions): the interpreted zip_with/aggregate forms cost
+    * ~constant per-element lambda overhead, measured ~3× the whole ANN
+    * query. Summation order is identical (sequential), so results are
+    * bit-equal to the fold forms and the DuckDB oracle.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorOps.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double-array columns (callers pre-cast). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double-array columns (callers pre-cast);
+    * one native pass for all three sums.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorOps.cosine(a, b)
 
   /** Brute-force cosine top-k: every query row against every corpus row,
     * rank per query. `queries`/`corpus`: (id, vec) with vec Array[Float].
