@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -34,8 +34,15 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // StatefulOpClusteredDistribution, not ClusteredDistribution: the merge
+  // walk zips child partitions pairwise, so both sides MUST have the
+  // exact same HashPartitioning. Plain clustered distributions leave AQE
+  // free to coalesce the two exchanges with different boundaries (it
+  // only protects the built-in join types) — silent row mis-pairing.
+  // This is the same guarantee streaming symmetric hash joins rely on.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    StatefulOpClusteredDistribution(Seq(leftKey), conf.numShufflePartitions) ::
+      StatefulOpClusteredDistribution(Seq(rightKey), conf.numShufflePartitions) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
