@@ -529,6 +529,40 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashAgg(Tables.documents(s, dir), "doc_id", "text")),
 
+    // SimHash near-dup pairs: 2×16-bit hamming bands → bucket join →
+    // exact hamming ≤ 1 verify. Pigeonhole-sound: hamming ≤ 1 over 2
+    // bands forces ≥ 1 identical band, so banding never misses a true
+    // pair. 16-bit bands (not 8) because similar corpora concentrate
+    // fingerprints — low-entropy narrow bands degenerate toward the
+    // all-pairs join banding exists to avoid (measured 35× slower at
+    // 8 bits on this corpus). Unlike minhash (50×8-byte shingle arrays
+    // re-joined for verify), the 32-char fingerprint rides the band
+    // explode directly — the payload is small enough that re-derivation
+    // would cost more.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val fp = Dedup.simhashAgg(Tables.documents(s, dir), "doc_id", "text")
+      val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 2).map(b =>
+          substring(col("simhash"), b * 16 + 1, 16)): _*)).as(Seq("band_id", "band_val")))
+      val pairs = banded
+        .select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+          col("band_id"), col("band_val"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+          col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+      // verify BEFORE the distinct: the hamming filter is narrow per-row
+      // work on the joined stream, so the pair-dedup shuffle carries only
+      // surviving pairs instead of every band collision
+      val hamming = (0 until 32).map(i =>
+        when(substring(col("sh_a"), i + 1, 1) =!= substring(col("sh_b"), i + 1, 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      pairs.withColumn("hamming", hamming)
+        .filter(col("hamming") <= 1)
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // N-gram Jaccard near-dup with (lang, source) bucketing: pairs are
     // generated only within buckets (bounded quadratic), similarity on
     // unigram token sets with the 3-gram shingle Jaccard alongside.
@@ -1057,6 +1091,23 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashOracle(32),
+
+    "dedup_simhash_pairs" ->
+      (s"WITH fp AS (\n${simhashOracle(32)}),\n" +
+        """banded AS (
+          |  SELECT doc_id, simhash, band_id,
+          |         substr(simhash, band_id * 16 + 1, 16) AS band_val
+          |  FROM fp, (SELECT unnest(range(0, 2)) AS band_id)),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         a.simhash AS sh_a, b.simhash AS sh_b
+          |  FROM banded a JOIN banded b
+          |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+          |   AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b,
+          |       CAST(len(list_filter(range(1, 33), i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS INT) AS hamming
+          |FROM pairs
+          |WHERE len(list_filter(range(1, 33), i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 1""".stripMargin),
 
     "dedup_ngram_jaccard" ->
       s"""WITH tvals AS (
