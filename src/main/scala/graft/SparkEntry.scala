@@ -667,19 +667,21 @@ object SparkEntry {
 
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →
-    // count (map-side combined) → per-lang rank; the shuffle carries
-    // (lang, token) partial counts, never raw token rows.
+    // count (map-side combined) → bounded top-k AGGREGATE per lang
+    // (graft.functions.TopKByCount): the k-bounded buffer map-side
+    // combines to ≤ k rows per partition per lang, where a row_number
+    // window would sort every (lang, token) count through one exchange.
     "ta_token_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("lang"), col("token"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("cnt").desc, col("token").asc)
-      counts.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("lang"), col("token"), col("cnt"), col("rnk"))
+      val topk = graft.functions.TopK.topKByCount(5)
+      counts.groupBy(col("lang"))
+        .agg(topk(col("cnt"), col("token")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "kv")))
+        .select(col("lang"), col("kv._2").as("token"), col("kv._1").as("cnt"),
+          (col("pos") + 1).cast("int").as("rnk"))
     }),
 
     // E3 — the LLM-pillar flagship: the training-data curation DAG over a

@@ -169,6 +169,21 @@ class SparkAlgebraSpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
   }
 
+  test("property: TopKByCount aggregate equals the window-rank top-k on random counts") {
+    val data = (1 to 500).map(i =>
+      (s"g${i % 7}", s"tag$i", rng.nextInt(40).toLong + 1))
+    val df = data.toDF("g", "tag", "cnt")
+    val topk = graft.functions.TopK.topKByCount(5)
+    val got = df.groupBy(col("g")).agg(topk(col("cnt"), col("tag")).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getString(1)))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val expected = rows.map(r => (r._3, r._2))
+        .sortBy { case (c, t) => (-c, t) }.take(5)
+      assert(got(g) == expected, s"group $g")
+    }
+  }
+
   test("property: calendar emits only weekdays and respects inclusive bounds") {
     val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
       .collect().map(_.getDate(0).toLocalDate)
