@@ -48,7 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(args(0), args(1))
       }))
     // Whole-operator extension (SURVEY.md §7.3 option c): the native
-    // as-of join's planner strategy.
+    // as-of join's planner strategy + the optimizer rule restoring
+    // predicate pushdown through the custom logical node.
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => new graft.plans.PushFilterThroughAsOfJoin)
   }
 }

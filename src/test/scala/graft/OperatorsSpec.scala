@@ -90,6 +90,27 @@ class AsOfSpec extends SparkSpec {
       (3L, "2024-01-10", 4.0, None)))     // 40-day gap > 7-day tolerance
   }
 
+  test("left-side filters push through AsOfJoin down to the parquet scan") {
+    val left = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d_ts"))
+      .agg(sum(col("value")).as("close"))
+    val right = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(col("o_custkey").as("o_key"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+      .agg(sum(col("o_totalprice")).as("o_total"))
+    val joined = AsOf.asOfJoin(left, right, "user_id", "o_key", "d_ts", "o_ts",
+        java.time.Duration.ofDays(30))
+      .filter(col("user_id") < 5)
+    val p = joined.queryExecution.executedPlan.toString
+    // the rule moves user_id < 5 below the join; aggregate + scan
+    // pushdown then carry it into the events parquet scan
+    assert(p.contains("LessThan(user_id,5)"), s"filter not pushed to scan:\n$p")
+    // and semantics are unchanged vs filtering the result
+    val direct = AsOf.asOfJoin(left.filter(col("user_id") < 5), right,
+      "user_id", "o_key", "d_ts", "o_ts", java.time.Duration.ofDays(30))
+    assert(joined.collect().toSet == direct.collect().toSet)
+  }
+
   test("native asOfJoin plans as AsOfJoinExec with sorted co-partitioned children") {
     val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
     val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
