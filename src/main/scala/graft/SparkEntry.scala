@@ -550,13 +550,18 @@ object SparkEntry {
         .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
           col("band_id"), col("band_val")), Seq("band_id", "band_val"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-      // verify BEFORE the distinct: the hamming filter is narrow per-row
-      // work on the joined stream, so the pair-dedup shuffle carries only
-      // surviving pairs instead of every band collision
-      val hamming = (0 until 32).map(i =>
-        when(substring(col("sh_a"), i + 1, 1) =!= substring(col("sh_b"), i + 1, 1), 1)
-          .otherwise(0)).reduce(_ + _)
+        .select("doc_a", "doc_b", "sh_a", "sh_b", "band_id")
+      // verify BEFORE the distinct (the pair-dedup shuffle then carries
+      // only survivors), and only on the NON-matched band: the matched
+      // band contributes zero hamming, so the full-fingerprint distance
+      // equals the other band's — parsed base-2 and popcounted
+      // (bit_count∘xor), 3 codegen ops instead of 32 char compares.
+      def otherBand(c: String) =
+        when(col("band_id") === 0, substring(col(c), 17, 16))
+          .otherwise(substring(col(c), 1, 16))
+      val hamming = bit_count(
+        conv(otherBand("sh_a"), 2, 10).cast("long")
+          .bitwiseXOR(conv(otherBand("sh_b"), 2, 10).cast("long")))
       pairs.withColumn("hamming", hamming)
         .filter(col("hamming") <= 1)
         .dropDuplicates("doc_a", "doc_b")
