@@ -97,10 +97,15 @@ object AsOf {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // the physical merge reads the raw long micros — a DateType (int
+    // days) column would silently compare garbage
+    for (t <- Seq(lt, rt))
+      require(t.dataType == org.apache.spark.sql.types.TimestampType,
+        s"asOfJoin time column ${t.name} must be TimestampType, got ${t.dataType}")
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoin(lp, rp,
-        attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime),
+        attr(lp, leftKey), attr(rp, rightKey), lt, rt,
         tolerance.toNanos / 1000L))
   }
 }
