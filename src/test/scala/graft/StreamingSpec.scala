@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdAlerts: flatMapGroupsWithState emits only threshold crossings") {
+    import graft.streaming.StreamingAlerts
+    import graft.streaming.StreamingAlerts.Tick
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    def tick(k: String, t: String, v: Double) =
+      Tick(k, java.sql.Timestamp.valueOf(t), v)
+    val q = StreamingAlerts.thresholdAlerts(input.toDS(), thresholdPct = 10.0)
+      .writeStream.format("memory").queryName("al").outputMode("append").start()
+    try {
+      input.addData(
+        tick("A", "2024-01-01 10:00:00", 100.0), // arms baseline, no alert
+        tick("A", "2024-01-01 10:01:00", 105.0), // +5% — silent
+        tick("A", "2024-01-01 10:02:00", 112.0)) // +12% vs 100 — alert, re-arm
+      q.processAllAvailable()
+      input.addData(
+        tick("A", "2024-01-01 10:03:00", 113.0), // +0.9% vs 112 — silent (state held)
+        tick("A", "2024-01-01 10:04:00", 90.0))  // -19.6% vs 112 — alert
+      q.processAllAvailable()
+      val alerts = spark.table("al").collect()
+        .map(r => (r.getTimestamp(1).toString.substring(11, 19), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(alerts.toSeq == Seq(("10:02:00", 112.0), ("10:04:00", 90.0)))
+    } finally q.stop()
+  }
+
   test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
