@@ -90,6 +90,25 @@ class AsOfSpec extends SparkSpec {
       (3L, "2024-01-10", 4.0, None)))     // 40-day gap > 7-day tolerance
   }
 
+  test("native asOfJoin handles string keys (interpreted ordering path)") {
+    val left = Seq(
+      ("aa", "2024-01-10 00:00:00", 1.0),
+      ("b", "2024-01-10 00:00:00", 2.0),
+      ("c", "2024-01-10 00:00:00", 3.0))
+      .toDF("k", "t", "lv")
+      .select(col("k"), to_timestamp(col("t")).as("t"), col("lv"))
+    val right = Seq(
+      ("aa", "2024-01-09 00:00:00", 10.0),
+      ("b", "2024-01-01 00:00:00", 20.0),  // 9 days back: outside 7-day tolerance
+      ("cc", "2024-01-09 00:00:00", 30.0)) // key with no left rows
+      .toDF("rk", "rt", "rv")
+      .select(col("rk"), to_timestamp(col("rt")).as("rt"), col("rv"))
+    val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7))
+      .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
+    assert(out == Map("aa" -> Some(10.0), "b" -> None, "c" -> None))
+  }
+
   test("left-side filters push through AsOfJoin down to the parquet scan") {
     val left = Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d_ts"))
