@@ -243,13 +243,14 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("min_nl"))
+      // carry the previous label through the checkpoint so the
+      // convergence check is a scan-only count, not another join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       iter += 1
     }
     labels
