@@ -82,8 +82,11 @@ object AsOf {
     * per side + a linear merge walk per partition, vs the window+join
     * composition's extra window shuffle and per-key history fan-out.
     *
-    * Requires [[graft.GraftExtensions]] (the planner strategy). Key and
-    * time columns must be non-null; both time columns must be
+    * Requires [[graft.GraftExtensions]] (the planner strategy). Rows
+    * with a null key or time are dropped on BOTH sides before the join
+    * (the physical merge walk compares keys and reads raw time micros,
+    * so a null would NPE / compare garbage — the non-null contract is
+    * enforced here, not assumed). Both time columns must be
     * TimestampType. Right-side (key, time) should be unique for a
     * deterministic pick (ties take the last in sort order).
     */
@@ -92,11 +95,24 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       tolerance: java.time.Duration): DataFrame = {
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
-    val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val lf = left.filter(left.col(leftKey).isNotNull && left.col(leftTime).isNotNull)
+    val rf = right.filter(right.col(rightKey).isNotNull && right.col(rightTime).isNotNull)
+    val lp = lf.queryExecution.analyzed
+    // A self-join (right derived from the same DataFrame as left) carries
+    // the left side's exprIds into the right plan; binding would then
+    // silently resolve right columns against the left side. Re-alias the
+    // right output with fresh exprIds whenever the two sides overlap —
+    // the same dedup built-in joins get from DeduplicateRelations.
+    val rp = {
+      val analyzed = rf.queryExecution.analyzed
+      if (lp.outputSet.intersect(analyzed.outputSet).isEmpty) analyzed
+      else Project(analyzed.output.map(a => Alias(a, a.name)()), analyzed)
+    }
     val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
     // the physical merge reads the raw long micros — a DateType (int
     // days) column would silently compare garbage

@@ -253,6 +253,14 @@ object Dedup {
       labels = next.drop("__old")
       iter += 1
     }
+    // a truncated propagation would return labels that LOOK canonical but
+    // aren't component minima — fail loudly rather than hand back
+    // silently-wrong clusters (diameter > maxIter only happens on long
+    // chains, not the near-clique shape dup clusters actually have)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation did not converge within " +
+          s"$maxIter iterations ($changed labels still changing)")
     labels
   }
 
@@ -348,8 +356,11 @@ object Dedup {
   def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     val nChunks = (bits + 7) / 8
+    // explode_outer: a null text explodes to ONE row with a null token
+    // (null chunks → null votes → all-zero fingerprint), matching the
+    // fold form bit-for-bit; plain explode would DROP the document
     val tok = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .select(col(idCol), explode_outer(split(col(textCol), " ")).as("__tok"))
       .withColumn("__m", md5(col("__tok")))
       .select(col(idCol) +: (0 until nChunks).map(c =>
         conv(substring(col("__m"), c * 8 + 1, 8), 16, 10).cast("long").as(s"__c$c")): _*)

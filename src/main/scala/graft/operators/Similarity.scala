@@ -30,22 +30,35 @@ object Similarity {
     */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Native codegen'd kernels (graft.expressions.VectorOps — require
-    * GraftExtensions): the interpreted zip_with/aggregate forms cost
-    * ~constant per-element lambda overhead, measured ~3× the whole ANN
-    * query. Summation order is identical (sequential), so results are
-    * bit-equal to the fold forms and the DuckDB oracle.
+  /** Native codegen'd kernels (graft.expressions.VectorOps) when
+    * [[graft.GraftExtensions]] is registered in the active session: the
+    * interpreted zip_with/aggregate forms cost ~constant per-element
+    * lambda overhead, measured ~3× the whole ANN query. Sessions built
+    * WITHOUT the extension fall back to those builtin forms (like
+    * [[Dedup.intersectCount]]) instead of failing analysis. Summation
+    * order is sequential in both paths, so results are bit-equal to
+    * each other and to the DuckDB oracle.
     */
+  private def nativeKernels: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("dot_product"))
+
+  private def dotBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   def dot(a: Column, b: Column): Column =
-    graft.expressions.VectorOps.dot(a, b)
+    if (nativeKernels) graft.expressions.VectorOps.dot(a, b)
+    else dotBuiltin(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two double-array columns (callers pre-cast);
-    * one native pass for all three sums.
+    * one native pass for all three sums (three builtin folds without the
+    * extension — same sequential order, identical result).
     */
   def cosine(a: Column, b: Column): Column =
-    graft.expressions.VectorOps.cosine(a, b)
+    if (nativeKernels) graft.expressions.VectorOps.cosine(a, b)
+    else dotBuiltin(a, b) / (sqrt(dotBuiltin(a, a)) * sqrt(dotBuiltin(b, b)))
 
   /** Brute-force cosine top-k: every query row against every corpus row,
     * rank per query. `queries`/`corpus`: (id, vec) with vec Array[Float].

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop a function from ONE session's registry (test support: simulates
+    * a session built without GraftExtensions to exercise builtin
+    * fallbacks; `sessionState` is private[sql], hence it lives here).
+    */
+  def dropSessionFunction(spark: SparkSession, name: String): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 }

@@ -130,6 +130,39 @@ class AsOfSpec extends SparkSpec {
     assert(joined.collect().toSet == direct.collect().toSet)
   }
 
+  test("native asOfJoin self-join: right side re-aliased, columns bind to the correct side") {
+    val df = tsDf("v",
+      (1L, "2024-01-10 00:00:00", 1.0),
+      (1L, "2024-01-20 00:00:00", 2.0))
+    // right derived from the SAME DataFrame => identical exprIds going in
+    val right = df.filter(col("t") < to_timestamp(lit("2024-01-15 00:00:00")))
+    val out = AsOf.asOfJoin(df, right, "k", "k", "t", "t",
+        java.time.Duration.ofDays(7))
+      .collect().map(r => (r.getTimestamp(1).toString.take(10), Option(r.get(5))))
+      .toSet
+    // left@10th matches itself (Jan 10 is in the filtered right side);
+    // left@20th has only Jan 10 available, 10 days back > 7-day tolerance
+    assert(out == Set(("2024-01-10", Some(1.0)), ("2024-01-20", None)))
+  }
+
+  test("native asOfJoin drops null-key/null-time rows instead of crashing the merge") {
+    val left = Seq(
+      (Option(1L), Option("2024-01-10 00:00:00"), 1.0),
+      (None: Option[Long], Option("2024-01-10 00:00:00"), 2.0),  // null key
+      (Option(3L), None: Option[String], 3.0))                   // null time
+      .toDF("k", "ts", "lv")
+      .select(col("k"), to_timestamp(col("ts")).as("t"), col("lv"))
+    val right = Seq(
+      (Option(1L), Option("2024-01-09 00:00:00"), 10.0),
+      (None: Option[Long], Option("2024-01-09 00:00:00"), 20.0))
+      .toDF("rk", "rts", "rv")
+      .select(col("rk"), to_timestamp(col("rts")).as("rt"), col("rv"))
+    val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7))
+      .collect().map(r => (r.getLong(0), Option(r.get(5)))).toSet
+    assert(out == Set((1L, Some(10.0)))) // contract-violating rows filtered, no NPE
+  }
+
   test("native asOfJoin plans as AsOfJoinExec with sorted co-partitioned children") {
     val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
     val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))

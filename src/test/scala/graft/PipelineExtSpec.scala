@@ -61,6 +61,27 @@ class DedupSpec extends SparkSpec {
     assert(agg == fold)
   }
 
+  test("simhashAgg keeps null-text rows with the same all-zero fingerprint as the fold form") {
+    val nullable = Seq((1L, Some("a b c")), (2L, None), (3L, Some("")))
+      .toDF("doc_id", "text")
+    val fold = nullable.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = Dedup.simhashAgg(nullable, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg == fold)                       // same ROWS, not just same values
+    assert(agg(2L) == "0" * 32)               // null text: no votes, all zeros
+    assert(agg(3L) != agg(2L))                // empty string hashes one "" token
+  }
+
+  test("duplicateClusters throws rather than returning truncated labels") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(nodes, chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("duplicateClusters closes chains transitively; singletons keep their id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 (1 and 3 never directly paired), island 4-5, singleton 6
@@ -101,6 +122,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(2) == 1.0)                      // colinear
     assert(math.abs(out(1).getDouble(2) - 0.707107) < 1e-6) // 45 degrees
     assert(out(2).getDouble(2) == 0.0)                      // orthogonal
+  }
+
+  test("dot/cosine fall back to builtin folds in a session without GraftExtensions") {
+    import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
+    val bare = spark.newSession()
+    GraftPlanBridge.dropSessionFunction(bare, "dot_product")
+    GraftPlanBridge.dropSessionFunction(bare, "cosine_sim")
+    assert(!bare.catalog.functionExists("dot_product"))
+    SparkSession.setActiveSession(bare)
+    try {
+      val df = bare.createDataFrame(Seq(
+        (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))))
+        .toDF("a", "b")
+        .select(Similarity.asDouble(col("a")).as("a"),
+          Similarity.asDouble(col("b")).as("b"))
+      // would fail analysis if these still resolved through call_function
+      val r = df.select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.cosine(col("a"), col("b")).as("c")).collect()(0)
+      assert(r.getDouble(0) == 32.0)
+      val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+      assert(r.getDouble(1) == expected) // sequential fold: bit-equal to native
+    } finally SparkSession.setActiveSession(spark)
   }
 
   test("LSH buckets: colinear vectors share a bucket; deterministic planes") {
