@@ -220,11 +220,17 @@ object Dedup {
     * Scale design: the classic large-scale label propagation loop —
     * iterations bounded by component DIAMETER (dup clusters are near-
     * cliques: 2-3 rounds), per-iteration cost one shuffle join + one
-    * aggregate on the edge list. `localCheckpoint` truncates lineage each
-    * round (iterative joins otherwise stack plans exponentially) and
-    * pre-materializes the edge list so the upstream pair generation runs
-    * once, not once per iteration. Driver-side is only the loop control
-    * and a converged-count — never row data.
+    * aggregate on the edge list. The loop runs ONLY over nodes that
+    * appear in an edge: on a real corpus the dup-involved fraction is
+    * tiny, so iterating the full node table would shuffle and
+    * checkpoint ~|corpus| rows per round for nodes whose label can
+    * never change — singletons are attached once at the end with a
+    * single anti-join, whose probe side never re-enters the loop.
+    * `localCheckpoint` truncates lineage each round (iterative joins
+    * otherwise stack plans exponentially) and pre-materializes the edge
+    * list so the upstream pair generation runs once, not once per
+    * iteration. Driver-side is only the loop control and a
+    * converged-count — never row data.
     *
     * @param nodes (id) — every doc, so singletons keep their own id
     * @param pairs (doc_a, doc_b) — undirected near-dup edges
@@ -235,7 +241,10 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    // both directions are in `edges`, so distinct `a` covers every
+    // edge-touching node
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -261,7 +270,12 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters: label propagation did not converge within " +
           s"$maxIter iterations ($changed labels still changing)")
-    labels
+    // singletons (no edges) keep their own id; left_anti against the
+    // small converged label set — one pass over `nodes`, outside the loop
+    val singletons = nodes
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
   }
 
   /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
