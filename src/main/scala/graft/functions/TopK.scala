@@ -46,6 +46,37 @@ class TopKByCount(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
 }
 
+/** Top-k (score DESC, id ASC) — the ANN ranking order. Same bounded-
+  * buffer design as [[TopKByCount]]; ties on score (callers rank on the
+  * 6-dp ROUNDED cosine) break to the lower id, so the result is
+  * deterministic and identical to the `row_number` window it replaces.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+
+  private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sorted(ord).take(k)
+
+  override def zero: Seq[(Double, Long)] = Nil
+
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size < k || ord.lt(x, buf.last)) trim(buf :+ x) else buf
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
 object TopK {
   /** Column form: `topKByCount(5)(col("cnt"), col("token"))` → array of
     * (cnt, tag) structs, count-descending.
@@ -53,5 +84,11 @@ object TopK {
   def topKByCount(k: Int): (Column, Column) => Column = {
     val f = udaf(new TopKByCount(k))
     (cnt, tag) => f(cnt, tag)
+  }
+
+  /** Column form: array of (score, id) structs, score-descending. */
+  def topKByScore(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKByScore(k))
+    (score, id) => f(score, id)
   }
 }

@@ -60,6 +60,28 @@ object Similarity {
     if (nativeKernels) graft.expressions.VectorOps.cosine(a, b)
     else dotBuiltin(a, b) / (sqrt(dotBuiltin(a, a)) * sqrt(dotBuiltin(b, b)))
 
+  /** Rank scored candidates to (…, c_id, cos, rnk ≤ k) per group — via
+    * the bounded [[graft.functions.TopKByScore]] aggregate, NOT a
+    * `row_number` window: the window must shuffle and per-group
+    * full-sort EVERY candidate score, while the aggregate keeps a
+    * k-bounded buffer per partition and map-side-combines, so the
+    * exchange carries k·partitions rows per query instead of the whole
+    * candidate set (at corpus scale, the difference between shuffling
+    * |corpus|/buckets scores and shuffling k). Ordering (cos DESC on the
+    * 6-dp rounded value, c_id ASC) is identical to the window form.
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val top = graft.functions.TopK.topKByScore(k)
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(top(col("cos"), col("c_id")).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col._2").as("c_id"),
+        col("col._1").as("cos"),
+        (col("pos") + 1).as("rnk")): _*)
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row,
     * rank per query. `queries`/`corpus`: (id, vec) with vec Array[Float].
     * Self-matches (same id) are excluded.
@@ -69,9 +91,7 @@ object Similarity {
     val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k, Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
   }
 
@@ -166,9 +186,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k, Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
   }
 
@@ -186,9 +204,9 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bucket is a function of q_id (both sides joined on it), so grouping
+    // by (q_id, bucket) is the same partitioning with the bucket carried
+    rankTopK(scored, k, Seq("q_id", "bucket"))
       .select(col("q_id"), col("c_id"), col("bucket"), col("cos"), col("rnk"))
   }
 }
