@@ -656,19 +656,20 @@ object SparkEntry {
               TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))): _*)),
 
     // Approximate distinct-token counts per language (HyperLogLog++,
-    // 1% rsd) next to the exact count — the sketch an interactive
-    // profile uses at 100 TB where exact distinct is a full shuffle of
-    // the token universe. No oracle SQL by design (sketch values are
-    // engine-specific): the driver records a rows-only check, and
-    // TextAnalysisSpec pins the error bound against the exact count.
-    "ta_approx_distinct" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
+    // 1% rsd) — the sketch an interactive profile uses at 100 TB where
+    // exact distinct is a full shuffle of the token universe. The HLL
+    // buffer map-side combines, so the exchange carries one sketch per
+    // (partition, lang), never the token stream; computing an exact
+    // count ALONGSIDE it (as this query once did) would force the
+    // expand-based multi-distinct plan and defeat the point. No oracle
+    // SQL by design (sketch values are engine-specific): the driver
+    // records a rows-only check, and TextAnalysisSpec pins the error
+    // bound against an exact count.
+    "ta_approx_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-      toks.groupBy(col("lang"))
-        .agg(
-          approx_count_distinct(col("token"), 0.01).as("approx_tokens"),
-          count_distinct(col("token")).as("exact_tokens"))
-    }),
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("token"), 0.01).as("approx_tokens"))),
 
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →

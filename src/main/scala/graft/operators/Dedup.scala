@@ -111,7 +111,10 @@ object Dedup {
       graft.expressions.SortedIntersectCount(a, b)
     else size(array_intersect(a, b))
 
-  /** One minhash signature value over pre-computed shingle values. */
+  /** One minhash signature value over pre-computed shingle values. The
+    * array-fold reference form — [[bandedKeys]] computes the identical
+    * minima as codegen'd aggregates and is what the dedup plans use.
+    */
   def minhashSig(valuesCol: Column, k: Int): Column =
     array_min(transform(valuesCol, v =>
       (pmod(v, lit(MinhashP)) * minhashA(k) + minhashB(k)) % MinhashP))
@@ -126,6 +129,37 @@ object Dedup {
       md5(concat_ws("|", (0 until rowsPerBand).map(r =>
         minhashSig(valuesCol, b * rowsPerBand + r).cast("string")): _*))
     }: _*)
+
+  /** Exploded (id, band_id, band_key) — the minhash banding stage as
+    * explode + ONE codegen'd hash aggregate computing all b·r signature
+    * minima at once, instead of b·r interpreted `transform`+`array_min`
+    * folds each re-scanning the shingle array (higher-order functions
+    * are CodegenFallback; the fold form was the dominant minhash cost).
+    * Identical band keys to [[bandKeys]] over the same shingle values:
+    * `min` over exploded rows ≡ `array_min` over the array, and null
+    * shingle values drop out of both the same way.
+    *
+    * Scale shape: the explode multiplies rows by shingles-per-doc, but
+    * partial aggregation collapses them back to one row per doc before
+    * the exchange — the id shuffle carries |docs| rows of b·r longs.
+    */
+  def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    val nSig = numBands * rowsPerBand
+    val exploded = docs
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), explode(shingleValuesFromTokens(col("tv"))).as("__v"))
+    val sigCols = (0 until nSig).map { k =>
+      min((pmod(col("__v"), lit(MinhashP)) * minhashA(k) + minhashB(k)) % MinhashP)
+        .as(s"__s$k")
+    }
+    exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"),
+        posexplode(array((0 until numBands).map { b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            col(s"__s${b * rowsPerBand + r}").cast("string")): _*))
+        }: _*)).as(Seq("band_id", "band_key")))
+  }
 
   /** Exact dedup: group identical normalized text, keep the smallest id as
     * canonical. One shuffle on the text hash; at 100 TB the md5 groupBy
@@ -165,9 +199,7 @@ object Dedup {
     // shingle arrays must never ride through the explode+self-join (at
     // scale that would serialize every array numBands× through two
     // exchanges). They are re-joined below for candidates only.
-    val banded = withShingles
-      .select(col("id"),
-        posexplode(bandKeys(col("sh"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
+    val banded = bandedKeys(docs, idCol, textCol, numBands, rowsPerBand)
     val pairs = banded.select(col("id").as("doc_a"), col("band_id"), col("band_key"))
       .join(banded.select(col("id").as("doc_b"), col("band_id"), col("band_key")),
         Seq("band_id", "band_key"))
@@ -303,9 +335,8 @@ object Dedup {
     def prep(df: DataFrame) = df
       .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
       .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
-    def banded(df: DataFrame) = prep(df)
-      .select(col("id"),
-        posexplode(bandKeys(col("sh"), numBands, rowsPerBand)).as(Seq("band_id", "band_key")))
+    def banded(df: DataFrame) =
+      bandedKeys(df, idCol, textCol, numBands, rowsPerBand)
     val pairs = banded(newDocs)
       .select(col("id").as("doc_new"), col("band_id"), col("band_key"))
       .join(banded(baseDocs)

@@ -82,6 +82,18 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("bandedKeys (explode + codegen agg) produces the exact band keys of the fold form") {
+    val fold = docs
+      .select(col("doc_id").as("id"), Dedup.tokenValues(col("text")).as("tv"))
+      .select(col("id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      .select(col("id"),
+        posexplode(Dedup.bandKeys(col("sh"), 4, 3)).as(Seq("band_id", "band_key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val agg = Dedup.bandedKeys(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(agg == fold)
+  }
+
   test("duplicateClusters closes chains transitively; singletons keep their id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 (1 and 3 never directly paired), island 4-5, singleton 6
