@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Dedup
+
+/** Streaming MinHash-LSH near-duplicate detection — the streaming twin
+  * of [[graft.operators.Dedup.minhashPairsBetween]]: every arriving doc
+  * is checked against the docs already seen in its LSH band buckets,
+  * and a candidate pair is emitted when their minhash signatures agree
+  * on at least `minEstJaccard` of the positions.
+  *
+  * Shape: a narrow per-row map derives the b·r signature values and the
+  * b band keys (same constants and arithmetic as the batch operator, so
+  * a doc ingested by the stream bands identically to one scanned in
+  * batch), then `flatMapGroupsWithState` keyed on (band, key) holds the
+  * bucket's (doc_id, signature) residents as state. Signature agreement
+  * is the standard streaming ESTIMATE of Jaccard — the exact verify of
+  * the batch operator needs both shingle sets and runs as a downstream
+  * batch join over the emitted candidates at scale.
+  *
+  * State bounds (the 100 TB/day contract): per bucket, residents live
+  * until the event-time timeout `retention` past the bucket's newest
+  * doc — the same watermark-driven expiry as
+  * [[StreamingDedup.exactWithinWatermark]], so state is (docs per
+  * bucket per retention window), never the corpus. A pair colliding in
+  * several bands is emitted once per band, exactly like the batch
+  * banding before its `dropDuplicates` — dedup the pair stream
+  * downstream (`dropDuplicatesWithinWatermark` on a pair key, or the
+  * batch verify join).
+  */
+object StreamingNearDedup {
+
+  case class BandedDoc(bucket: String, doc_id: Long,
+      ts: java.sql.Timestamp, sigs: Seq[Long])
+  case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  // public: Janino-generated encoder code cannot access private classes
+  case class BucketState(residents: List[(Long, Seq[Long])])
+
+  /** @param df streaming (idCol: Long, textCol: String, timeCol: Timestamp)
+    * @param watermark lateness bound on `timeCol`
+    * @param retention how long a doc stays pair-matchable after the
+    *                  bucket's newest event time
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      timeCol: String,
+      numBands: Int = 4,
+      rowsPerBand: Int = 3,
+      minEstJaccard: Double = 0.5,
+      watermark: String = "1 hour",
+      retention: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[CandidatePair] = {
+    import df.sparkSession.implicits._
+    val nSig = numBands * rowsPerBand
+
+    // each expensive derived column staged in its own projection:
+    // multi-referenced lambda expressions otherwise re-evaluate per
+    // reference (no CSE across the sig/band expressions)
+    val staged = df
+      .select(col(idCol).as("doc_id"), col(timeCol).as("ts"),
+        Dedup.tokenValues(col(textCol)).as("tv"))
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      .select(col("doc_id"), col("ts"),
+        array((0 until nSig).map(k => Dedup.minhashSig(col("sh"), k)): _*).as("sigs"))
+    val banded = staged
+      .select(col("doc_id"), col("ts"), col("sigs"),
+        posexplode(array((0 until numBands).map { b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string")): _*))
+        }: _*)).as(Seq("band_id", "band_key")))
+      .select(concat_ws("#", col("band_id"), col("band_key")).as("bucket"),
+        col("doc_id"), col("ts"), col("sigs"))
+      .as[BandedDoc]
+
+    val retentionMs = retention.toMillis
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, docs: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // event-time order (doc_id tiebreak) so replays emit
+            // identical pair direction regardless of batch slicing
+            val arriving = docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val out = Seq.newBuilder[CandidatePair]
+            var residents = state.getOption.map(_.residents).getOrElse(Nil)
+            for (d <- arriving) {
+              for ((pid, psigs) <- residents if pid != d.doc_id) {
+                val matching = psigs.iterator.zip(d.sigs.iterator)
+                  .count { case (a, b) => a == b }
+                val est = matching.toDouble / nSig
+                if (est >= minEstJaccard)
+                  out += CandidatePair(math.min(pid, d.doc_id),
+                    math.max(pid, d.doc_id),
+                    graft.operators.Rounding.stableVal(est, 4))
+              }
+              residents = (d.doc_id, d.sigs) :: residents
+            }
+            state.update(BucketState(residents))
+            val newest = arriving.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -131,4 +131,48 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq("different story", "same story")) // each text exactly once
     } finally q.stop()
   }
+
+  test("streaming near-dup: band-bucket state pairs new docs against residents, then expires") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    def doc(id: Long, t: String, text: String) =
+      DocEvent(id, java.sql.Timestamp.valueOf(t), text)
+    val dupText = "the quick brown fox jumps over the lazy dog"
+    val q = graft.streaming.StreamingNearDedup
+      .nearDupPairs(input.toDF(), "doc_id", "text", "ts",
+        numBands = 4, rowsPerBand = 3, minEstJaccard = 0.5,
+        watermark = "10 minutes", retention = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      input.addData(
+        doc(1, "2024-01-01 10:00:00", dupText),
+        doc(4, "2024-01-01 10:00:00", "completely different words about spark query engines here"))
+      q.processAllAvailable()
+      assert(spark.table("nd").count() == 0)   // nothing to pair with yet
+
+      input.addData(doc(2, "2024-01-01 10:05:00", dupText))
+      q.processAllAvailable()
+      val rows = spark.table("nd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact dup: all signatures agree; emitted once per colliding band
+      assert(rows.nonEmpty && rows.length <= 4)
+      assert(rows.toSet == Set((1L, 2L, 1.0)))
+      assert(!rows.exists(p => p._1 == 4L || p._2 == 4L))
+
+      // advance the watermark past the bucket timeout (10:05 + 30 min),
+      // then let the NEXT batch process the expirations
+      input.addData(doc(90, "2024-01-01 11:30:00", "unrelated filler text one"))
+      q.processAllAvailable()
+      input.addData(doc(91, "2024-01-01 11:40:00", "unrelated filler text two"))
+      q.processAllAvailable()
+      input.addData(doc(5, "2024-01-01 11:45:00", dupText))
+      q.processAllAvailable()
+      // residents 1 and 2 expired: doc 5 pairs with nothing
+      assert(!spark.table("nd").collect().exists(r =>
+        r.getLong(0) == 5L || r.getLong(1) == 5L))
+    } finally q.stop()
+  }
 }
+
+/** Top-level so the MemoryStream encoder needs no outer instance. */
+case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
