@@ -184,6 +184,39 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: TopKByScore aggregate equals the window-rank top-k on random scores") {
+    val data = (1 to 400).map(i =>
+      (i.toLong % 9, i.toLong, Rounding.stableVal(rng.nextDouble() * 2 - 1, 6)))
+    val df = data.toDF("q_id", "c_id", "cos")
+    val topk = graft.functions.TopK.topKByScore(4)
+    val got = df.groupBy(col("q_id")).agg(topk(col("cos"), col("c_id")).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    data.groupBy(_._1).foreach { case (q, rows) =>
+      val expected = rows.map(r => (r._3, r._2))
+        .sortBy { case (s, i) => (-s, i) }.take(4)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("property: bandedKeys equals the fold-form banding on random documents") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (1 to 120).map { i =>
+      val n = rng.nextInt(10) // includes 0- and <3-token shorts
+      (i.toLong, (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fold = df
+      .select(col("doc_id").as("id"), Dedup.tokenValues(col("text")).as("tv"))
+      .select(col("id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      .select(col("id"),
+        posexplode(Dedup.bandKeys(col("sh"), 4, 3)).as(Seq("band_id", "band_key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val agg = Dedup.bandedKeys(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(agg == fold)
+  }
+
   test("property: calendar emits only weekdays and respects inclusive bounds") {
     val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
       .collect().map(_.getDate(0).toLocalDate)
