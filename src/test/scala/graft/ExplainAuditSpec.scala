@@ -37,6 +37,23 @@ class ExplainAuditSpec extends SparkSpec {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ANN top-k ranks via a partial-aggregated ObjectHashAggregate, not a window sort") {
+    for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still ranks through a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the aggregate rank")
+      // partial + final pair => map-side combine caps the exchange at
+      // k rows per partition per query
+      assert(p.contains("partial_topkbyscore"), s"$q lost partial aggregation")
+    }
+  }
+
+  test("minhash banding partial-aggregates the exploded shingles before the id exchange") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("partial_min"), s"banding lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("recency window pushes ts bounds into the parquet scan") {
     val p = Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
       .queryExecution.executedPlan.toString
