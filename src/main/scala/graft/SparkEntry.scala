@@ -422,6 +422,65 @@ object SparkEntry {
           col("m_ts"), col("n_ts"), col("headline"))
     }),
 
+    // Sessionization — the canonical event-pipeline derivation: a new
+    // session starts after > 30 min of per-user inactivity; the session
+    // id is the running count of boundaries. One window shuffle on
+    // user_id shared by the lag and the running sum, then the groupBy
+    // re-uses the same hash partitioning — at 100 TB this is one
+    // exchange, not three. All outputs are integer-exact (counts,
+    // epoch-µs durations), so the oracle hash cannot wobble on float
+    // summation order.
+    "ev_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > gapUs, 1L).otherwise(0L).as("new_sess"))
+      flagged
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .withColumn("duration_us",
+          unix_micros(col("session_end")) - unix_micros(col("session_start")))
+    }),
+
+    // Trailing 24-hour range-frame window per user — rolling activity
+    // counts with an event-TIME frame (not row count), the shape behind
+    // rate limits and rolling features. The frame key is epoch-µs, so
+    // RANGE peers are identical across engines; count/min/max are
+    // order-free (no float-sum divergence inside the frame).
+    "ev_rolling_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 24L * 3600 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-dayUs, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_24h"),
+          min(col("value")).over(w).as("min_24h"),
+          max(col("value")).over(w).as("max_24h"))
+    }),
+
+    // Corpus profile with ROLLUP — per (lang, source), per lang, and
+    // grand-total doc/char counts in ONE pass: the Expand operator
+    // replicates each row once per grouping set BEFORE the partial
+    // aggregate, so the exchange carries 3 aggregate rows per group,
+    // not 3 scans of the corpus (what three separate queries would
+    // cost). Counts and integer char sums only — hash-exact.
+    "ta_profile_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // Incremental dedup: the daily-ingest form — near-dup pairs between a
     // new batch (re-crawl copy, shifted ids) and the base corpus only;
     // candidate volume is proportional to the BATCH, not the history.
@@ -1532,6 +1591,41 @@ object SparkEntry {
         | AND n.event_id % 97 = 0
         | AND n.ts > m.ts - INTERVAL 24 HOUR
         | AND n.ts <= m.ts""".stripMargin,
+
+    // lag NULL on the first row: NULL > gap is NULL -> ELSE 0, matching
+    // Spark's when().otherwise(0) — session ids start at 0 in both.
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id))
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "ev_rolling_24h" ->
+      """SELECT user_id, event_id, ts,
+        |       count(*) OVER w AS n_24h,
+        |       min(value) OVER w AS min_24h,
+        |       max(value) OVER w AS max_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "ta_profile_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
 
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
