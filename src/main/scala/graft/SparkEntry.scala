@@ -481,6 +481,20 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // Source × language pivot — doc counts with the languages as
+    // columns. Pivot values passed EXPLICITLY: without them Spark runs
+    // an extra distinct scan to discover the columns (a full pass at
+    // 100 TB) and the schema becomes data-dependent. With them the
+    // pivot is one CASE-based partial aggregate — same shuffle as a
+    // plain groupBy(source). Empty cells filled to 0 to match the
+    // oracle's FILTER counts.
+    "ta_pivot_langs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L)),
+
     // Incremental dedup: the daily-ingest form — near-dup pairs between a
     // new batch (re-crawl copy, shifted ids) and the base corpus only;
     // candidate volume is proportional to the BATCH, not the history.
@@ -1626,6 +1640,15 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "ta_pivot_langs" ->
+      """SELECT source,
+        |       count(*) FILTER (WHERE lang = 'de') AS de,
+        |       count(*) FILTER (WHERE lang = 'en') AS en,
+        |       count(*) FILTER (WHERE lang = 'es') AS es,
+        |       count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |       count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
 
     "sim_lsh_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

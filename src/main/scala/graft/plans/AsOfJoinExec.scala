@@ -88,8 +88,10 @@ case class AsOfJoinExec(
       var held: InternalRow = null
 
       lIter.map { l =>
-        val lKey = lKeyEval(l).copy()
-        val lKeyVal = lKey.get(0, lk.dataType)
+        // no copy: the projection buffer is only rewritten by the NEXT
+        // left row, and lKeyVal is not referenced past this iteration
+        // (heldKey, which IS retained, is copied where it is captured)
+        val lKeyVal = lKeyEval(l).get(0, lk.dataType)
         val lTimeVal = lTimeEval(l).getLong(0)
         // Drop held state from an earlier key.
         if (held != null && keyOrd.compare(heldKey.asInstanceOf[AnyRef],
