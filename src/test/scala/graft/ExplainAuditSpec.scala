@@ -54,6 +54,24 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("column pruning reaches the scans below AsOfJoin") {
+    import org.apache.spark.sql.functions._
+    // wide inputs, narrow output: only the selected + join columns may
+    // survive into ReadSchema (generic ColumnPruning sees the node's
+    // key/time expressions because they are declared plan fields)
+    val left = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"), col("props"))
+    val right = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"),
+        col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"))
+    val p = graft.operators.AsOf.asOfJoin(left, right, "user_id", "o_custkey",
+        "ts", "o_ts", java.time.Duration.ofDays(30))
+      .select(col("user_id"), col("ts"), col("o_totalprice"))
+      .queryExecution.executedPlan.toString
+    for (dead <- Seq("props", "event_type", "o_orderstatus", "o_orderkey"))
+      assert(!p.contains(dead), s"unused column $dead still read:\n$p")
+  }
+
   test("recency window pushes ts bounds into the parquet scan") {
     val p = Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
       .queryExecution.executedPlan.toString
