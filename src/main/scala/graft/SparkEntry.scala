@@ -468,6 +468,22 @@ object SparkEntry {
           max(col("value")).over(w).as("max_24h"))
     }),
 
+    // ST3 — Spark's native session_window (the streaming-capable
+    // sessionizer: the same expression runs under a watermark in append
+    // mode). Boundary semantics differ from ev_sessionize's lag form: a
+    // session extends [ts, ts+gap), so a NEW session starts at diff >=
+    // gap (ev_sessionize splits at diff > gap). The oracle derives the
+    // identical sessions independently with the lag construction at the
+    // >= boundary — pinning the builtin against first principles.
+    "st3_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"))),
+
     // Corpus profile with ROLLUP — per (lang, source), per lang, and
     // grand-total doc/char counts in ONE pass: the Expand operator
     // replicates each row once per grouping set BEFORE the partial
@@ -1634,6 +1650,25 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // session boundary at diff >= gap; window end = last event + gap
+    "st3_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id))
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS w_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "ta_profile_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,

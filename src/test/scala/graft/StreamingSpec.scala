@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window finalizes sessions in streaming append mode once the watermark passes") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[NewsEvent]
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"))
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      input.addData(
+        ev("A", "2024-01-01 10:00:00", "x"),
+        ev("A", "2024-01-01 10:10:00", "x"),   // merges: gap 10 min < 30
+        ev("A", "2024-01-01 10:20:00", "x"),   // extends session to 10:50
+        ev("B", "2024-01-01 10:05:00", "x"))
+      q.processAllAvailable()
+      assert(spark.table("sw").count() == 0)   // watermark 10:10 < session ends
+
+      input.addData(ev("A", "2024-01-01 12:00:00", "advances-watermark"))
+      q.processAllAvailable()
+      input.addData(ev("A", "2024-01-01 12:01:00", "tick"))
+      q.processAllAvailable()
+      val got = spark.table("sw").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 16),
+          r.getTimestamp(2).toString.substring(11, 16), r.getLong(3))).toSet
+      assert(got == Set(
+        ("A", "10:00", "10:50", 3L),           // 3 events merged, end = last + gap
+        ("B", "10:05", "10:35", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup: band-bucket state pairs new docs against residents, then expires") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[DocEvent]
