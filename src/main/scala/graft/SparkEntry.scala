@@ -484,6 +484,25 @@ object SparkEntry {
           col("session_window.end").as("w_end"),
           col("n_events"))),
 
+    // The ranking/distribution window-function family in one pass —
+    // ntile, percent_rank, cume_dist, first_value, nth_value, lead over
+    // a single (user_id)-partitioned sort, so one exchange serves all
+    // six. Order key (value, event_id) is unique per user: rank-based
+    // distributions are tie-free and deterministic in both engines.
+    "ev_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          Rounding.stable(percent_rank().over(w), 6).as("pct_rank"),
+          Rounding.stable(cume_dist().over(w), 6).as("cume"),
+          first_value(col("event_id")).over(w).as("smallest_event"),
+          nth_value(col("event_id"), 2).over(w).as("second_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"))
+    }),
+
     // Corpus profile with ROLLUP — per (lang, source), per lang, and
     // grand-total doc/char counts in ONE pass: the Expand operator
     // replicates each row once per grouping set BEFORE the partial
@@ -1669,6 +1688,18 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS w_end,
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // ntile is BIGINT in DuckDB, IntegerType in Spark — cast to match
+    "ev_window_funcs" ->
+      s"""SELECT user_id, event_id, value,
+         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |       ${Rounding.stableSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |       ${Rounding.stableSql("cume_dist() OVER w", 6)} AS cume,
+         |       first_value(event_id) OVER w AS smallest_event,
+         |       nth_value(event_id, 2) OVER w AS second_event,
+         |       lead(event_id, 1) OVER w AS next_event
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
 
     "ta_profile_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
