@@ -430,25 +430,9 @@ object SparkEntry {
     // exchange, not three. All outputs are integer-exact (counts,
     // epoch-µs durations), so the oracle hash cannot wobble on float
     // summation order.
-    "ev_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val gapUs = 30L * 60 * 1000000
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val flagged = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-              > gapUs, 1L).otherwise(0L).as("new_sess"))
-      flagged
-        .withColumn("session_id", sum(col("new_sess")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
-        .withColumn("duration_us",
-          unix_micros(col("session_end")) - unix_micros(col("session_start")))
-    }),
+    "ev_sessionize" -> ((s, dir) =>
+      Sessions.aggregate(Tables.events(s, dir),
+        "user_id", "ts", Seq("event_id"), gapSeconds = 1800)),
 
     // Trailing 24-hour range-frame window per user — rolling activity
     // counts with an event-TIME frame (not row count), the shape behind

@@ -54,6 +54,12 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sessionization plans ONE exchange shared by both windows and the aggregate") {
+    val p = plan("ev_sessionize")
+    assert("Exchange".r.findAllMatchIn(p).size == 1,
+      s"sessionize should shuffle exactly once:\n$p")
+  }
+
   test("column pruning reaches the scans below AsOfJoin") {
     import org.apache.spark.sql.functions._
     // wide inputs, narrow output: only the selected + join columns may

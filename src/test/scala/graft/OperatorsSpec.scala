@@ -175,6 +175,40 @@ class AsOfSpec extends SparkSpec {
   }
 }
 
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(k: String, t: String, id: Long) =
+    (k, java.sql.Timestamp.valueOf(t), id)
+
+  test("gap boundary: exactly 30 min stays in-session; one microsecond more splits") {
+    val df = Seq(
+      ev("a", "2024-01-01 10:00:00", 1),
+      ev("a", "2024-01-01 10:30:00", 2),          // gap == 1800s: same session
+      ev("a", "2024-01-01 11:00:00.000001", 3),   // gap 1800s + 1µs: new session
+      ev("b", "2024-01-01 10:00:00", 4))          // keys never share sessions
+      .toDF("k", "ts", "event_id")
+    val ids = Sessions.assignIds(df, "k", "ts", Seq("event_id"), 1800)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(ids == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("aggregate: per-session counts, bounds, and exact µs duration") {
+    val df = Seq(
+      ev("a", "2024-01-01 10:00:00", 1),
+      ev("a", "2024-01-01 10:10:00", 2),
+      ev("a", "2024-01-01 12:00:00", 3))
+      .toDF("k", "ts", "event_id")
+    val out = Sessions.aggregate(df, "k", "ts", Seq("event_id"), 1800)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getTimestamp(3).toString.substring(11, 16),
+          r.getLong(5)))).toMap
+    assert(out == Map(
+      0L -> ((2L, "10:00", 600L * 1000000)),
+      1L -> ((1L, "12:00", 0L))))
+  }
+}
+
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
