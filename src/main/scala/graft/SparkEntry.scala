@@ -194,6 +194,37 @@ object SparkEntry {
         valueCol = "o_totalprice",
         offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")),
 
+    // J4c — the SAME nearest-quarter YoY semantics as j4_asof_tolerance,
+    // but through the native as-of join in NEAREST direction: the
+    // per-key latest row probes (target = latest − 12 months) against
+    // unique per-(key, date) totals; the merge walk picks the closer of
+    // the backward/forward neighbors, ties to the later date — exactly
+    // the reference's argmin over date-descending candidates
+    // (market.py:111-135). One shuffle per side, no per-key history
+    // fan-out; prev == 0 rejected after the pick (market.py:130-132).
+    "j4c_asof_nearest" -> ((s, dir) => {
+      val quarters = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(Rounding.stable(sum(col("o_totalprice")), 2).as("v"))
+      val latest = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("t").desc)
+        quarters.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("k").as("lk"), col("t").as("cur_time"), col("v").as("cur_value"),
+            add_months(col("t"), -12).cast("timestamp").as("target_ts"))
+      }
+      AsOf.asOfJoin(latest,
+          quarters.select(col("k"), col("t").cast("timestamp").as("rt"), col("v")),
+          "lk", "k", "target_ts", "rt",
+          java.time.Duration.ofDays(120), "nearest")
+        .filter(col("v").isNotNull && col("v") =!= 0)
+        .select(col("lk").as("o_custkey"), col("cur_time"), col("cur_value"),
+          col("rt").cast("date").as("prev_time"), col("v").as("prev_value"),
+          Rounding.stable(
+            (col("cur_value") - col("v")) / abs(col("v")) * 100, 2).as("yoy_pct"))
+    }),
+
     // A5–A8 — the validator as ONE multi-aggregate pass (validator.py:25-100).
     "a5a8_validator" -> ((s, dir) =>
       Validator.measure(Tables.lineitem(s, dir), Validator.Rules(
@@ -1440,6 +1471,28 @@ object SparkEntry {
         |       round((cur_value - prev_value) / abs(prev_value) * 100, 2) AS yoy_pct
         |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC, o_orderkey DESC) AS rn FROM cand)
         |WHERE rn = 1 AND prev_value <> 0""".stripMargin,
+
+    // nearest = rank by (distance ASC, later-date-first); the native
+    // exec's microsecond distances order identically to day diffs on
+    // midnight dates, and tolerance 120 days is the same boundary
+    "j4c_asof_nearest" ->
+      s"""WITH q AS (
+         |  SELECT o_custkey AS k, o_orderdate::DATE AS t,
+         |         ${Rounding.stableSql("sum(o_totalprice)", 2)} AS v
+         |  FROM orders GROUP BY 1, 2),
+         |latest AS (
+         |  SELECT k, t AS cur_time, v AS cur_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY t DESC) AS rn FROM q)
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT l.k, l.cur_time, l.cur_value, q.t AS prev_time, q.v AS prev_value,
+         |         abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, q.t)) AS dd
+         |  FROM latest l JOIN q ON q.k = l.k
+         |  WHERE abs(date_diff('day', (l.cur_time - INTERVAL 12 MONTH)::DATE, q.t)) <= 120)
+         |SELECT k AS o_custkey, cur_time, cur_value, prev_time, prev_value,
+         |       ${Rounding.stableSql("(cur_value - prev_value) / abs(prev_value) * 100", 2)} AS yoy_pct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dd ASC, prev_time DESC) AS rn FROM cand)
+         |WHERE rn = 1 AND prev_value <> 0""".stripMargin,
 
     "a5a8_validator" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_count,

@@ -90,11 +90,17 @@ object AsOf {
     * TimestampType. Right-side (key, time) should be unique for a
     * deterministic pick (ties take the last in sort order).
     */
+  /** @param direction "backward" (latest right ≤ t, the default),
+    *                   "forward" (earliest right > t) or "nearest"
+    *                   (closer of the two, ties to the later row —
+    *                   the reference's J4 argmin semantics)
+    */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tolerance: java.time.Duration): DataFrame = {
+      tolerance: java.time.Duration,
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     def attr(p: LogicalPlan, n: String) =
@@ -122,6 +128,7 @@ object AsOf {
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoin(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey), lt, rt,
-        tolerance.toNanos / 1000L))
+        tolerance.toNanos / 1000L,
+        graft.plans.AsOfDirection.parse(direction)))
   }
 }

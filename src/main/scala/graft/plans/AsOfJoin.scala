@@ -5,13 +5,36 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalP
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
-/** Logical as-of join: for every left row (k, t), attach the latest right
-  * row of the same key with rightTime ≤ t and t − rightTime ≤ tolerance;
-  * no match → right columns null (left-outer semantics).
+/** Match direction of the as-of pick (pandas `merge_asof` parity):
+  *  - [[AsOfDirection.Backward]]: latest right with rightTime ≤ t;
+  *  - [[AsOfDirection.Forward]]:  earliest right with rightTime > t;
+  *  - [[AsOfDirection.Nearest]]:  the closer of the two, ties to the
+  *    LATER right row — the reference's argmin over date-DESCENDING
+  *    candidates (src/providers/market.py:111,121-125), so the native
+  *    operator expresses the J4 nearest-quarter semantics directly.
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+
+  def parse(s: String): AsOfDirection = s match {
+    case "backward" => Backward
+    case "forward" => Forward
+    case "nearest" => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asOfJoin direction must be backward|forward|nearest, got $other")
+  }
+}
+
+/** Logical as-of join: for every left row (k, t), attach the right row
+  * of the same key picked by `direction` with time distance ≤
+  * tolerance; no match → right columns null (left-outer semantics).
   *
   * This is the whole-operator form of the reference's nearest-quarter
   * lookup (J4, src/providers/market.py:111-135) and of pandas
-  * `merge_asof(direction="backward", tolerance=...)` — a first-class plan
+  * `merge_asof(direction=..., tolerance=...)` — a first-class plan
   * node instead of the window+join composition in
   * [[graft.operators.AsOf]]. SURVEY.md §7.3 option (c): custom
   * LogicalPlan + SparkStrategy + SparkPlan, registered through
@@ -24,7 +47,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Long) extends BinaryNode {
+    toleranceMicros: Long,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -39,8 +63,8 @@ case class AsOfJoin(
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
     case _ => Nil
   }
 }

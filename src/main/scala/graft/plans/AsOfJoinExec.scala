@@ -12,6 +12,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * partition pair — O(|L| + |R|) after the sort, no per-row lookups, no
   * buffering beyond ONE retained right row.
   *
+  * Direction costs nothing extra: the walk already has both candidates
+  * in hand — the retained `held` row is the backward match, and the
+  * next UNCONSUMED right row (`rBuf.head`, first of the same key with
+  * time > left time) is the forward match; `nearest` compares their
+  * distances, ties to the later row (reference argmin semantics,
+  * market.py:121-125).
+  *
   * Scale shape: exactly a sort-merge join's exchange profile (one
   * shuffle per side, co-partitioned by EnsureRequirements, sort amortized
   * by the exchange), but the probe is the as-of walk instead of an
@@ -19,8 +26,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * with two extra shuffles and a full per-key history join.
   *
   * Tie-break: among right rows with equal (key, time) the LAST in sort
-  * order wins — callers wanting determinism ensure unique (key, time) on
-  * the right (the bundled query pre-aggregates).
+  * order wins for backward (the FIRST for forward) — callers wanting
+  * determinism ensure unique (key, time) on the right (the bundled
+  * query pre-aggregates).
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -29,7 +37,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Long) extends BinaryExecNode {
+    toleranceMicros: Long,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,6 +73,8 @@ case class AsOfJoinExec(
     val lt = leftTime
     val rt = rightTime
     val tol = toleranceMicros
+    val dir = direction
+    val wantFwd = dir != AsOfDirection.Backward
     val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
     val nOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -118,8 +129,32 @@ case class AsOfJoinExec(
             } else advancing = false
           } else advancing = false
         }
-        val matched = held != null && (lTimeVal - heldTime) <= tol
-        result(joined(l, if (matched) held else nullRight))
+        // Backward candidate: the retained row; forward candidate: the
+        // next unconsumed right row when it is the same key within
+        // tolerance (NOT consumed — later left rows re-check it).
+        val backOk = held != null && (lTimeVal - heldTime) <= tol
+        var fwd: InternalRow = null
+        var fwdTime = 0L
+        if (wantFwd && rBuf.hasNext) {
+          val r = rBuf.head
+          val rKeyVal = rKeyEval(r).get(0, rk.dataType)
+          if (keyOrd.compare(rKeyVal.asInstanceOf[AnyRef],
+              lKeyVal.asInstanceOf[AnyRef]) == 0) {
+            val t = rTimeEval(r).getLong(0)
+            if (t - lTimeVal <= tol) { fwd = r; fwdTime = t }
+          }
+        }
+        val chosen = dir match {
+          case AsOfDirection.Backward => if (backOk) held else null
+          case AsOfDirection.Forward => fwd
+          case AsOfDirection.Nearest =>
+            if (backOk && fwd != null) {
+              // tie (equal distance) -> the LATER row (forward)
+              if (lTimeVal - heldTime < fwdTime - lTimeVal) held else fwd
+            } else if (backOk) held
+            else fwd
+        }
+        result(joined(l, if (chosen != null) chosen else nullRight))
       }
     }
   }

@@ -130,6 +130,39 @@ class AsOfSpec extends SparkSpec {
     assert(joined.collect().toSet == direct.collect().toSet)
   }
 
+  test("native asOfJoin directions: forward picks the next row, nearest ties to the later") {
+    val left = tsDf("lv",
+      (1L, "2024-01-10 00:00:00", 1.0),   // back 2d (Jan 8) vs fwd 5d (Jan 15)
+      (2L, "2024-01-10 00:00:00", 2.0),   // back 4d vs fwd 4d: exact tie
+      (3L, "2024-01-10 00:00:00", 3.0),   // back out of tolerance, fwd in
+      (4L, "2024-01-10 00:00:00", 4.0))   // only a backward candidate
+    val right = tsDf("rv",
+      (1L, "2024-01-08 00:00:00", 10.0),
+      (1L, "2024-01-15 00:00:00", 11.0),
+      (2L, "2024-01-06 00:00:00", 20.0),
+      (2L, "2024-01-14 00:00:00", 21.0),
+      (3L, "2023-12-01 00:00:00", 30.0),
+      (3L, "2024-01-12 00:00:00", 31.0),
+      (4L, "2024-01-09 00:00:00", 40.0))
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    def run(dir: String) = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7), dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(run("backward") == Map(1L -> Some(10.0), 2L -> Some(20.0),
+      3L -> None, 4L -> Some(40.0)))
+    assert(run("forward") == Map(1L -> Some(11.0), 2L -> Some(21.0),
+      3L -> Some(31.0), 4L -> None))
+    assert(run("nearest") == Map(
+      1L -> Some(10.0),   // 2 days back beats 5 forward
+      2L -> Some(21.0),   // 4 == 4: tie goes to the LATER row (J4 argmin)
+      3L -> Some(31.0),   // backward out of tolerance
+      4L -> Some(40.0)))  // only candidate
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7), "sideways")
+    }
+  }
+
   test("native asOfJoin self-join: right side re-aliased, columns bind to the correct side") {
     val df = tsDf("v",
       (1L, "2024-01-10 00:00:00", 1.0),
