@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -52,6 +52,25 @@ case class AsOfJoin(
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  // exactly one output row per left row (left-outer, rank-1 pick)
+  override def maxRows: Option[Long] = left.maxRows
+
+  /** The default stats visitor treats an unknown BinaryNode like an
+    * unconstrained join: sizeInBytes = PRODUCT of the children — two
+    * 1 GB inputs would report 1 EB, so any join planned ABOVE an as-of
+    * join could never choose broadcast. The true cardinality is |left|
+    * (one row per left row); size is bounded by left + one right row's
+    * width per left row ≤ left + right scaled to left's rowcount — the
+    * children's SUM is the honest upper bound.
+    */
+  override def stats: Statistics = {
+    val l = left.stats
+    val r = right.stats
+    Statistics(
+      sizeInBytes = (l.sizeInBytes + r.sizeInBytes).max(1),
+      rowCount = l.rowCount)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =

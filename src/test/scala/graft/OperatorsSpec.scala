@@ -196,6 +196,18 @@ class AsOfSpec extends SparkSpec {
     assert(out == Set((1L, Some(10.0)))) // contract-violating rows filtered, no NPE
   }
 
+  test("AsOfJoin reports sum-not-product size stats (planners above it can still broadcast)") {
+    val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
+    val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    val plan = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7))
+      .queryExecution.optimizedPlan
+    val node = plan.collectFirst { case a: graft.plans.AsOfJoin => a }.get
+    val (l, r) = (node.left.stats.sizeInBytes, node.right.stats.sizeInBytes)
+    assert(node.stats.sizeInBytes == (l + r).max(1)) // default visitor would say l * r
+  }
+
   test("native asOfJoin plans as AsOfJoinExec with sorted co-partitioned children") {
     val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
     val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
