@@ -72,6 +72,31 @@ object StreamDemo {
     q2.stop()
     val total = spark.read.parquet(streamDir.toString).count()
     println(s"STREAM_DEMO dedup_emitted=${spark.table("demo_dedup").count()} from_raw=$total")
+
+    // Native session windows on the live feed: sessions finalize as the
+    // watermark passes their end; the open tail stays in state.
+    val q3 = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append").start()
+    q3.processAllAvailable()
+    q3.stop()
+    println(s"STREAM_DEMO finalized_sessions=${spark.table("demo_sessions").count()}")
+
+    // Streaming near-dup candidates: headlines band by minhash signature;
+    // re-crawled duplicates pair against bucket residents as they arrive.
+    val q4 = StreamingNearDedup
+      .nearDupPairs(stream.select(col("event_id").as("doc_id"),
+          concat(lit("event text "), pmod(col("event_id"), lit(50))).as("text"),
+          col("ts")),
+        "doc_id", "text", "ts", minEstJaccard = 0.99)
+      .writeStream.format("memory").queryName("demo_neardup")
+      .outputMode("append").start()
+    q4.processAllAvailable()
+    q4.stop()
+    println(s"STREAM_DEMO neardup_pairs=${spark.table("demo_neardup").count()}")
     spark.stop()
   }
 }
