@@ -54,6 +54,14 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rank-1 recency picks compile to WindowGroupLimit (top-1 kept per partition pre-shuffle)") {
+    for (q <- Seq("a1_top1_recency", "a2_top1_string_recency")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q ranks without the group-limit optimization:\n$p")
+    }
+  }
+
   test("sessionization plans ONE exchange shared by both windows and the aggregate") {
     val p = plan("ev_sessionize")
     assert("Exchange".r.findAllMatchIn(p).size == 1,
