@@ -886,6 +886,26 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // Semi/anti-join pair — customers with and without orders per
+    // nation. left_semi/left_anti materialize NO right columns (the
+    // probe short-circuits on first match), so the build side ships
+    // only its join key — at 100 TB the difference between shuffling
+    // orders' keys and shuffling orders. The two branches share the
+    // customer scan; counts merge on a full outer + coalesce.
+    "q16_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ordKeys = Tables.orders(s, dir).select(col("o_custkey"))
+      val semi = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+      val anti = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+      semi.join(anti, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+    }),
+
     // Multi-join aggregation (TPC-H Q5 shape): dims broadcast, one fact
     // shuffle on the join key.
     "q5_join_agg" -> ((s, dir) =>
@@ -1824,6 +1844,22 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q16_semi_anti" ->
+      """WITH with_o AS (
+        |  SELECT c_nationkey, count(*) AS n_with_orders
+        |  FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_nationkey),
+        |without_o AS (
+        |  SELECT c_nationkey, count(*) AS n_without_orders
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_nationkey)
+        |SELECT c_nationkey,
+        |       coalesce(n_with_orders, 0) AS n_with_orders,
+        |       coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM with_o FULL OUTER JOIN without_o USING (c_nationkey)""".stripMargin
   )
 }
