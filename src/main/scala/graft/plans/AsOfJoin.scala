@@ -77,13 +77,24 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected via
+/** Plans [[AsOfJoin]]: [[BroadcastAsOfJoinExec]] when the right side's
+  * statistics fit under `spark.sql.autoBroadcastJoinThreshold` (the big
+  * left side then never shuffles — the win when the left is the 100 TB
+  * fact and the right a small history), else the co-partitioned
+  * sort-merge [[AsOfJoinExec]]. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy`.
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir)
+        else
+          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir)
+      exec :: Nil
     case _ => Nil
   }
 }

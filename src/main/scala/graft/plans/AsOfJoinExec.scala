@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, StatefulOpClusteredDistribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -157,5 +157,124 @@ case class AsOfJoinExec(
         result(joined(l, if (chosen != null) chosen else nullRight))
       }
     }
+  }
+}
+
+/** Broadcast as-of join — the shape for the COMMON asymmetry where the
+  * right side is a small dimension-like history (quarterly fundamentals)
+  * and the left is the 100 TB fact: the merge exec must hash-shuffle
+  * BOTH sides, but with the right side broadcast the left stays exactly
+  * where it is — zero exchanges, zero sorts on the big side. Each task
+  * builds one (key → time-sorted rows) index from the broadcast and
+  * binary-searches it per left row: O(|L| log |R_k|) with no left
+  * repartitioning.
+  *
+  * Picked by [[AsOfJoinStrategy]] when the right side's stats fit under
+  * `spark.sql.autoBroadcastJoinThreshold` — the same stats-driven
+  * criterion as the built-in broadcast joins (and why [[AsOfJoin]]
+  * reports honest sizes). Tie semantics match the merge exec: equal
+  * right (key, time) rows resolve to the LAST in input order for
+  * backward, the FIRST for forward (stable sort preserves input order).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceMicros: Long,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rBroadcast = right.executeBroadcast[Array[InternalRow]]()
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    val tol = toleranceMicros
+    val dir = direction
+    val nOut = output
+    left.execute().mapPartitions({ lIter =>
+      val rKeyEval = UnsafeProjection.create(Seq(rk), rOut)
+      val rTimeEval = UnsafeProjection.create(Seq(rt), rOut)
+      val lKeyEval = UnsafeProjection.create(Seq(lk), lOut)
+      val lTimeEval = UnsafeProjection.create(Seq(lt), lOut)
+      val result = UnsafeProjection.create(nOut,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight: InternalRow = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      // key → (times sorted asc, rows in the same order); built once per
+      // task from the broadcast value (rows are already driver-collected
+      // copies). Stable sort keeps input order among equal times.
+      val index = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])]()
+      locally {
+        val tmp = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        for (r <- rBroadcast.value) {
+          // copy: the projection buffer is reused and map keys outlive it
+          val k = rKeyEval(r).copy().get(0, rk.dataType)
+          val t = rTimeEval(r).getLong(0)
+          var buf = tmp.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+            tmp.put(k, buf)
+          }
+          buf += ((t, r))
+        }
+        tmp.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1)
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+
+      lIter.map { l =>
+        val k = lKeyEval(l).get(0, lk.dataType)
+        val lTimeVal = lTimeEval(l).getLong(0)
+        val entry = index.get(k)
+        var chosen: InternalRow = null
+        if (entry != null) {
+          val (times, rows) = entry
+          // first index with time > lTimeVal
+          var lo = 0
+          var hi = times.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= lTimeVal) lo = mid + 1 else hi = mid
+          }
+          val backOk = lo > 0 && lTimeVal - times(lo - 1) <= tol
+          val fwdOk = lo < times.length && times(lo) - lTimeVal <= tol
+          chosen = dir match {
+            case AsOfDirection.Backward => if (backOk) rows(lo - 1) else null
+            case AsOfDirection.Forward => if (fwdOk) rows(lo) else null
+            case AsOfDirection.Nearest =>
+              if (backOk && fwdOk) {
+                // tie (equal distance) -> the LATER row (forward)
+                if (lTimeVal - times(lo - 1) < times(lo) - lTimeVal) rows(lo - 1)
+                else rows(lo)
+              } else if (backOk) rows(lo - 1)
+              else if (fwdOk) rows(lo)
+              else null
+          }
+        }
+        result(joined(l, if (chosen != null) chosen else nullRight))
+      }
+    }, preservesPartitioning = true)
   }
 }

@@ -208,15 +208,49 @@ class AsOfSpec extends SparkSpec {
     assert(node.stats.sizeInBytes == (l + r).max(1)) // default visitor would say l * r
   }
 
-  test("native asOfJoin plans as AsOfJoinExec with sorted co-partitioned children") {
+  test("merge path (broadcast disabled) plans sorted co-partitioned children") {
+    val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
+    val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7)).queryExecution.executedPlan.toString
+      // SparkPlan.nodeName strips the Exec suffix in plan strings
+      assert(p.contains("AsOfJoin") && !p.contains("BroadcastAsOfJoin"))
+      assert(p.contains("Sort") && p.contains("Exchange hashpartitioning"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("small right side picks BroadcastAsOfJoinExec: the left never shuffles") {
     val left = tsDf("lv", (1L, "2024-01-10 00:00:00", 1.0))
     val right = tsDf("rv", (1L, "2024-01-08 00:00:00", 10.0))
       .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
     val p = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
       java.time.Duration.ofDays(7)).queryExecution.executedPlan.toString
-    // SparkPlan.nodeName strips the Exec suffix in plan strings
-    assert(p.contains("AsOfJoin"))
-    assert(p.contains("Sort") && p.contains("Exchange hashpartitioning"))
+    assert(p.contains("BroadcastAsOfJoin"))
+    assert(!p.contains("Exchange hashpartitioning"), s"left side shuffled:\n$p")
+  }
+
+  test("broadcast and merge paths agree for every direction") {
+    val left = tsDf("lv",
+      (1L, "2024-01-10 00:00:00", 1.0), (2L, "2024-01-10 00:00:00", 2.0),
+      (3L, "2024-01-10 00:00:00", 3.0), (4L, "2024-01-10 00:00:00", 4.0))
+    val right = tsDf("rv",
+      (1L, "2024-01-08 00:00:00", 10.0), (1L, "2024-01-15 00:00:00", 11.0),
+      (2L, "2024-01-06 00:00:00", 20.0), (2L, "2024-01-14 00:00:00", 21.0),
+      (3L, "2023-12-01 00:00:00", 30.0), (3L, "2024-01-12 00:00:00", 31.0),
+      (4L, "2024-01-09 00:00:00", 40.0))
+      .withColumnRenamed("k", "rk").withColumnRenamed("t", "rt")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val broadcast = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+        java.time.Duration.ofDays(7), dir).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merge = try AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+          java.time.Duration.ofDays(7), dir).collect().map(_.toSeq).toSet
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(broadcast == merge, s"direction $dir diverges")
+    }
   }
 }
 

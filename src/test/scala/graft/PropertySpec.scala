@@ -143,15 +143,21 @@ class SparkAlgebraSpec extends SparkSpec {
     val lDf = left.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "t", "lv")
     val rDf = right.map { case (k, t, v) => (k, ts(t), v) }.toDF("rk", "rt", "rv")
     val tol = java.time.Duration.ofSeconds(100)
-    val got = AsOf.asOfJoin(lDf, rDf, "k", "rk", "t", "rt", tol)
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
-        r.getDouble(2)) -> Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
     val rByKey = right.groupBy(_._1)
-    left.foreach { case (k, t, lv) =>
-      val expected = rByKey.getOrElse(k, Nil)
-        .filter(r => r._2 <= t && t - r._2 <= 100)
-        .sortBy(_._2).lastOption.map(_._3)
-      assert(got((k, t, lv)) == expected, s"key $k t $t")
+    // both physical paths must match the brute-force pick
+    for (threshold <- Seq("10MB", "-1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try {
+        val got = AsOf.asOfJoin(lDf, rDf, "k", "rk", "t", "rt", tol)
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+            r.getDouble(2)) -> Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+        left.foreach { case (k, t, lv) =>
+          val expected = rByKey.getOrElse(k, Nil)
+            .filter(r => r._2 <= t && t - r._2 <= 100)
+            .sortBy(_._2).lastOption.map(_._3)
+          assert(got((k, t, lv)) == expected, s"key $k t $t threshold $threshold")
+        }
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
