@@ -886,6 +886,22 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // Set operations over token vocabularies — EXCEPT/INTERSECT compile
+    // to aggregate + anti/semi joins on the hashed token, so vocabulary
+    // diffs between corpus slices stay one shuffle each (the curation
+    // question "what words does slice A use that slice B never does").
+    "ta_token_setops" -> ((s, dir) => {
+      def vocab(lang: String) = Tables.documents(s, dir)
+        .filter(col("lang") === lang)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val en = vocab("en")
+      val fr = vocab("fr")
+      en.except(fr).select(col("token"), lit("en_only").as("membership"))
+        .unionByName(fr.except(en).select(col("token"), lit("fr_only").as("membership")))
+        .unionByName(en.intersect(fr).select(col("token"), lit("shared").as("membership")))
+    }),
+
     // Semi/anti-join pair — customers with and without orders per
     // nation. left_semi/left_anti materialize NO right columns (the
     // probe short-circuits on first match), so the build side ships
@@ -904,6 +920,26 @@ object SparkEntry {
         .select(col("c_nationkey"),
           coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
           coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+    }),
+
+    // The SQL surface — temp views + spark.sql with a CORRELATED scalar
+    // subquery (TPC-H Q17 shape): Catalyst decorrelates the per-part
+    // average into an aggregate + join (no per-row re-execution, which
+    // is what a naive engine does and what dies at scale). The 4-dp
+    // stable rounding on the threshold keeps the float boundary
+    // bit-identical across engines.
+    "q17_small_order" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(s"""
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_small,
+               ${Rounding.stableSql("sum(l_extendedprice)", 2)} AS small_revenue
+        FROM v_lineitem o
+        WHERE l_quantity < (
+          SELECT ${Rounding.stableSql("0.2 * avg(i.l_quantity)", 4)}
+          FROM v_lineitem i WHERE i.l_partkey = o.l_partkey)
+        GROUP BY l_partkey
+      """)
     }),
 
     // Multi-join aggregation (TPC-H Q5 shape): dims broadcast, one fact
@@ -1845,6 +1881,27 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "ta_token_setops" ->
+      """WITH en AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |           FROM documents WHERE lang = 'en'),
+        |fr AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |       FROM documents WHERE lang = 'fr')
+        |SELECT token, 'en_only' AS membership FROM (SELECT token FROM en EXCEPT SELECT token FROM fr)
+        |UNION ALL
+        |SELECT token, 'fr_only' FROM (SELECT token FROM fr EXCEPT SELECT token FROM en)
+        |UNION ALL
+        |SELECT token, 'shared' FROM (SELECT token FROM en INTERSECT SELECT token FROM fr)""".stripMargin,
+
+    "q17_small_order" ->
+      s"""SELECT l_partkey,
+         |       count(*) AS n_small,
+         |       ${Rounding.stableSql("sum(l_extendedprice)", 2)} AS small_revenue
+         |FROM lineitem o
+         |WHERE l_quantity < (
+         |  SELECT ${Rounding.stableSql("0.2 * avg(i.l_quantity)", 4)}
+         |  FROM lineitem i WHERE i.l_partkey = o.l_partkey)
+         |GROUP BY l_partkey""".stripMargin,
 
     "q16_semi_anti" ->
       """WITH with_o AS (
