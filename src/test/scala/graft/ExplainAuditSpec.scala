@@ -86,6 +86,42 @@ class ExplainAuditSpec extends SparkSpec {
       assert(!p.contains(dead), s"unused column $dead still read:\n$p")
   }
 
+  test("ta_decontam: no inferred size() filter re-evaluates the explode input") {
+    // InferFiltersFromGenerate is excluded in every session builder: it
+    // inlines the computed shingle array into a size()>0 filter BELOW
+    // the Generate, re-evaluating the md5 transform ~8x per row
+    // (measured 86s -> 0.8s). Guard the exclusion.
+    val lp = SparkEntry.queries("ta_decontam")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the legit size() lives inside the shingle Project; the pathology
+    // is a Filter evaluating size(<computed array>) below the Generate
+    assert(!lp.contains("Filter (size("), s"inferred generate filter is back:\n$lp")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",          // force SMJ
+      "spark.sql.shuffle.partitions" -> "8",                   // median needs spread
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    conf.keys.foreach(k => spark.conf.set(k, conf(k)))
+    try {
+      // 99% of left rows share one key; right is uniform. No operator
+      // above the join may require the join's partitioning (a downstream
+      // groupBy would veto the split).
+      val left = spark.range(100000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(200).select(col("id").as("k"), col("id").as("rv"))
+      val joined = left.join(right, "k")
+      joined.collect() // withAction on THIS QueryExecution finalizes its AQE plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally conf.keys.foreach(spark.conf.unset)
+  }
+
   test("recency window pushes ts bounds into the parquet scan") {
     val p = Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
       .queryExecution.executedPlan.toString
