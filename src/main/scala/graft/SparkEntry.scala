@@ -836,6 +836,50 @@ object SparkEntry {
           col("ws_tokens").between(5, 200))
     }),
 
+    // E4 — the FULL LLM-curation pipeline as one DAG: near-dup pair
+    // generation (banded minhash) → transitive duplicate clusters →
+    // keep one canonical doc per cluster → benchmark decontamination
+    // (drop docs sharing any word-3-gram with the eval slice) →
+    // deterministic 50% content-keyed sample → quality gate → per-
+    // language corpus profile. Every stage is the already-oracle-
+    // checked operator; this query proves they COMPOSE — the
+    // row-drop-vs-degrade interactions between stages are exactly what
+    // only breaks in composition (same reason e1 exists for the
+    // reference pipeline).
+    "e4_curation_full" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = Dedup.duplicateClusters(
+        corpus.select(col("doc_id").as("id")), pairs)
+      val canonical = corpus.join(
+        clusters.filter(col("id") === col("label"))
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+      val sh = canonical
+        .select(col("doc_id"), Dedup.tokenValues(col("text")).as("tv"))
+        .select(col("doc_id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      val benchG = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(Dedup.tokenValues(col("text")).as("tv"))
+        .select(Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+        .select(explode(col("sh")).as("g")).distinct()
+      val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(benchG), Seq("g"))
+        .select("doc_id").distinct()
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      canonical.join(contaminated, Seq("doc_id"), "left_anti")
+        .join(Tables.documents(s, dir)
+            .select(col("doc_id").as("orig_id"), col("lang")),
+          pmod(col("doc_id"), lit(1000000L)) === col("orig_id"))
+        .filter(Sampling.deterministicKeep(col("doc_id"), 50))
+        .select(col("doc_id"), col("lang"), q("quality").as("quality"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"))
+        .filter(col("quality") >= 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("total_tokens"))
+    }),
+
     // Per-language length statistics: count, mean, exact median and p90
     // of n_chars — the distribution profile a curation run reports before
     // setting length cutoffs. Exact percentiles via one sort-based
@@ -1424,6 +1468,43 @@ object SparkEntry {
         s"       $WsTokensSql AS ws_tokens\n" +
         "FROM t JOIN canon ON md5(t.text) = canon.h AND t.doc_id = canon.cid\n" +
         s"WHERE $QualitySql >= 0.2 AND $WsTokensSql BETWEEN 5 AND 200"),
+
+    "e4_curation_full" ->
+      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+        s"""verified AS (
+           |  SELECT doc_a, doc_b
+           |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |  WHERE $MinhashJaccardSql >= 0.8),
+           |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM verified
+           |  UNION ALL SELECT doc_b, doc_a FROM verified),
+           |walk(node, lab) AS (
+           |  SELECT doc_id, doc_id FROM nodes
+           |  UNION
+           |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node),
+           |clusters AS (SELECT node AS doc_id, min(lab) AS label FROM walk GROUP BY node),
+           |canonical AS (
+           |  SELECT c.doc_id, c.text FROM corpus c
+           |  JOIN clusters cl ON cl.doc_id = c.doc_id AND cl.label = c.doc_id),
+           |bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20),
+           |cont AS (
+           |  SELECT DISTINCT u.doc_id
+           |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh) u JOIN bench_g USING (g)),
+           |clean AS (
+           |  SELECT c.doc_id, c.text FROM canonical c
+           |  WHERE NOT EXISTS (SELECT 1 FROM cont x WHERE x.doc_id = c.doc_id)),
+           |ql AS (
+           |${qualityCteSql("clean")})
+           |""".stripMargin +
+        s"""SELECT lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS total_tokens
+           |FROM (
+           |  SELECT t.doc_id, d.lang, $WsTokensSql AS ws
+           |  FROM ql t JOIN (SELECT doc_id AS orig_id, lang FROM documents) d
+           |    ON d.orig_id = t.doc_id % 1000000
+           |  WHERE ${graft.operators.Sampling.keepSql("t.doc_id", 50)}
+           |    AND $QualitySql >= 0.2)
+           |GROUP BY lang""".stripMargin),
 
     "ta_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)
