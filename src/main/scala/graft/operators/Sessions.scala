@@ -23,13 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** Per-event session ids: (keyCol..., timeCol, tieBreak cols..., session_id). */
+  /** All input columns plus `session_id` (payload columns survive). */
   def assignIds(events: DataFrame, keyCol: String, timeCol: String,
       tieBreak: Seq[String], gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol) +: tieBreak.map(col): _*)
     events
-      .select(col(keyCol) +: col(timeCol) +: tieBreak.map(col): _*)
       .withColumn("__new_sess",
         when(unix_micros(col(timeCol)) - unix_micros(lag(col(timeCol), 1).over(w))
             > gapSeconds * 1000000L, 1L).otherwise(0L))
