@@ -221,11 +221,15 @@ case class BroadcastAsOfJoinExec(
       val nullRight: InternalRow = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
-      // key → (times sorted asc, rows in the same order); built once per
-      // task from the broadcast value (rows are already driver-collected
-      // copies). Stable sort keeps input order among equal times.
-      val index = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])]()
-      locally {
+      // key → (times sorted asc, rows in the same order), built ONCE per
+      // executor and shared by every task on the same broadcast value —
+      // without the cache, 32 concurrent tasks would each hold a full
+      // index copy (the same reason Spark broadcasts a prebuilt
+      // HashedRelation for its hash joins). Read-only after the locked
+      // build, so concurrent reads are safe. Stable sort keeps input
+      // order among equal times.
+      val index = BroadcastAsOfJoinExec.indexFor(rBroadcast.value, { () =>
+        val out = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])]()
         val tmp = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
         for (r <- rBroadcast.value) {
           // copy: the projection buffer is reused and map keys outlive it
@@ -240,9 +244,10 @@ case class BroadcastAsOfJoinExec(
         }
         tmp.forEach { (k, buf) =>
           val sorted = buf.sortBy(_._1)
-          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+          out.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
         }
-      }
+        out
+      })
 
       lIter.map { l =>
         val k = lKeyEval(l).get(0, lk.dataType)
@@ -277,4 +282,19 @@ case class BroadcastAsOfJoinExec(
       }
     }, preservesPartitioning = true)
   }
+}
+
+object BroadcastAsOfJoinExec {
+  // weakly keyed on the broadcast VALUE: entries vanish when the
+  // broadcast is GC'd; SynchronizedMap.computeIfAbsent is atomic, so
+  // the index builds once per executor
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, AnyRef]())
+
+  private[plans] def indexFor(
+      key: AnyRef,
+      build: () => java.util.HashMap[Any, (Array[Long], Array[InternalRow])])
+      : java.util.HashMap[Any, (Array[Long], Array[InternalRow])] =
+    indexCache.computeIfAbsent(key, _ => build())
+      .asInstanceOf[java.util.HashMap[Any, (Array[Long], Array[InternalRow])]]
 }
