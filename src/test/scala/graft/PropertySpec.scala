@@ -223,6 +223,36 @@ class SparkAlgebraSpec extends SparkSpec {
     assert(agg == fold)
   }
 
+  test("property: sessionization matches the brute-force gap scan on random series") {
+    val events = (1 to 20).flatMap { k =>
+      var t = 0L
+      (1 to 30).map { i =>
+        t += rng.nextInt(4000)  // gaps straddle the 1800s boundary
+        (k.toLong, new java.sql.Timestamp(t * 1000L), (k * 1000 + i).toLong)
+      }
+    }
+    val df = events.toDF("k", "ts", "event_id")
+    val got = Sessions.aggregate(df, "k", "ts", Seq("event_id"), 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))).toMap
+    events.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      var sid = 0L
+      var prev = Long.MinValue
+      val bySession = scala.collection.mutable.Map[Long, List[Long]]()
+      sorted.foreach { case (_, ts, _) =>
+        val t = ts.getTime
+        if (prev != Long.MinValue && t - prev > 1800 * 1000L) sid += 1
+        bySession(sid) = t :: bySession.getOrElse(sid, Nil)
+        prev = t
+      }
+      bySession.foreach { case (s, times) =>
+        assert(got((k, s)) == ((times.length.toLong, times.min, times.max)),
+          s"key $k session $s")
+      }
+    }
+  }
+
   test("property: calendar emits only weekdays and respects inclusive bounds") {
     val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
       .collect().map(_.getDate(0).toLocalDate)
