@@ -122,6 +122,25 @@ class ExplainAuditSpec extends SparkSpec {
     } finally conf.keys.foreach(spark.conf.unset)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",          // keep it a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    conf.keys.foreach(k => spark.conf.set(k, conf(k)))
+    try {
+      // selective filter on the build side -> Catalyst injects a bloom
+      // filter on the probe side so fact rows that cannot match are
+      // dropped BEFORE the shuffle
+      val p = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally conf.keys.foreach(spark.conf.unset)
+  }
+
   test("recency window pushes ts bounds into the parquet scan") {
     val p = Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
       .queryExecution.executedPlan.toString
