@@ -33,6 +33,38 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed tables feed the as-of merge with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // bucket count MUST equal shuffle partitions: the merge exec demands
+    // exact StatefulOpClusteredDistribution co-partitioning
+    Seq((1L, ts("2024-01-10 00:00:00"), 1.0), (2L, ts("2024-01-10 00:00:00"), 2.0))
+      .toDF("k", "t", "lv")
+      .write.format("parquet").bucketBy(2, "k").sortBy("k", "t")
+      .mode("overwrite").saveAsTable("asof_l")
+    Seq((1L, ts("2024-01-08 00:00:00"), 10.0), (2L, ts("2024-01-01 00:00:00"), 20.0))
+      .toDF("rk", "rt", "rv")
+      .write.format("parquet").bucketBy(2, "rk").sortBy("rk", "rt")
+      .mode("overwrite").saveAsTable("asof_r")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the merge path
+    try {
+      val j = graft.operators.AsOf.asOfJoin(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "k", "rk", "t", "rt", java.time.Duration.ofDays(7))
+      val out = j.collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+      assert(out == Map(1L -> Some(10.0), 2L -> None)) // 9-day gap > tolerance
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed as-of must not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("a non-bucketed copy of the same join DOES shuffle (the baseline)") {
     val df = (1 to 1000).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
