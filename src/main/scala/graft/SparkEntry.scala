@@ -901,6 +901,16 @@ object SparkEntry {
         .filter(Sampling.deterministicKeep(col("doc_id"), 10))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // Stratified sampling — per-language keep rates over ONE stable
+    // content-keyed hash assignment (downsample the dominant language,
+    // keep the tail): narrow map work, zero shuffle before the count.
+    "ta_sample_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 20, "zh" -> 50), defaultPct = 80))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))),
+
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
     "ta_fingerprint" -> ((s, dir) =>
@@ -1444,6 +1454,13 @@ object SparkEntry {
       s"""SELECT doc_id, lang, n_chars
          |FROM documents
          |WHERE ${graft.operators.Sampling.keepSql("doc_id", 10)}""".stripMargin,
+
+    "ta_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_kept
+         |FROM documents
+         |WHERE ${graft.operators.Sampling.stratifiedKeepSql("doc_id", "lang",
+                  Map("en" -> 20, "zh" -> 50), 80)}
+         |GROUP BY lang""".stripMargin,
 
     "ta_token_topk" ->
       """WITH c AS (

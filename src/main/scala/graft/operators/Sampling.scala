@@ -25,4 +25,28 @@ object Sampling {
   /** SQL mirror of [[deterministicKeep]]. */
   def keepSql(keyExpr: String, pct: Int): String =
     s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 < $pct"
+
+  /** Stratified deterministic sampling: a per-stratum keep rate (the
+    * curation move that downsamples dominant languages/sources while
+    * keeping the tail intact), same content-keyed hash as
+    * [[deterministicKeep]] so strata rates are independent knobs over
+    * ONE stable assignment — changing a rate never reshuffles which
+    * rows a stratum keeps, it only moves the cutoff.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+      pcts: Map[String, Int], defaultPct: Int): Column = {
+    val cutoff = pcts.foldLeft(when(lit(false), defaultPct)) {
+      case (acc, (s, p)) => acc.when(stratum === s, p)
+    }.otherwise(defaultPct)
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long") % 100 < cutoff
+  }
+
+  /** SQL mirror of [[stratifiedKeep]]. */
+  def stratifiedKeepSql(keyExpr: String, stratumExpr: String,
+      pcts: Map[String, Int], defaultPct: Int): String = {
+    val cases = pcts.map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 " +
+      s"< (CASE $stratumExpr $cases ELSE $defaultPct END)"
+  }
 }

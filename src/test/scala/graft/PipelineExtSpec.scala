@@ -117,6 +117,25 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("stratified sampling: raising one stratum's rate only ADDS its rows, others untouched") {
+    val docs = (1 to 500).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    def kept(pctEn: Int, lang: String): Set[Long] = docs
+      .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+        Map("en" -> pctEn), defaultPct = 30))
+      .filter(col("lang") === lang)
+      .collect().map(_.getLong(0)).toSet
+    val en20 = kept(20, "en")
+    val en50 = kept(50, "en")
+    assert(en20.subsetOf(en50) && en20.size < en50.size) // cutoff moves, assignment stable
+    assert(kept(20, "fr") == kept(50, "fr"))             // other strata unaffected
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
