@@ -90,7 +90,7 @@ class AsOfSpec extends SparkSpec {
       (3L, "2024-01-10", 4.0, None)))     // 40-day gap > 7-day tolerance
   }
 
-  test("native asOfJoin handles string keys (interpreted ordering path)") {
+  test("native asOfJoin handles string keys on both physical paths") {
     val left = Seq(
       ("aa", "2024-01-10 00:00:00", 1.0),
       ("b", "2024-01-10 00:00:00", 2.0),
@@ -103,10 +103,18 @@ class AsOfSpec extends SparkSpec {
       ("cc", "2024-01-09 00:00:00", 30.0)) // key with no left rows
       .toDF("rk", "rt", "rv")
       .select(col("rk"), to_timestamp(col("rt")).as("rt"), col("rv"))
-    val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
-        java.time.Duration.ofDays(7))
-      .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
-    assert(out == Map("aa" -> Some(10.0), "b" -> None, "c" -> None))
+    // default threshold -> broadcast (UTF8String map keys); -1 -> merge
+    // walk (interpreted string ordering)
+    for (threshold <- Seq("10MB", "-1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try {
+        val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt",
+            java.time.Duration.ofDays(7))
+          .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
+        assert(out == Map("aa" -> Some(10.0), "b" -> None, "c" -> None),
+          s"threshold $threshold")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("left-side filters push through AsOfJoin down to the parquet scan") {
