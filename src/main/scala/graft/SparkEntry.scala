@@ -499,6 +499,26 @@ object SparkEntry {
           col("session_window.end").as("w_end"),
           col("n_events"))),
 
+    // Bucketed rolling aggregation — the 100 TB companion to
+    // ev_rolling_24h: pre-aggregate events to (user, hour) buckets,
+    // then roll a 24-BUCKET range frame over the hourly counts. The
+    // window shuffle carries |users × active hours| rows instead of
+    // |events|, and each frame folds ≤ 24 partials instead of
+    // thousands of raw rows — sliding features at scale are computed
+    // this way, with ev_rolling_24h's exact per-event form as the
+    // fine-grained twin (same trade as brute-force vs LSH ANN).
+    "ev_rolling_bucketed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("hour_bucket")).rangeBetween(-23, 0)
+      hourly.select(col("user_id"), col("hour_bucket"), col("n_events"),
+        sum(col("n_events")).over(w).as("n_24h"))
+    }),
+
     // The ranking/distribution window-function family in one pass —
     // ntile, percent_rank, cume_dist, first_value, nth_value, lead over
     // a single (user_id)-partitioned sort, so one exchange serves all
@@ -1879,6 +1899,16 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS w_end,
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "ev_rolling_bucketed" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, hour_bucket, n_events,
+        |       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY hour_bucket
+        |            RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_24h
+        |FROM hourly""".stripMargin,
 
     // ntile is BIGINT in DuckDB, IntegerType in Spark — cast to match
     "ev_window_funcs" ->
