@@ -67,11 +67,18 @@ object Bench {
         name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail. Round 4's line (62 queries at full double
+    // precision) overflowed the window and recorded `parsed: null`, so keep
+    // this line compact: 3-dp seconds, no optional fields, basename-only sf.
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":"min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
