@@ -1029,7 +1029,46 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"),
-          count(lit(1)).as("n_items")))
+          count(lit(1)).as("n_items"))),
+
+    // Gopher-style repetition filters: top-token share, top-bigram
+    // share, duplicate-bigram share + the keep/drop flag — the post-dedup
+    // boilerplate screen of an LLM curation pipeline (see
+    // TextAnalysis.repetition for the one-explode, all-aggregates-
+    // partition-by-doc scale shape).
+    "ta_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")),
+
+    // TF-IDF top-3 terms per document with the rational BM25 idf (log-
+    // free so both engines agree bit-wise): doc-frequency and corpus
+    // count broadcast, per-doc ranking windows bounded by the doc's own
+    // vocabulary.
+    "ta_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // Nearest-centroid classification over embeddings: fixed-point
+    // (order-independent) per-label centroids, broadcast to a partition-
+    // local scoring scan, argmax via one map-side-combinable max_by
+    // aggregate — the k-means E-step / IVF-assignment shape at scale.
+    "sim_centroids" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+      Similarity.centroidAssign(emb, "vec_id", "label", "embedding", cents)
+    }),
+
+    // GROUPING SETS profile with grouping_id — the per-lang, per-source,
+    // and per-(lang,source) corpus rollout in ONE Expand pass (three
+    // separate aggregations would scan the corpus three times;
+    // completes the rollup/pivot multi-dimensional family).
+    "ta_grouping_sets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")),
+            Seq(col("lang"), col("source"))),
+          col("lang"), col("source"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars")))
   )
 
   // ── programmatic oracle builders (SQL must mirror the Scala constants
@@ -2045,6 +2084,69 @@ object SparkEntry {
         |SELECT c_nationkey,
         |       coalesce(n_with_orders, 0) AS n_with_orders,
         |       coalesce(n_without_orders, 0) AS n_without_orders
-        |FROM with_o FULL OUTER JOIN without_o USING (c_nationkey)""".stripMargin
+        |FROM with_o FULL OUTER JOIN without_o USING (c_nationkey)""".stripMargin,
+
+    // Aligned multi-unnest zips l[1:len-1] with l[2:] positionally —
+    // DuckDB's bigram form (generate_series cannot lateral-reference a
+    // column).
+    "ta_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS w FROM t),
+        |tokc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |toka AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM tokc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:]) AS b FROM t),
+        |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, sum(c) AS tot2, max(c) AS mx2, count(*) AS dst2 FROM bgc GROUP BY 1)
+        |SELECT toka.doc_id,
+        |       round((mx::DOUBLE / tot) * 10000) / 10000 AS top_token_frac,
+        |       round((mx2::DOUBLE / tot2) * 10000) / 10000 AS top_bigram_frac,
+        |       round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 AS dup_bigram_frac,
+        |       (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
+        |        OR round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05) AS repetitive
+        |FROM toka JOIN bga USING (doc_id)""".stripMargin,
+
+    "ta_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tokc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, token,
+        |         round(((c::DOUBLE / tot) * ((n - df + 0.5) / (df + 0.5))) * 10000) / 10000 AS tfidf
+        |  FROM tokc JOIN tot USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk FROM s)
+        |WHERE rnk <= 3""".stripMargin,
+
+    // Fixed-point centroids (see Similarity.labelCentroids): integer
+    // component sums are order-independent, so both engines build the
+    // SAME centroid doubles; cosines then use the sequential-fold dot.
+    "sim_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (
+         |  SELECT label, unnest(range(1, len(v) + 1)) AS i,
+         |         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
+         |  FROM e),
+         |cent AS (SELECT label, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+         |         FROM comp GROUP BY 1, 2),
+         |carr AS (SELECT label AS clabel, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
+         |         FROM cent GROUP BY 1),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, carr.clabel, ${sqlCos("e.v", "carr.cv")} AS cos
+         |  FROM e CROSS JOIN carr)
+         |SELECT p.vec_id, p.label, p.clabel AS pred_label, o.cos AS own_cos,
+         |       p.label = p.clabel AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+         |      FROM scored) p
+         |JOIN scored o ON o.vec_id = p.vec_id AND o.clabel = o.label
+         |WHERE p.rn = 1""".stripMargin,
+
+    "ta_grouping_sets" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), (lang, source))""".stripMargin
   )
 }

@@ -95,6 +95,63 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
   }
 
+  /** Per-label centroids in fixed-point arithmetic — the k-means/IVF
+    * "update" step done so the result is ORDER-INDEPENDENT: a plain
+    * `avg` over doubles depends on partition-visit order (FP addition is
+    * not associative), so the same data can yield hash-different
+    * centroids run-to-run and engine-to-engine. Quantizing each
+    * component to `round(x·10^6)` first makes the per-(label, position)
+    * sum an exact integer aggregate — associative, map-side combinable,
+    * identical everywhere — and the final divide is one double op on
+    * identical operands. Exactly the trick integer-accumulator training
+    * pipelines use for reproducible feature means at cluster scale.
+    *
+    * Output: (clabel, cv DOUBLE[]) — one row per label.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val comp = emb
+      .select(col(labelCol).as("clabel"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .select(col("clabel"), col("i"),
+        round(col("x") * scale).cast("long").as("q"))
+    comp.groupBy(col("clabel"), col("i"))
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("clabel"))
+      .agg(sort_array(collect_list(struct(col("i"),
+        (col("sq").cast("double") / (col("n") * scale.toDouble)).as("v"))))
+        .as("arr"))
+      // array rebuild is per-LABEL (k rows), so the CodegenFallback HOF
+      // and the collect_list width are bounded by dim, not corpus size
+      .select(col("clabel"), transform(col("arr"), s => s.getField("v")).as("cv"))
+  }
+
+  /** Nearest-centroid assignment — the k-means "E step" / centroid
+    * classification: each vector scores against every label centroid
+    * (centroids broadcast: k·dim doubles, partition-local scan), takes
+    * the argmax by (6-dp cosine, lower label wins ties), and reports the
+    * cosine to its OWN label's centroid alongside. One hash aggregate
+    * per vector — `max_by` over the (cos, −label) struct, not a window:
+    * map-side combinable, no per-vector sort, no exchange of the k·|emb|
+    * scored rows.
+    *
+    * Output: (idCol, label, pred_label, own_cos, correct).
+    */
+  def centroidAssign(emb: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = emb
+      .select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", round(cosine(col("__v"), col("cv")), 6))
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg(
+        max_by(col("clabel"),
+          struct(col("cos").as("c"), (lit(0) - col("clabel")).as("t")))
+          .as("pred_label"),
+        max(when(col("clabel") === col(labelCol), col("cos"))).as("own_cos"))
+      .withColumn("correct", col(labelCol) === col("pred_label"))
+  }
+
   /** Deterministic ±1 hyperplanes: component i of plane p is the parity of
     * the first hex char of md5("p|i"), mapped to ±1. Computed driver-side
     * once (same md5 ⇒ the DuckDB oracle embeds identical literals).

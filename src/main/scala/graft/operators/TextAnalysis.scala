@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID
@@ -87,6 +88,85 @@ object TextAnalysis {
 
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
+
+  /** Gopher-style repetition signals per document — the filter family
+    * large-scale curation applies after exact/near dedup (repetitive
+    * boilerplate survives dedup because each copy is unique text):
+    * `top_token_frac` (most frequent token's share of all tokens),
+    * `top_bigram_frac`, and `dup_bigram_frac` (share of bigram
+    * OCCURRENCES beyond each bigram's first — 1 − distinct/total), plus
+    * a `repetitive` flag on the rounded signals.
+    *
+    * Scale shape: one explode of the token stream feeds both gram sizes;
+    * bigrams come from `lead` over (doc, pos) — the window and the two
+    * hash-aggregates all partition by doc id, and every aggregate
+    * map-side combines. Nothing is ever collected per-doc into an array
+    * (a HOF over a token array would be CodegenFallback and cap doc
+    * size); cost at 100 TB is the token-stream shuffle, bounded by input
+    * size. Thresholds operate on the 4-dp stable-rounded fractions so
+    * the flag is engine-reproducible.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      topTokenMax: Double = 0.12, dupBigramMax: Double = 0.05): DataFrame = {
+    val tok = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val tokc = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val toka = tokc.groupBy(col(idCol))
+      .agg(sum("c").as("tot"), max("c").as("mx"))
+    val bg = tok
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("b"))
+    val bgc = bg.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    val bga = bgc.groupBy(col(idCol))
+      .agg(sum("c").as("tot2"), max("c").as("mx2"), count(lit(1)).as("dst2"))
+    val topTok = Rounding.stable(col("mx").cast("double") / col("tot"), 4)
+    val dupBg = Rounding.stable(
+      lit(1) - col("dst2").cast("double") / col("tot2"), 4)
+    toka.join(bga, Seq(idCol))
+      .select(col(idCol),
+        topTok.as("top_token_frac"),
+        Rounding.stable(col("mx2").cast("double") / col("tot2"), 4)
+          .as("top_bigram_frac"),
+        dupBg.as("dup_bigram_frac"),
+        (topTok >= topTokenMax || dupBg >= dupBigramMax).as("repetitive"))
+  }
+
+  /** TF-IDF top-k terms per document. tf = in-doc count / doc tokens;
+    * idf is the BM25 rational form `(N − df + 0.5)/(df + 0.5)` — chosen
+    * over `ln(N/df)` deliberately: it is order-isomorphic to the log
+    * form (both strictly decrease in df), and being pure rational
+    * arithmetic it is bit-identical across engines, where `ln` is only
+    * correct to the last ulp per-libm and an exact-match oracle would
+    * flake at rounding boundaries.
+    *
+    * Scale shape: (doc, token) counts and doc totals shuffle by doc id
+    * with map-side combine; the document-frequency table is |vocab| rows
+    * and broadcast, as is the single-row corpus count. The final top-k
+    * ranks within a doc's own distinct tokens — the window's partition
+    * is the doc, so no global sort exists at any scale.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tokc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val tot = tokc.groupBy(col(idCol)).agg(sum("c").as("tot"))
+    val dfreq = tokc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tokc.join(tot, Seq(idCol))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", Rounding.stable(
+        (col("c").cast("double") / col("tot")) *
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 4))
+    val wnd = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(wnd).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rnk"))
+  }
 
   /** Positional rolling fingerprint: Σ_i i·v(token_i) mod 1e9+7, where
     * v(t) packs the first two hex chars of md5(t). Order-sensitive (a

@@ -178,6 +178,30 @@ class SimilaritySpec extends SparkSpec {
     } finally SparkSession.setActiveSession(spark)
   }
 
+  test("fixed-point centroids are exact means; assignment breaks ties to the lower label") {
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(3.0f, 0.0f)),      // label-0 centroid (2, 0)
+      (2L, 1, Array(0.0f, 2.0f)),      // label-1 centroid (0, 2)
+      (3L, 1, Array(1.0f, 1.0f))       // moves centroid 1 to (0.5, 1.5)
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(emb.filter(col("vec_id") < 3),
+      "label", "embedding")
+    val cv = cents.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cv(0) == Seq(2.0, 0.0) && cv(1) == Seq(0.0, 2.0))
+    val out = Similarity.centroidAssign(emb, "vec_id", "label", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("pred_label") == 0 &&
+      out(0L).getAs[Double]("own_cos") == 1.0 &&
+      out(0L).getAs[Boolean]("correct"))
+    assert(out(2L).getAs[Int]("pred_label") == 1 &&
+      out(2L).getAs[Boolean]("correct"))
+    // (1,1) scores 0.707107 against BOTH centroids: tie -> lower label
+    assert(out(3L).getAs[Int]("pred_label") == 0 &&
+      !out(3L).getAs[Boolean]("correct"))
+  }
+
   test("LSH buckets: colinear vectors share a bucket; deterministic planes") {
     val planes = Similarity.hyperplanes(4, 3)
     assert(planes == Similarity.hyperplanes(4, 3)) // deterministic
@@ -239,6 +263,41 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.langId(col("text")).map { case (n, c) => c.as(n) }: _*)
       .collect()(0)
     assert(r.getAs[String]("predicted_lang") == "en") // first profile wins ties
+  }
+
+  test("repetition: token/bigram shares and the flag on rounded values") {
+    val docs = Seq(
+      (1L, "a a a b"),                 // "a a" twice: mx2=2 of tot2=3, dst2=2
+      (2L, "a b c d e f g h i")        // nine distinct: below both thresholds
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("top_token_frac") == 0.75)           // 3/4
+    assert(r1.getAs[Double]("top_bigram_frac") == Rounding.stableVal(2.0 / 3, 4))
+    assert(r1.getAs[Double]("dup_bigram_frac") == Rounding.stableVal(1 - 2.0 / 3, 4))
+    assert(r1.getAs[Boolean]("repetitive"))
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("top_token_frac") == Rounding.stableVal(1.0 / 9, 4))
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!r2.getAs[Boolean]("repetitive"))
+  }
+
+  test("tfidf: rational idf ranks rare terms first, k bounds per-doc rows") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")     // one distinct token -> one row even at k=2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", k = 2).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getAs[Int]("rnk"))
+    // apple: tf 2/3, df 1 -> idf (3-1+0.5)/1.5; banana: tf 1/3, df 2 -> idf 1.5/2.5
+    assert(d1.map(_.getString(1)).toSeq == Seq("apple", "banana"))
+    assert(d1(0).getAs[Double]("tfidf") ==
+      Rounding.stableVal((2.0 / 3) * (2.5 / 1.5), 4))
+    assert(d1(1).getAs[Double]("tfidf") ==
+      Rounding.stableVal((1.0 / 3) * (1.5 / 2.5), 4))
+    assert(out.count(_.getLong(0) == 3L) == 1) // k caps at the doc's vocabulary
   }
 }
 
