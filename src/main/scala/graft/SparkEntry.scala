@@ -1056,6 +1056,19 @@ object SparkEntry {
       Similarity.centroidAssign(emb, "vec_id", "label", "embedding", cents)
     }),
 
+    // Frame sampling with keyframe selection: the mapPartitions decoder
+    // FANS OUT one row per (doc, frame) — no shuffle until the per-doc
+    // keyframe rank, whose window partition is the doc's own nFrames
+    // rows.
+    "mm_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.sampleFrames(Multimodal.attachPayload(
+        Tables.documents(s, dir)))
+      val wnd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("frame_sum").desc, col("frame_id").asc)
+      frames.withColumn("is_key", row_number().over(wnd) === 1)
+    }),
+
     // GROUPING SETS profile with grouping_id — the per-lang, per-source,
     // and per-(lang,source) corpus rollout in ONE Expand pass (three
     // separate aggregations would scan the corpus three times;
@@ -2141,6 +2154,25 @@ object SparkEntry {
          |      FROM scored) p
          |JOIN scored o ON o.vec_id = p.vec_id AND o.clabel = o.label
          |WHERE p.rn = 1""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS mx FROM documents),
+        |hv AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, 33), i ->
+        |           CASE WHEN ascii(substr(mx, i, 1)) >= 97
+        |                THEN ascii(substr(mx, i, 1)) - 87
+        |                ELSE ascii(substr(mx, i, 1)) - 48 END) AS nib
+        |  FROM m),
+        |f AS (SELECT doc_id, nib, unnest(range(0, 4)) AS fid FROM hv),
+        |s AS (
+        |  SELECT doc_id, CAST(fid AS INT) AS frame_id,
+        |         CAST(list_sum(list_transform(range(4 * fid + 1, 4 * fid + 5),
+        |              k -> nib[2*k-1] * 16 + nib[2*k])) AS BIGINT) AS frame_sum
+        |  FROM f)
+        |SELECT doc_id, frame_id, frame_sum,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY frame_sum DESC, frame_id ASC) = 1 AS is_key
+        |FROM s""".stripMargin,
 
     "ta_grouping_sets" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,

@@ -83,6 +83,28 @@ object Multimodal {
     def open(): FakeDecoder = new FakeDecoder()
   }
 
+  case class MMFrame(doc_id: Long, frame_id: Int, frame_sum: Long)
+
+  /** Frame sampling: FAN OUT one row per (doc, frame) — the video
+    * keyframe-extraction DAG shape, where decode multiplies rows instead
+    * of mapping them 1:1. Same per-partition decoder lifecycle as
+    * [[extractFeatures]]; the fan-out happens inside the partition
+    * iterator (no shuffle — downstream selection re-partitions by doc
+    * only if it must, and a 4-frame fan-out of a 100 TB corpus stays a
+    * narrow stage).
+    */
+  def sampleFrames(withPayload: DataFrame, nFrames: Int = 4): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMDoc].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      rows.flatMap { d =>
+        (0 until nFrames).iterator.map(f =>
+          MMFrame(d.doc_id, f, decoder.frameByteSum(d.payload, f)))
+      }
+    }.toDF()
+  }
+
   /** Batch feature extraction: one decoder per partition, streamed rows.
     * Brightness = mean byte / 16-byte payload ⇒ an exact multiple of
     * 1/16, so no rounding is needed for cross-engine comparison.

@@ -329,6 +329,17 @@ class MultimodalSpec extends SparkSpec {
       .digest("spark engine".getBytes("UTF-8"))
     assert(r.getAs[Long]("frame_byte_sum") == md.slice(12, 16).map(_ & 0xff).sum.toLong)
   }
+
+  test("frame sampling fans out nFrames rows per doc with per-frame byte sums") {
+    val docs = Seq((0L, "hello world"), (1L, "spark engine")).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.attachPayload(docs)).collect()
+    assert(out.length == 8) // 2 docs x 4 frames
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+    val sums = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(sums.toSeq == (0 until 4).map(f =>
+      md.slice(f * 4, f * 4 + 4).map(_ & 0xff).sum.toLong))
+  }
 }
 
 class SinksSpec extends SparkSpec {
