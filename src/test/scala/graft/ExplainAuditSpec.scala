@@ -54,6 +54,32 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("centroid scoring broadcasts the k-row centroid side; assignment is one hash aggregate") {
+    val p = plan("sim_centroids")
+    // the vec x centroid product must be the broadcast nested-loop shape
+    // (centroids are k rows at ANY corpus size); the argmax must be a
+    // partial-aggregated max_by, never a per-vector window sort
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmax fell back to a window:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"),
+      s"assignment lost map-side combine:\n$p")
+  }
+
+  test("tfidf broadcasts the vocabulary-df and corpus-count dims") {
+    val p = plan("ta_tfidf")
+    // doc-keyed joins may shuffle (they carry the corpus); the |vocab|-row
+    // df table and the 1-row count must not
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"corpus count not broadcast:\n$p")
+  }
+
+  test("grouping-sets profile is a single Expand pass, not three scans") {
+    val p = plan("ta_grouping_sets")
+    assert("Expand".r.findAllMatchIn(p).size == 1, p)
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"grouping sets re-scans the corpus:\n$p")
+  }
+
   test("rank-1 recency picks compile to WindowGroupLimit (top-1 kept per partition pre-shuffle)") {
     for (q <- Seq("a1_top1_recency", "a2_top1_string_recency")) {
       val p = plan(q)
