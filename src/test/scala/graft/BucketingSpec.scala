@@ -65,6 +65,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: a date predicate prunes partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 300).map(i => (s"2024-01-${i % 3 + 10}", i.toLong, i * 1.0))
+      .toDF("dt", "id", "v")
+    // partitionBy at write = the physical layout a 100 TB fact table
+    // ships with; a filter on the partition column then never touches
+    // the other directories' files (pruning is metadata-only)
+    df.write.partitionBy("dt").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("dt") === "2024-01-11")
+    assert(q.count() == 100L)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("dt#") && !scan.contains("PartitionFilters: []"),
+      s"date filter did not reach PartitionFilters:\n$scan")
+    // and the pruned scan reads 1 of 3 directories
+    val selected = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(selected == 1, s"expected 1 partition, got $selected")
+  }
+
   test("a non-bucketed copy of the same join DOES shuffle (the baseline)") {
     val df = (1 to 1000).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
