@@ -113,6 +113,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHitters: milestones emitted exactly at count crossings, state carried") {
+    import graft.streaming.StreamingVocab
+    import graft.streaming.StreamingVocab.Tok
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val q = StreamingVocab.heavyHitters(input.toDS(), emitEvery = 3L)
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      input.addData(Tok("a"), Tok("a"), Tok("b"), Tok("b"), Tok("b"))
+      q.processAllAvailable()       // b crosses 3; a sits at 2
+      input.addData(Tok("a"), Tok("a"), Tok("a"), Tok("a"))
+      q.processAllAvailable()       // a jumps 2 -> 6: milestones 3 AND 6
+      val got = spark.table("hh").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("a", 3L), ("a", 6L), ("b", 3L)))
+    } finally q.stop()
+  }
+
   test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
