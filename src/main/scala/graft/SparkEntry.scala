@@ -1069,6 +1069,27 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // E5 — the round-5 flagship: the post-dedup quality gate as ONE DAG.
+    // Repetition screen (Gopher-style boilerplate drop) ∩ linear quality
+    // gate, then each surviving doc is tagged with its top TF-IDF term —
+    // the "keep + label" step between dedup (e3/e4) and training-set
+    // assembly. All three branches partition by doc id, the vocabulary
+    // dims broadcast, so the composition adds no exchange beyond its
+    // parts.
+    "e5_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepRep = TextAnalysis.repetition(docs, "doc_id", "text")
+        .filter(!col("repetitive")).select("doc_id")
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      val gated = docs
+        .select(col("doc_id"), col("lang"), q("quality").as("quality"))
+        .filter(col("quality") >= 0.2)
+      val kw = TextAnalysis.tfidf(docs, "doc_id", "text", 1)
+        .select(col("doc_id"), col("token").as("keyword"),
+          col("tfidf").as("keyword_tfidf"))
+      gated.join(keepRep, Seq("doc_id")).join(kw, Seq("doc_id"))
+    }),
+
     // GROUPING SETS profile with grouping_id — the per-lang, per-source,
     // and per-(lang,source) corpus rollout in ONE Expand pass (three
     // separate aggregations would scan the corpus three times;
@@ -2154,6 +2175,37 @@ object SparkEntry {
          |      FROM scored) p
          |JOIN scored o ON o.vec_id = p.vec_id AND o.clabel = o.label
          |WHERE p.rn = 1""".stripMargin,
+
+    "e5_quality_gate" ->
+      (s"""WITH t AS (
+         |${qualityCteSql("documents")}),
+         |q AS (SELECT doc_id, $QualitySql AS quality FROM t
+         |      WHERE $QualitySql >= 0.2),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS w FROM tt),
+         |tokc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |toka AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM tokc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:]) AS b FROM tt),
+         |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         |bga AS (SELECT doc_id, sum(c) AS tot2, count(*) AS dst2 FROM bgc GROUP BY 1),
+         |rep AS (
+         |  SELECT toka.doc_id FROM toka JOIN bga USING (doc_id)
+         |  WHERE NOT (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
+         |             OR round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05)),
+         |tf_tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, w AS keyword,
+         |         round(((c::DOUBLE / tot) * ((n - df + 0.5) / (df + 0.5))) * 10000) / 10000 AS keyword_tfidf
+         |  FROM tokc JOIN tf_tot USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n),
+         |kw AS (
+         |  SELECT doc_id, keyword, keyword_tfidf
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY keyword_tfidf DESC, keyword ASC) AS rnk FROM sc)
+         |  WHERE rnk = 1)
+         |SELECT q.doc_id, d.lang, q.quality, kw.keyword, kw.keyword_tfidf
+         |FROM q JOIN rep USING (doc_id) JOIN kw USING (doc_id)
+         |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin),
 
     "mm_frames" ->
       """WITH m AS (SELECT doc_id, md5(text) AS mx FROM documents),
