@@ -119,6 +119,66 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: repetition signals match the direct count algebra on random docs") {
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (1 to rng.nextInt(30) + 2).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val got = TextAnalysis.repetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val topTok = Rounding.stableVal(
+        toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length, 4)
+      val topBg = Rounding.stableVal(
+        bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.length, 4)
+      val dupBg = Rounding.stableVal(
+        1 - bigrams.distinct.length.toDouble / bigrams.length, 4)
+      assert(got(id) == ((topTok, topBg, dupBg, topTok >= 0.12 || dupBg >= 0.05)),
+        s"doc $id: '$text'")
+    }
+  }
+
+  test("property: tfidf matches the direct formula and tie-broken ranking") {
+    val vocab = Seq("x", "y", "z", "w", "q", "r")
+    val docs = (1 to 40).map(i =>
+      (i.toLong, (1 to rng.nextInt(15) + 1).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    val got = TextAnalysis.tfidf(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getInt(3)))).toMap
+    val n = docs.length
+    val dfreq = docs.flatMap { case (_, t) => t.split(" ").distinct }
+      .groupBy(identity).map { case (w, xs) => w -> xs.length }
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val expected = toks.groupBy(identity).toSeq.map { case (w, xs) =>
+        val score = Rounding.stableVal(
+          (xs.length.toDouble / toks.length) *
+            ((n - dfreq(w) + 0.5) / (dfreq(w) + 0.5)), 4)
+        (w, score)
+      }.sortBy { case (w, s) => (-s, w) }.take(2)
+      expected.zipWithIndex.foreach { case ((w, s), i) =>
+        assert(got((id, w)) == ((s, i + 1)), s"doc $id term $w")
+      }
+    }
+  }
+
+  test("property: fixed-point centroids equal the exact integer-sum mean") {
+    val emb = (1 to 50).map(i =>
+      (i.toLong, i % 4, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    val got = Similarity.labelCentroids(
+        emb.toDF("vec_id", "label", "embedding"), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    emb.groupBy(_._2).foreach { case (label, vs) =>
+      val expected = (0 until 8).map { d =>
+        val q = vs.map(v => Rounding.stableVal(v._3(d).toDouble * 1e6, 0).toLong).sum
+        q.toDouble / (vs.length * 1e6)
+      }
+      assert(got(label) == expected, s"label $label")
+    }
+  }
+
   test("property: salted aggregation equals direct aggregation") {
     val df = series.toDF("k", "t", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
