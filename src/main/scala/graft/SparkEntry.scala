@@ -2136,8 +2136,8 @@ object SparkEntry {
         |       round((mx2::DOUBLE / tot2) * 10000) / 10000 AS top_bigram_frac,
         |       round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 AS dup_bigram_frac,
         |       (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
-        |        OR round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05) AS repetitive
-        |FROM toka JOIN bga USING (doc_id)""".stripMargin,
+        |        OR coalesce(round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05, false)) AS repetitive
+        |FROM toka LEFT JOIN bga USING (doc_id)""".stripMargin,
 
     "ta_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -2189,9 +2189,9 @@ object SparkEntry {
          |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
          |bga AS (SELECT doc_id, sum(c) AS tot2, count(*) AS dst2 FROM bgc GROUP BY 1),
          |rep AS (
-         |  SELECT toka.doc_id FROM toka JOIN bga USING (doc_id)
+         |  SELECT toka.doc_id FROM toka LEFT JOIN bga USING (doc_id)
          |  WHERE NOT (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
-         |             OR round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05)),
+         |             OR coalesce(round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05, false))),
          |tf_tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
          |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

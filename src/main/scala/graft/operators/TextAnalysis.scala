@@ -124,13 +124,18 @@ object TextAnalysis {
     val topTok = Rounding.stable(col("mx").cast("double") / col("tot"), 4)
     val dupBg = Rounding.stable(
       lit(1) - col("dst2").cast("double") / col("tot2"), 4)
-    toka.join(bga, Seq(idCol))
+    // left join: a single-token doc HAS a defined top_token_frac (1.0)
+    // and must still flow through the screen — its bigram signals are
+    // null and the flag falls back to the token signal alone (an inner
+    // join would silently exempt short docs from the gate)
+    toka.join(bga, Seq(idCol), "left")
       .select(col(idCol),
         topTok.as("top_token_frac"),
         Rounding.stable(col("mx2").cast("double") / col("tot2"), 4)
           .as("top_bigram_frac"),
         dupBg.as("dup_bigram_frac"),
-        (topTok >= topTokenMax || dupBg >= dupBigramMax).as("repetitive"))
+        (topTok >= topTokenMax ||
+          coalesce(dupBg >= dupBigramMax, lit(false))).as("repetitive"))
   }
 
   /** TF-IDF top-k terms per document. tf = in-doc count / doc tokens;

@@ -283,6 +283,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r2.getAs[Boolean]("repetitive"))
   }
 
+  test("repetition keeps single-token docs: null bigram signals, token-only flag") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("top_token_frac") == 1.0)
+    assert(r1.isNullAt(r1.fieldIndex("top_bigram_frac")))
+    assert(r1.isNullAt(r1.fieldIndex("dup_bigram_frac")))
+    assert(r1.getAs[Boolean]("repetitive")) // 1.0 >= threshold, bigram null ignored
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
   test("tfidf: rational idf ranks rare terms first, k bounds per-doc rows") {
     val docs = Seq(
       (1L, "apple apple banana"),
