@@ -1069,6 +1069,26 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // Incremental cluster labeling: the new batch (re-crawled copy,
+    // ids +1M) is labeled against the already-canonical base — seeds
+    // from batch↔base collisions, min-label propagation over
+    // batch-internal edges only. Per-ingest cost tracks the batch, not
+    // history (see Dedup.incrementalClusters).
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
+      val cross = Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        .select(col("doc_new").as("new_id"), col("doc_base").as("base_id"))
+      val inner = Dedup.minhashPairs(batch, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.incrementalClusters(
+          base.select(col("doc_id").as("id"), col("doc_id").as("label")),
+          batch.select(col("doc_id").as("id")), cross, inner)
+        .select(col("id").as("doc_id"), col("label"))
+    }),
+
     // E5 — the round-5 flagship: the post-dedup quality gate as ONE DAG.
     // Repetition screen (Gopher-style boilerplate drop) ∩ linear quality
     // gate, then each surviving doc is tagged with its top TF-IDF term —
@@ -1410,6 +1430,31 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    // Incremental labeling semantics: seeds = min(own id, min base
+    // neighbor) over batch↔base edges (doc_a < 1M is always the base
+    // side of a cross pair), then the walk propagates seeds over
+    // batch-internal edges only — base labels are frozen.
+    "dedup_clusters_incremental" ->
+      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+        s"""verified AS (
+           |  SELECT doc_a, doc_b
+           |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |  WHERE $MinhashJaccardSql >= 0.8),
+           |seeds AS (
+           |  SELECT n.doc_id, least(n.doc_id, coalesce(min(v.doc_a), n.doc_id)) AS seed
+           |  FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) n
+           |  LEFT JOIN verified v ON v.doc_b = n.doc_id AND v.doc_a < 1000000
+           |  GROUP BY n.doc_id),
+           |nn AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM verified WHERE doc_a >= 1000000
+           |  UNION ALL SELECT doc_b, doc_a FROM verified WHERE doc_a >= 1000000),
+           |walk(node, lab) AS (
+           |  SELECT doc_id, seed FROM seeds
+           |  UNION
+           |  SELECT e.b, w.lab FROM walk w JOIN nn e ON e.a = w.node)
+           |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS label
+           |FROM walk GROUP BY node""".stripMargin),
 
     "ta_decontam" ->
       s"""WITH tvals AS (

@@ -270,13 +270,35 @@ object Dedup {
     */
   def duplicateClusters(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint()
+    val edges = bothDirections(pairs)
     // both directions are in `edges`, so distinct `a` covers every
     // edge-touching node
-    var labels = edges.select(col("a").as("id")).distinct()
+    val init = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
+    val labels = propagateMin(init, edges, maxIter)
+    // singletons (no edges) keep their own id; left_anti against the
+    // small converged label set — one pass over `nodes`, outside the loop
+    val singletons = nodes
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
+  }
+
+  private def bothDirections(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+
+  /** Min-label fixpoint over `edges` starting from `init` (id, label):
+    * every node repeatedly takes the min of its own and its neighbors'
+    * labels; converged when nothing changes. `localCheckpoint` truncates
+    * lineage per round; driver-side is only loop control and a
+    * converged-count. Throws rather than returning a truncated (silently
+    * wrong) labeling.
+    */
+  private def propagateMin(init: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = init
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -300,14 +322,44 @@ object Dedup {
     // chains, not the near-clique shape dup clusters actually have)
     if (changed > 0)
       throw new IllegalStateException(
-        s"duplicateClusters: label propagation did not converge within " +
+        s"propagateMin: label propagation did not converge within " +
           s"$maxIter iterations ($changed labels still changing)")
-    // singletons (no edges) keep their own id; left_anti against the
-    // small converged label set — one pass over `nodes`, outside the loop
-    val singletons = nodes
-      .join(labels.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("label"))
-    labels.unionByName(singletons)
+    labels
+  }
+
+  /** Incremental cluster labeling — the daily-ingest companion of
+    * [[duplicateClusters]]: label a NEW batch against a frozen,
+    * already-canonical base WITHOUT touching base labels. Each new doc
+    * seeds with `min(own id, min label of its direct base neighbors)`
+    * (via `crossPairs`), then min-label propagation runs over the
+    * batch-internal `innerPairs` only — so per-ingest cost tracks the
+    * BATCH (seed join + a few batch-sized rounds), not the 100 TB
+    * history, which is what makes day-N dedup labeling flat-cost.
+    *
+    * Deliberate semantics: a batch doc that bridges TWO base clusters
+    * adopts the smaller label; the base-side merge is deferred to the
+    * periodic full recluster (standard in production dedup — base labels
+    * are immutable between compactions).
+    *
+    * @param baseLabels (id, label) — frozen canonical labels
+    * @param batch (id) — new docs
+    * @param crossPairs (new_id, base_id) — near-dup edges batch ↔ base
+    * @param innerPairs (doc_a, doc_b) — near-dup edges within the batch
+    * @return (id, label) for batch docs only
+    */
+  def incrementalClusters(baseLabels: DataFrame, batch: DataFrame,
+      crossPairs: DataFrame, innerPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val bmin = crossPairs
+      .join(baseLabels.select(col("id").as("base_id"), col("label").as("bl")),
+        Seq("base_id"))
+      .groupBy(col("new_id").as("id")).agg(min("bl").as("bmin"))
+    val init = batch.select(col("id"))
+      .join(bmin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("bmin"), col("id"))).as("label"))
+      .localCheckpoint()
+    propagateMin(init, bothDirections(innerPairs), maxIter)
   }
 
   /** Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch

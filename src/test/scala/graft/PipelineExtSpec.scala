@@ -82,6 +82,22 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("incrementalClusters: seeds from base, batch-internal merge, frozen bridge pick") {
+    val baseLabels = Seq((10L, 10L), (20L, 10L), (30L, 30L)).toDF("id", "label")
+    val batch = Seq(100L, 101L, 102L, 103L, 104L).toDF("id")
+    val cross = Seq(
+      (100L, 20L),              // adopts base cluster label 10 (not 20)
+      (103L, 30L),              // adopts 30
+      (104L, 10L), (104L, 30L)  // bridges two base clusters -> smaller label
+    ).toDF("new_id", "base_id")
+    val inner = Seq((100L, 101L), (101L, 102L)).toDF("doc_a", "doc_b")
+    val got = Dedup.incrementalClusters(baseLabels, batch, cross, inner)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 100 seeds 10; the chain drags 101 and 102 (no cross edges) to 10 too
+    assert(got == Map(100L -> 10L, 101L -> 10L, 102L -> 10L,
+      103L -> 30L, 104L -> 10L))
+  }
+
   test("bandedKeys (explode + codegen agg) produces the exact band keys of the fold form") {
     val fold = docs
       .select(col("doc_id").as("id"), Dedup.tokenValues(col("text")).as("tv"))
