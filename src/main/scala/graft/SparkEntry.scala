@@ -1069,6 +1069,32 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // Cohort retention: users bucketed by first-seen date, retention by
+    // day offset — the event-analytics rollout every activity warehouse
+    // runs. Two user-keyed aggregates (cohort assignment, distinct
+    // active days) meet in a user-keyed join — one partitioning carried
+    // through — then collapse to the tiny (cohort, offset) grid; the
+    // cohort-size dim re-joins broadcast.
+    "ev_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+      val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+      val active = ev.distinct()
+      val byOffset = active.join(cohort, Seq("user_id"))
+        .select(col("cohort_date"),
+          datediff(col("d"), col("cohort_date")).as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_date"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("retained"))
+      val sizes = cohort.groupBy("cohort_date")
+        .agg(count_distinct(col("user_id")).as("cohort_size"))
+      byOffset.join(broadcast(sizes), Seq("cohort_date"))
+        .select(col("cohort_date"), col("day_offset"), col("retained"),
+          col("cohort_size"),
+          Rounding.stable(col("retained").cast("double") / col("cohort_size"), 4)
+            .as("retention_rate"))
+    }),
+
     // Incremental cluster labeling: the new batch (re-crawled copy,
     // ids +1M) is labeled against the already-canonical base — seeds
     // from batch↔base collisions, min-label propagation over
@@ -1430,6 +1456,22 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "ev_retention" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, d FROM ev),
+        |by_offset AS (
+        |  SELECT cohort_date, date_diff('day', cohort_date, d) AS day_offset,
+        |         CAST(count(DISTINCT a.user_id) AS BIGINT) AS retained
+        |  FROM active a JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_date, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1)
+        |SELECT cohort_date, CAST(day_offset AS INT) AS day_offset, retained, cohort_size,
+        |       round((retained::DOUBLE / cohort_size) * 10000) / 10000 AS retention_rate
+        |FROM by_offset JOIN sizes USING (cohort_date)""".stripMargin,
 
     // Incremental labeling semantics: seeds = min(own id, min base
     // neighbor) over batch↔base edges (doc_a < 1M is always the base
