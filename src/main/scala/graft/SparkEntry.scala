@@ -1095,6 +1095,35 @@ object SparkEntry {
             .as("retention_rate"))
     }),
 
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // each stage is a conditional min-ts aggregate co-partitioned on
+    // user_id, so later stages join the previous stage's (user, ts)
+    // without re-partitioning. The per-user ARRAY alternative
+    // (collect_list + HOF walk) would put unbounded per-user state in a
+    // CodegenFallback lambda — the multi-pass conditional aggregate is
+    // the shape that survives 100 TB of events.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+        .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+          Rounding.stable(col("n_click_after").cast("double") / col("n_view"), 4)
+            .as("view_to_click"),
+          Rounding.stable(
+            col("n_purchase_after").cast("double") / col("n_click_after"), 4)
+            .as("click_to_purchase"))
+    }),
+
     // Incremental cluster labeling: the new batch (re-crawled copy,
     // ids +1M) is labeled against the already-canonical base — seeds
     // from batch↔base collisions, min-label propagation over
@@ -1456,6 +1485,23 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after,
+        |       round(((SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1)) * 10000) / 10000 AS view_to_click,
+        |       round(((SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2)) * 10000) / 10000 AS click_to_purchase""".stripMargin,
 
     "ev_retention" ->
       """WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
