@@ -1069,6 +1069,33 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // Signature-quality measurement: the minhash analog of
+    // sim_lsh_recall — for every verified near-dup pair, the fraction of
+    // agreeing signature minima (the estimator banding actually acts on)
+    // next to the exact Jaccard, plus the absolute error. The number
+    // that justifies the (bands × rows) budget before scaling it to a
+    // corpus.
+    "dedup_minhash_est" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val sig = Dedup.signatures(corpus, "doc_id", "text", 12)
+      val sa = sig.toDF(sig.columns.map(c =>
+        if (c == "id") "doc_a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c =>
+        if (c == "id") "doc_b" else s"b_$c"): _*)
+      val matches = (0 until 12).map(k =>
+        when(col(s"a_sig_$k") === col(s"b_sig_$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("est_jaccard",
+          Rounding.stable(matches.cast("double") / lit(12.0), 4))
+        .withColumn("abs_err",
+          Rounding.stable(abs(col("est_jaccard") - col("jaccard")), 4))
+        .select("doc_a", "doc_b", "jaccard", "est_jaccard", "abs_err")
+    }),
+
     // Cohort retention: users bucketed by first-seen date, retention by
     // day offset — the event-analytics rollout every activity warehouse
     // runs. Two user-keyed aggregates (cohort assignment, distinct
@@ -1485,6 +1512,23 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "dedup_minhash_est" ->
+      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+        s"""verified AS (
+           |  SELECT doc_a, doc_b, $MinhashJaccardSql AS jaccard
+           |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |  WHERE $MinhashJaccardSql >= 0.8),
+           |est AS (
+           |  SELECT v.doc_a, v.doc_b, v.jaccard,
+           |         ${Rounding.stableSql(
+                        "(" + (0 until 12).map(k =>
+                          s"(CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END)")
+                          .mkString(" + ") + ")::DOUBLE / 12.0", 4)} AS est_jaccard
+           |  FROM verified v JOIN sig a ON a.doc_id = v.doc_a JOIN sig b ON b.doc_id = v.doc_b)
+           |SELECT doc_a, doc_b, jaccard, est_jaccard,
+           |       ${Rounding.stableSql("abs(est_jaccard - jaccard)", 4)} AS abs_err
+           |FROM est""".stripMargin),
 
     "ev_funnel" ->
       """WITH s1 AS (

@@ -143,21 +143,31 @@ object Dedup {
     * partial aggregation collapses them back to one row per doc before
     * the exchange — the id shuffle carries |docs| rows of b·r longs.
     */
-  def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
-      numBands: Int, rowsPerBand: Int): DataFrame = {
-    val nSig = numBands * rowsPerBand
+  /** Raw minhash signatures: (id, sig_0 … sig_{nSig-1}) — one explode of
+    * the shingle stream into ONE codegen'd hash aggregate computing all
+    * nSig affine minima (partial aggregation collapses the explode
+    * before the id exchange). Shared by [[bandedKeys]] and the
+    * estimate-quality query (sig agreement fraction ≈ Jaccard).
+    */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      nSig: Int): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
       .select(col("id"), explode(shingleValuesFromTokens(col("tv"))).as("__v"))
     val sigCols = (0 until nSig).map { k =>
       min((pmod(col("__v"), lit(MinhashP)) * minhashA(k) + minhashB(k)) % MinhashP)
-        .as(s"__s$k")
+        .as(s"sig_$k")
     }
     exploded.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    signatures(docs, idCol, textCol, numBands * rowsPerBand)
       .select(col("id"),
         posexplode(array((0 until numBands).map { b =>
           md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            col(s"__s${b * rowsPerBand + r}").cast("string")): _*))
+            col(s"sig_${b * rowsPerBand + r}").cast("string")): _*))
         }: _*)).as(Seq("band_id", "band_key")))
   }
 
