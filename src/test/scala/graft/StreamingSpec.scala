@@ -131,6 +131,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stageAdvances: strict-order funnel state across batches, no backward moves") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Ev
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def e(u: Long, t: String, ts: String) = Ev(u, t, java.sql.Timestamp.valueOf(ts))
+    val q = StreamingFunnel.stageAdvances(input.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("fn").outputMode("append").start()
+    try {
+      input.addData(
+        e(1L, "click", "2024-01-01 09:00:00"),   // click before any view: ignored
+        e(1L, "view", "2024-01-01 10:00:00"),    // stage 1
+        e(1L, "click", "2024-01-01 10:05:00"),   // stage 2 (same batch, ordered)
+        e(2L, "view", "2024-01-01 10:00:00"))    // user 2: stage 1
+      q.processAllAvailable()
+      input.addData(
+        e(1L, "click", "2024-01-01 10:06:00"),   // repeat step: no advance
+        e(1L, "purchase", "2024-01-01 10:04:00"),// BEFORE the click: ignored
+        e(1L, "purchase", "2024-01-01 10:10:00"),// stage 3
+        e(2L, "purchase", "2024-01-01 11:00:00"))// user 2 skipped click: ignored
+      q.processAllAvailable()
+      val got = spark.table("fn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set((1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "view")))
+    } finally q.stop()
+  }
+
   test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
