@@ -1016,6 +1016,26 @@ object SparkEntry {
       """)
     }),
 
+    // Join → aggregate → GLOBAL top-10 (TPC-H Q3 shape): the ordered
+    // limit must compile to TakeOrderedAndProject (per-partition top-10
+    // heaps merged on the driver), never a global sort — the difference
+    // between shipping 10·partitions rows and sorting the whole
+    // aggregate at scale. Ranking is on the 2-dp ROUNDED revenue
+    // (+ orderkey tiebreak) so FP sum-order noise cannot reorder the
+    // cut across engines.
+    "q3_top_orders" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Rounding.stable(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
     // Multi-join aggregation (TPC-H Q5 shape): dims broadcast, one fact
     // shuffle on the join key.
     "q5_join_agg" -> ((s, dir) =>
@@ -2280,6 +2300,17 @@ object SparkEntry {
          |  SELECT ${Rounding.stableSql("0.2 * avg(i.l_quantity)", 4)}
          |  FROM lineitem i WHERE i.l_partkey = o.l_partkey)
          |GROUP BY l_partkey""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+         |FROM (
+         |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |         ${Rounding.stableSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_shipdate > TIMESTAMP '1995-03-15' AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
 
     "q16_semi_anti" ->
       """WITH with_o AS (

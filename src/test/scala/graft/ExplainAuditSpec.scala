@@ -80,6 +80,12 @@ class ExplainAuditSpec extends SparkSpec {
       s"grouping sets re-scans the corpus:\n$p")
   }
 
+  test("q3 global top-10 compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"q3 lost the bounded top-k:\n$p")
+    assert(!p.contains("Sort "), s"q3 plans a full sort:\n$p")
+  }
+
   test("rank-1 recency picks compile to WindowGroupLimit (top-1 kept per partition pre-shuffle)") {
     for (q <- Seq("a1_top1_recency", "a2_top1_string_recency")) {
       val p = plan(q)
