@@ -25,25 +25,47 @@ object StreamingFunnel {
   /** Use with `outputMode("append")`. `steps` is the ordered event-type
     * sequence (e.g. view, click, purchase); stage i is reached by the
     * first `steps(i)` event strictly after the stage-(i−1) event.
+    *
+    * `abandonAfter` bounds state at scale: with it set (input must carry
+    * a watermark on `ts`), a user idle past the horizon is dropped via
+    * event-time timeout — an abandoned funnel restarts from stage 0 on
+    * the next event instead of holding one state row per user ever seen.
+    * Users whose events never match step 0 leave NO state behind in
+    * either mode.
     */
-  def stageAdvances(ds: Dataset[Ev], steps: Seq[String]): Dataset[StageAdvance] = {
+  def stageAdvances(ds: Dataset[Ev], steps: Seq[String],
+      abandonAfter: Option[java.time.Duration] = None): Dataset[StageAdvance] = {
     import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (abandonAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val out = Seq.newBuilder[StageAdvance]
-          for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
-            if (st.stage < steps.length &&
-                e.event_type == steps(st.stage) &&
-                e.ts.getTime > st.tsMillis) {
-              st = FunnelState(st.stage + 1, e.ts.getTime)
-              out += StageAdvance(uid, st.stage, e.event_type, e.ts)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = Seq.newBuilder[StageAdvance]
+            var newest = Long.MinValue
+            for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+              newest = math.max(newest, e.ts.getTime)
+              if (st.stage < steps.length &&
+                  e.event_type == steps(st.stage) &&
+                  e.ts.getTime > st.tsMillis) {
+                st = FunnelState(st.stage + 1, e.ts.getTime)
+                out += StageAdvance(uid, st.stage, e.event_type, e.ts)
+              }
             }
+            if (st.stage > 0 || state.exists) {
+              state.update(st)
+              abandonAfter.foreach(d => state.setTimeoutTimestamp(
+                math.max(newest + d.toMillis, state.getCurrentWatermarkMs() + 1)))
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -160,6 +160,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stageAdvances with abandonAfter: idle funnels expire, later steps restart at 0") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Ev
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def e(u: Long, t: String, ts: String) = Ev(u, t, java.sql.Timestamp.valueOf(ts))
+    val q = StreamingFunnel.stageAdvances(
+        input.toDS().withWatermark("ts", "0 seconds").as[Ev],
+        Seq("view", "click"),
+        abandonAfter = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("fne").outputMode("append").start()
+    try {
+      input.addData(e(1L, "view", "2024-01-01 10:00:00"))    // stage 1, expires 11:00
+      q.processAllAvailable()
+      input.addData(e(9L, "view", "2024-01-01 13:00:00"))    // watermark -> 13:00: user 1 expired
+      q.processAllAvailable()
+      input.addData(e(1L, "click", "2024-01-01 13:30:00"))   // funnel restarted: click ignored
+      q.processAllAvailable()
+      val got = spark.table("fne").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1), (9L, 1))) // no stage-2 for user 1 after expiry
+    } finally q.stop()
+  }
+
   test("exactWithinWatermark: re-crawled duplicates suppressed, distinct docs pass") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
