@@ -1089,6 +1089,22 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // Semi-structured extraction: the JSON props column parsed ONCE per
+    // row with an explicit one-field schema (Catalyst's OptimizeJsonExprs
+    // prunes from_json to the accessed field — no full-document parse),
+    // then a plain codegen'd aggregate. The at-scale rule: parse JSON in
+    // the projection with a declared schema, never per-aggregate with
+    // get_json_object repeated per field.
+    "ev_json_props" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"), sum("k").as("sum_k"))
+    }),
+
     // Signature-quality measurement: the minhash analog of
     // sim_lsh_recall — for every verified near-dup pair, the fraction of
     // agreeing signature minima (the estimator banding actually acts on)
@@ -1532,6 +1548,13 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "ev_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "dedup_minhash_est" ->
       (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
