@@ -70,15 +70,19 @@ object Bench {
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. Round 4's line (62 queries at full double
     // precision) overflowed the window and recorded `parsed: null`, so keep
-    // this line compact: 3-dp seconds, no optional fields, basename-only sf.
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // this line compact: 2-dp per-query seconds (the gate reads `value`;
+    // per-query entries are diagnostic), errors only when non-empty,
+    // basename-only sf. ~74 queries ≈ 1.77 KB.
+    def fmt(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$errJson,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
