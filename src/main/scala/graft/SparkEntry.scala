@@ -1089,6 +1089,30 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // Bigram language-model estimation: P(w2|w1) = c(w1 w2)/c(w1) for
+    // the corpus's top-25 bigrams — the statistical-LM table a data
+    // pipeline derives before training (rational arithmetic only; both
+    // counts shuffle once with map-side combine, the unigram side joins
+    // broadcast at |vocab| rows, and the global top-k is a
+    // TakeOrderedAndProject cut on (count, bigram)).
+    "ta_ngram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val big = tok
+        .withColumn("w2", lead(col("w"), 1)
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+      val bigc = big.groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val unic = big.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+      bigc.join(broadcast(unic), Seq("w1"))
+        .withColumn("cond_p",
+          Rounding.stable(col("c2").cast("double") / col("c1"), 4))
+        .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+        .limit(25)
+    }),
+
     // Semi-structured extraction: the JSON props column parsed ONCE per
     // row with an explicit one-field schema (Catalyst's OptimizeJsonExprs
     // prunes from_json to the accessed field — no full-document parse),
@@ -1548,6 +1572,17 @@ object SparkEntry {
 
     "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
       threshold = 0.8),
+
+    "ta_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:]) AS w2 FROM t),
+        |bigc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |unic AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+        |SELECT w1, w2, c2, c1,
+        |       round((c2::DOUBLE / c1) * 10000) / 10000 AS cond_p
+        |FROM bigc JOIN unic USING (w1)
+        |ORDER BY c2 DESC, w1 ASC, w2 ASC
+        |LIMIT 25""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -105,6 +105,10 @@ object TextAnalysis {
     * size); cost at 100 TB is the token-stream shuffle, bounded by input
     * size. Thresholds operate on the 4-dp stable-rounded fractions so
     * the flag is engine-reproducible.
+    *
+    * Null-text docs emit no tokens and are ABSENT from the output (the
+    * screen has nothing to measure) — callers gating on `repetitive`
+    * decide null-text policy upstream. Same convention in [[tfidf]].
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String,
       topTokenMax: Double = 0.12, dupBigramMax: Double = 0.05): DataFrame = {
