@@ -80,10 +80,15 @@ class ExplainAuditSpec extends SparkSpec {
       s"grouping sets re-scans the corpus:\n$p")
   }
 
-  test("q3 global top-10 compiles to TakeOrderedAndProject, not a full sort") {
-    val p = plan("q3_top_orders")
-    assert(p.contains("TakeOrderedAndProject"), s"q3 lost the bounded top-k:\n$p")
-    assert(!p.contains("Sort "), s"q3 plans a full sort:\n$p")
+  test("global ordered limits compile to TakeOrderedAndProject, not a full sort") {
+    for (q <- Seq("q3_top_orders", "ta_ngram_lm")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the bounded top-k:\n$p")
+    }
+    // q3 has no window upstream, so NO sort of any kind may survive
+    // (ta_ngram_lm keeps the per-doc sort its lead() window requires)
+    assert(!plan("q3_top_orders").contains("Sort "),
+      s"q3 plans a full sort:\n${plan("q3_top_orders")}")
   }
 
   test("rank-1 recency picks compile to WindowGroupLimit (top-1 kept per partition pre-shuffle)") {
