@@ -1096,13 +1096,7 @@ object SparkEntry {
     // broadcast at |vocab| rows, and the global top-k is a
     // TakeOrderedAndProject cut on (count, bigram)).
     "ta_ngram_lm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, dir).select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val big = tok
-        .withColumn("w2", lead(col("w"), 1)
-          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .filter(col("w2").isNotNull)
+      val big = TextAnalysis.bigrams(Tables.documents(s, dir), "doc_id", "text")
       val bigc = big.groupBy(col("w").as("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
       val unic = big.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))

@@ -110,6 +110,19 @@ object TextAnalysis {
     * screen has nothing to measure) — callers gating on `repetitive`
     * decide null-text policy upstream. Same convention in [[tfidf]].
     */
+  /** The (idCol, w, w2) bigram stream: one token explode, `lead` over
+    * (doc, pos) — the window partition is the doc, so the only exchange
+    * is the doc-keyed shuffle at any corpus size. Shared by
+    * [[repetition]] and the bigram-LM query.
+    */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w"), col("w2"))
+
   def repetition(docs: DataFrame, idCol: String, textCol: String,
       topTokenMax: Double = 0.12, dupBigramMax: Double = 0.05): DataFrame = {
     val tok = docs.select(col(idCol),
@@ -117,10 +130,7 @@ object TextAnalysis {
     val tokc = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val toka = tokc.groupBy(col(idCol))
       .agg(sum("c").as("tot"), max("c").as("mx"))
-    val bg = tok
-      .withColumn("w2",
-        lead(col("w"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
-      .filter(col("w2").isNotNull)
+    val bg = bigrams(docs, idCol, textCol)
       .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("b"))
     val bgc = bg.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
     val bga = bgc.groupBy(col(idCol))
