@@ -1315,6 +1315,41 @@ object SparkEntry {
        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT) AS punct_hits
        |  FROM $src""".stripMargin
 
+  /** Shared token/bigram/tfidf CTE chains (DuckDB side of
+    * TextAnalysis.repetition / tfidf / bigrams) — aligned multi-unnest
+    * zips l[1:len-1] with l[2:] positionally for bigrams, because
+    * generate_series cannot lateral-reference a column. Used by
+    * ta_repetition, ta_tfidf, and the e5 flagship.
+    */
+  private def tokenCountCtes(src: String): String =
+    s"""rt AS (SELECT doc_id, string_split(text, ' ') AS l FROM $src),
+       |tok AS (SELECT doc_id, unnest(l) AS w FROM rt),
+       |tokc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |toka AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM tokc GROUP BY 1)""".stripMargin
+
+  private val BigramCtes: String =
+    """bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:]) AS b FROM rt),
+      |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+      |bga AS (SELECT doc_id, sum(c) AS tot2, max(c) AS mx2, count(*) AS dst2 FROM bgc GROUP BY 1)""".stripMargin
+
+  private val RepTopTokSql = "round((mx::DOUBLE / tot) * 10000) / 10000"
+  private val RepTopBgSql = "round((mx2::DOUBLE / tot2) * 10000) / 10000"
+  private val RepDupBgSql = "round((1 - dst2::DOUBLE / tot2) * 10000) / 10000"
+  private val RepFlagSql =
+    s"($RepTopTokSql >= 0.12 OR coalesce($RepDupBgSql >= 0.05, false))"
+
+  /** tfidf scores over tokenCountCtes' `tokc`; `src` supplies the corpus
+    * count N.
+    */
+  private def tfidfScoreCtes(src: String): String =
+    s"""tf_tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $src),
+       |tfsc AS (
+       |  SELECT doc_id, w,
+       |         round(((c::DOUBLE / tot) * ((n - df + 0.5) / (df + 0.5))) * 10000) / 10000 AS tfidf
+       |  FROM tokc JOIN tf_tot USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n)""".stripMargin
+
   /** The rounded quality score over qualityCteSql's columns. */
   private val QualitySql: String =
     """round((least(1.0, greatest(0.0,
@@ -2380,38 +2415,20 @@ object SparkEntry {
         |       coalesce(n_without_orders, 0) AS n_without_orders
         |FROM with_o FULL OUTER JOIN without_o USING (c_nationkey)""".stripMargin,
 
-    // Aligned multi-unnest zips l[1:len-1] with l[2:] positionally —
-    // DuckDB's bigram form (generate_series cannot lateral-reference a
-    // column).
     "ta_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |tok AS (SELECT doc_id, unnest(l) AS w FROM t),
-        |tokc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-        |toka AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM tokc GROUP BY 1),
-        |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:]) AS b FROM t),
-        |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
-        |bga AS (SELECT doc_id, sum(c) AS tot2, max(c) AS mx2, count(*) AS dst2 FROM bgc GROUP BY 1)
-        |SELECT toka.doc_id,
-        |       round((mx::DOUBLE / tot) * 10000) / 10000 AS top_token_frac,
-        |       round((mx2::DOUBLE / tot2) * 10000) / 10000 AS top_bigram_frac,
-        |       round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 AS dup_bigram_frac,
-        |       (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
-        |        OR coalesce(round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05, false)) AS repetitive
-        |FROM toka LEFT JOIN bga USING (doc_id)""".stripMargin,
+      (s"WITH ${tokenCountCtes("documents")},\n$BigramCtes\n" +
+        s"""SELECT toka.doc_id,
+           |       $RepTopTokSql AS top_token_frac,
+           |       $RepTopBgSql AS top_bigram_frac,
+           |       $RepDupBgSql AS dup_bigram_frac,
+           |       $RepFlagSql AS repetitive
+           |FROM toka LEFT JOIN bga USING (doc_id)""".stripMargin),
 
     "ta_tfidf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tokc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
-        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |s AS (
-        |  SELECT doc_id, token,
-        |         round(((c::DOUBLE / tot) * ((n - df + 0.5) / (df + 0.5))) * 10000) / 10000 AS tfidf
-        |  FROM tokc JOIN tot USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n)
-        |SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk
-        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk FROM s)
-        |WHERE rnk <= 3""".stripMargin,
+      (s"WITH ${tokenCountCtes("documents")},\n${tfidfScoreCtes("documents")}\n" +
+        """SELECT doc_id, w AS token, tfidf, CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk FROM tfsc)
+          |WHERE rnk <= 3""".stripMargin),
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the
@@ -2441,31 +2458,20 @@ object SparkEntry {
          |${qualityCteSql("documents")}),
          |q AS (SELECT doc_id, $QualitySql AS quality FROM t
          |      WHERE $QualitySql >= 0.2),
-         |tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |tok AS (SELECT doc_id, unnest(l) AS w FROM tt),
-         |tokc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-         |toka AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM tokc GROUP BY 1),
-         |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:]) AS b FROM tt),
-         |bgc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
-         |bga AS (SELECT doc_id, sum(c) AS tot2, count(*) AS dst2 FROM bgc GROUP BY 1),
-         |rep AS (
-         |  SELECT toka.doc_id FROM toka LEFT JOIN bga USING (doc_id)
-         |  WHERE NOT (round((mx::DOUBLE / tot) * 10000) / 10000 >= 0.12
-         |             OR coalesce(round((1 - dst2::DOUBLE / tot2) * 10000) / 10000 >= 0.05, false))),
-         |tf_tot AS (SELECT doc_id, sum(c) AS tot FROM tokc GROUP BY 1),
-         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokc GROUP BY 1),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |sc AS (
-         |  SELECT doc_id, w AS keyword,
-         |         round(((c::DOUBLE / tot) * ((n - df + 0.5) / (df + 0.5))) * 10000) / 10000 AS keyword_tfidf
-         |  FROM tokc JOIN tf_tot USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n),
-         |kw AS (
-         |  SELECT doc_id, keyword, keyword_tfidf
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY keyword_tfidf DESC, keyword ASC) AS rnk FROM sc)
-         |  WHERE rnk = 1)
-         |SELECT q.doc_id, d.lang, q.quality, kw.keyword, kw.keyword_tfidf
-         |FROM q JOIN rep USING (doc_id) JOIN kw USING (doc_id)
-         |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin),
+         |""".stripMargin +
+        s"${tokenCountCtes("documents")},\n$BigramCtes,\n" +
+        s"""rep AS (
+           |  SELECT toka.doc_id FROM toka LEFT JOIN bga USING (doc_id)
+           |  WHERE NOT $RepFlagSql),
+           |""".stripMargin +
+        s"${tfidfScoreCtes("documents")},\n" +
+        """kw AS (
+          |  SELECT doc_id, w AS keyword, tfidf AS keyword_tfidf
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk FROM tfsc)
+          |  WHERE rnk = 1)
+          |SELECT q.doc_id, d.lang, q.quality, kw.keyword, kw.keyword_tfidf
+          |FROM q JOIN rep USING (doc_id) JOIN kw USING (doc_id)
+          |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin),
 
     "mm_frames" ->
       """WITH m AS (SELECT doc_id, md5(text) AS mx FROM documents),
