@@ -1150,6 +1150,28 @@ object SparkEntry {
         .select("doc_a", "doc_b", "jaccard", "est_jaccard", "abs_err")
     }),
 
+    // Daily OHLC bars from the raw event stream — deriving the
+    // reference's own OHLCV data model (SURVEY §1.1) instead of
+    // ingesting it pre-aggregated: open/close via min_by/max_by on the
+    // (ts, event_id) struct (ONE hash aggregate, map-side combinable —
+    // no per-bar sort, no window), high/low/volume/turnover in the same
+    // pass. The aggregate form is what turns 100 TB of ticks into bars
+    // with a single exchange on (user, day).
+    "ev_ohlc_bars" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(
+          min_by(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ord).as("close"),
+          count(lit(1)).as("volume"),
+          Rounding.stable(sum(col("value")), 4).as("turnover"))
+    }),
+
     // Cohort retention: users bucketed by first-seen date, retention by
     // day offset — the event-analytics rollout every activity warehouse
     // runs. Two user-keyed aggregates (cohort assignment, distinct
@@ -1636,6 +1658,23 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard, est_jaccard,
            |       ${Rounding.stableSql("abs(est_jaccard - jaccard)", 4)} AS abs_err
            |FROM est""".stripMargin),
+
+    // open/close re-derived through rank-1 windows (DuckDB's arg_min
+    // cannot take a composite (ts, event_id) key).
+    "ev_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS d, ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rd
+        |      FROM e)
+        |SELECT user_id, d,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close,
+        |       CAST(count(*) AS BIGINT) AS volume,
+        |       round(sum(value) * 10000) / 10000 AS turnover
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "ev_funnel" ->
       """WITH s1 AS (
