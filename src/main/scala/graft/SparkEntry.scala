@@ -782,6 +782,17 @@ object SparkEntry {
         nLists = 8, nProbe = 2)
     }),
 
+    // Scalar-quantized ANN (the int8 compression path, third family
+    // next to LSH and IVF): integer dots are EXACT in both engines —
+    // zero rounding anywhere — and the ranking is the same bounded
+    // top-k aggregate as the other ANN paths.
+    "sim_sq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val scale = Similarity.sqScale(emb, "vec")
+      Similarity.topKQuantized(emb.filter(col("id") < 5), emb, 3, scale)
+    }),
+
     // Language ID: character-trigram profile scoring with deterministic
     // first-wins argmax.
     "ta_langid" -> ((s, dir) =>
@@ -1826,6 +1837,19 @@ object SparkEntry {
          |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
          |WHERE rnk <= 3""".stripMargin,
+
+    "sim_sq_ann" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+        |q8 AS (SELECT id, list_transform(v, x -> round(x * s)) AS qv FROM e CROSS JOIN mx),
+        |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
+        |sc AS (
+        |  SELECT q_id, c.id AS c_id,
+        |         CAST(list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * c.qv[i])) AS BIGINT) AS qdot
+        |  FROM qq, q8 c WHERE q_id <> c.id)
+        |SELECT q_id, c_id, qdot, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
 
     "ta_langid" ->
       """SELECT doc_id,

@@ -152,6 +152,55 @@ object Similarity {
       .withColumn("correct", col(labelCol) === col("pred_label"))
   }
 
+  /** Scalar (int8-style) quantization: components scaled by
+    * `127 / max|x|` and rounded to integers (held in doubles — every
+    * value and every dot-product partial stays < 2^53, so the
+    * arithmetic is EXACT integer math in both engines; no rounding
+    * discipline needed anywhere downstream). This is the compression
+    * real vector stores run: 4× smaller vectors, integer dots, ranking
+    * preserved up to quantization error.
+    *
+    * @return (id, qv DOUBLE[] of integer values)
+    */
+  def quantize(emb: DataFrame, idCol: String, vecCol: String,
+      scale: Double): DataFrame =
+    emb.select(col(idCol).as("id"),
+      transform(asDouble(col(vecCol)), x => round(x * scale)).as("qv"))
+
+  /** The quantization scale for a corpus: `127 / max|component|` —
+    * max is an exact fold, so both engines derive the identical double.
+    */
+  def sqScale(emb: DataFrame, vecCol: String): Double = {
+    val maxAbs = emb
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .agg(max(abs(col("x")))).collect()(0).getDouble(0)
+    127.0 / maxAbs
+  }
+
+  /** Top-k by quantized dot product — the third ANN family next to LSH
+    * buckets and IVF lists: no candidate pruning, but the scan runs on
+    * 8-bit-range integers (vectorizable, exact), and the ranking
+    * aggregate is the same bounded top-k buffer as the other paths.
+    * Scores are integers, ties break to the lower id — bit-identical
+    * across engines with zero rounding.
+    */
+  def topKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+      scale: Double): DataFrame = {
+    val q = quantize(queries, "id", "vec", scale)
+      .select(col("id").as("q_id"), col("qv").as("q_qv"))
+    val c = quantize(corpus, "id", "vec", scale)
+      .select(col("id").as("c_id"), col("qv").as("c_qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("qdot", dot(col("q_qv"), col("c_qv")))
+    val top = graft.functions.TopK.topKByScore(k)
+    scored.groupBy(col("q_id"))
+      .agg(top(col("qdot"), col("c_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv._2").as("c_id"),
+        col("kv._1").cast("long").as("qdot"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic ±1 hyperplanes: component i of plane p is the parity of
     * the first hex char of md5("p|i"), mapped to ±1. Computed driver-side
     * once (same md5 ⇒ the DuckDB oracle embeds identical literals).

@@ -218,6 +218,23 @@ class SimilaritySpec extends SparkSpec {
       !out(3L).getAs[Boolean]("correct"))
   }
 
+  test("scalar quantization: exact integer dots, max component maps to ±127") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f)),       // max|x| = 1.0 -> scale 127
+      (1L, Array(1.0f, 0.25f))
+    ).toDF("id", "vec")
+    val scale = Similarity.sqScale(emb, "vec")
+    assert(scale == 127.0)
+    val q = Similarity.quantize(emb, "id", "vec", scale)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(q(0L) == Seq(64.0, -127.0)) // round(0.5*127)=64 (63.5 half-up)
+    assert(q(1L) == Seq(127.0, 32.0))  // round(0.25*127)=32 (31.75)
+    val top = Similarity.topKQuantized(emb.filter(col("id") === 0), emb, 1, scale)
+      .collect()(0)
+    assert(top.getLong(1) == 1L &&
+      top.getLong(2) == (64L * 127 + (-127L) * 32)) // exact integer dot
+  }
+
   test("LSH buckets: colinear vectors share a bucket; deterministic planes") {
     val planes = Similarity.hyperplanes(4, 3)
     assert(planes == Similarity.hyperplanes(4, 3)) // deterministic
