@@ -793,6 +793,24 @@ object SparkEntry {
       Similarity.topKQuantized(emb.filter(col("id") < 5), emb, 3, scale)
     }),
 
+    // Quantization-quality measurement: per-query recall of the int8
+    // top-3 against the exact-cosine top-3 — completes the
+    // "measure, don't guess" trio (LSH recall, minhash estimate
+    // quality, SQ recall).
+    "sim_sq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val sq = Similarity.topKQuantized(q, emb, 3, Similarity.sqScale(emb, "vec"))
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(sq, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+        .select(col("q_id"), col("hits"),
+          Rounding.stable(col("hits").cast("double") / 3, 4).as("recall"))
+    }),
+
     // Language ID: character-trigram profile scoring with deterministic
     // first-wins argmax.
     "ta_langid" -> ((s, dir) =>
@@ -1850,6 +1868,32 @@ object SparkEntry {
         |SELECT q_id, c_id, qdot, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+
+    "sim_sq_recall" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |bs AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q, e c WHERE q.q_id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 3),
+         |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
+         |q8 AS (SELECT id, list_transform(v, x -> round(x * s)) AS qv FROM e CROSS JOIN mx),
+         |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
+         |ss AS (
+         |  SELECT q_id, c.id AS c_id,
+         |         CAST(list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * c.qv[i])) AS BIGINT) AS qdot
+         |  FROM qq, q8 c WHERE q_id <> c.id),
+         |sq AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk FROM ss)
+         |  WHERE rnk <= 3)
+         |SELECT b.q_id, CAST(count(l.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(l.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN sq l ON b.q_id = l.q_id AND b.c_id = l.c_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "ta_langid" ->
       """SELECT doc_id,
