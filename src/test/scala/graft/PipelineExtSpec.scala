@@ -434,4 +434,30 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getAs[String]("stock") -> r.getAs[Double]("yoy")).toMap
     assert(back == Map("A" -> 12.3, "B" -> -4.5))
   }
+
+  test("ORC round-trip: the bundled columnar alternative preserves schema and rows") {
+    val dir = tmpDir() + "/orc"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.5)).toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // file sources re-read everything nullable; names and types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON-lines source with a DECLARED schema never infers (SURVEY §1.3 discipline)") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir() + "/jsonl"
+    Seq((1L, "x", 10), (2L, "y", 20)).toDF("doc_id", "text", "n")
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n", LongType), StructField("missing", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.schema == schema) // declared, not inferred
+    val rows = back.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(3))) // absent field -> null, no failure
+  }
 }
