@@ -793,6 +793,18 @@ object SparkEntry {
       Similarity.topKQuantized(emb.filter(col("id") < 5), emb, 3, scale)
     }),
 
+    // Product-quantization ANN (the fourth family: brute / LSH / IVF /
+    // PQ): per-block nearest-codeword codes, scoring through the
+    // reconstruction (≡ lookup-table ADC; see Similarity.pqReconstruct).
+    // Codebook = the first 4 corpus vectors, the same deterministic
+    // data-derived stand-in the IVF quantizer uses.
+    "sim_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKPq(emb.filter(col("id") < 5), emb,
+        emb.filter(col("id") < 4), k = 3)
+    }),
+
     // Quantization-quality measurement: per-query recall of the int8
     // top-3 against the exact-cosine top-3 — completes the
     // "measure, don't guess" trio (LSH recall, minhash estimate
@@ -1868,6 +1880,35 @@ object SparkEntry {
         |SELECT q_id, c_id, qdot, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+
+    // Codes and reconstruction re-derived relationally: the codebook is
+    // rows id<4, block m of a vector is v[m*8+1 : m*8+8], and the
+    // reconstruction list(...) is ordered by m so the scoring dot runs
+    // the same sequential fold as Spark's kernel.
+    "sim_pq_ann" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cw AS (SELECT id AS cwid, v FROM e WHERE id < 4),
+         |mm AS (SELECT unnest(range(0, 8)) AS m),
+         |enc AS (
+         |  SELECT e.id, mm.m, cw.cwid,
+         |         list_sum(list_transform(range(1, 9), j ->
+         |           (e.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (e.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
+         |  FROM e CROSS JOIN mm CROSS JOIN cw),
+         |codes AS (
+         |  SELECT id, m, cwid AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, cwid ASC) AS rn FROM enc)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT codes.id, flatten(list(cw.v[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS rv
+         |  FROM codes JOIN cw ON cw.cwid = codes.code
+         |  GROUP BY codes.id),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |sc AS (
+         |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
+         |  FROM q CROSS JOIN rec WHERE q_id <> rec.id)
+         |SELECT q_id, c_id, score, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
 
     "sim_sq_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -201,6 +201,77 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Product quantization, encode step: split each vector into `m`
+    * blocks of `subDim` and code every block as its nearest codeword
+    * (squared L2, ties to the lower codeword id). Codewords are rows of
+    * `codewords` (id, vec) — like the IVF coarse quantizer, a
+    * deterministic data-derived codebook stands in for trained
+    * centroids; the OPERATOR (block argmin over a k-row broadcast dim)
+    * is the same either way. Output long-form: (id, m, code).
+    */
+  def pqEncode(emb: DataFrame, codewords: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val blocks = emb.select(col("id"), asDouble(col("vec")).as("v"))
+      .select(col("id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("blk"))): _*))
+        .as("mb"))
+      .select(col("id"), col("mb.m").as("m"), col("mb.blk").as("blk"))
+    val cwBlocks = codewords.select(col("id").as("cwid"), asDouble(col("vec")).as("v"))
+      .select(col("cwid"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
+        .as("mb"))
+      .select(col("cwid"), col("mb.m").as("m"), col("mb.cwblk").as("cwblk"))
+    val d2 = aggregate(zip_with(col("blk"), col("cwblk"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    blocks.join(broadcast(cwBlocks), Seq("m"))
+      .select(col("id"), col("m"), col("cwid"), d2.as("d2"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("cwid"), struct(col("d2"), col("cwid"))).as("code"))
+  }
+
+  /** PQ decode/reconstruction: stitch each doc's codewords back into a
+    * 64-dim approximation. Scoring against the reconstruction is
+    * arithmetically identical to lookup-table ADC (the dot distributes
+    * over blocks) — at scale the LUT form precomputes m·k partial dots
+    * per query; the reconstruction form keeps the arithmetic in the
+    * SAME sequential fold both engines run, which is what an exact
+    * oracle needs.
+    */
+  def pqReconstruct(codes: DataFrame, codewords: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val cwBlocks = codewords.select(col("id").as("code"), asDouble(col("vec")).as("v"))
+      .select(col("code"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
+        .as("mb"))
+      .select(col("code"), col("mb.m").as("m"), col("mb.cwblk").as("cwblk"))
+    codes.join(broadcast(cwBlocks), Seq("m", "code"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cwblk")))),
+        s => s.getField("cwblk"))).as("rv"))
+  }
+
+  /** PQ-ADC top-k: queries stay full-precision, the corpus is scored
+    * through its reconstruction — the fourth ANN family (brute, LSH
+    * buckets, IVF lists, PQ codes). Ranked by the usual bounded top-k
+    * aggregate on (6-dp score, lower id).
+    */
+  def topKPq(queries: DataFrame, corpus: DataFrame, codewords: DataFrame,
+      k: Int, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val rec = pqReconstruct(pqEncode(corpus, codewords, m, subDim),
+      codewords, m, subDim)
+      .select(col("id").as("c_id"), col("rv"))
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val scored = rec.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    val top = graft.functions.TopK.topKByScore(k)
+    scored.groupBy(col("q_id"))
+      .agg(top(col("score"), col("c_id")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("pos", "kv")))
+      .select(col("q_id"), col("kv._2").as("c_id"), col("kv._1").as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic ±1 hyperplanes: component i of plane p is the parity of
     * the first hex char of md5("p|i"), mapped to ±1. Computed driver-side
     * once (same md5 ⇒ the DuckDB oracle embeds identical literals).

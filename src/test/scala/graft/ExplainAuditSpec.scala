@@ -38,7 +38,7 @@ class ExplainAuditSpec extends SparkSpec {
   }
 
   test("ANN top-k ranks via a partial-aggregated ObjectHashAggregate, not a window sort") {
-    for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_sq_ann")) {
+    for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_sq_ann", "sim_pq_ann")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n$p")
       assert(p.contains("ObjectHashAggregate"), s"$q lost the aggregate rank")

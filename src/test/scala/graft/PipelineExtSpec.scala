@@ -235,6 +235,21 @@ class SimilaritySpec extends SparkSpec {
       top.getLong(2) == (64L * 127 + (-127L) * 32)) // exact integer dot
   }
 
+  test("PQ: per-block nearest-codeword codes and stitched reconstruction") {
+    val cw = Seq(
+      (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(5.0f, 5.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val x = Seq((7L, Array(4.0f, 4.0f, 9.0f, 9.0f))).toDF("id", "vec")
+    val codes = Similarity.pqEncode(x, cw, m = 2, subDim = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(codes == Map(0 -> 1L, 1 -> 0L)) // block0 nearer cw1, block1 nearer cw0
+    val rec = Similarity.pqReconstruct(
+        Similarity.pqEncode(x, cw, 2, 2), cw, 2, 2)
+      .collect()(0).getSeq[Double](1)
+    assert(rec == Seq(5.0, 5.0, 10.0, 10.0))
+  }
+
   test("LSH buckets: colinear vectors share a bucket; deterministic planes") {
     val planes = Similarity.hyperplanes(4, 3)
     assert(planes == Similarity.hyperplanes(4, 3)) // deterministic
