@@ -39,6 +39,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars finalize per window and match the batch aggregate") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)]
+    def tick(k: String, ts: String, v: Double, id: Long) =
+      (k, java.sql.Timestamp.valueOf(ts), v, id)
+    val src = input.toDF().toDF("k", "ts", "v", "id")
+    val q = graft.streaming.StreamingBars
+      .bars(src, "k", "ts", "v", "id", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("bars").outputMode("append").start()
+    try {
+      val ticks = Seq(
+        tick("A", "2024-01-01 10:05:00", 100.0, 1),
+        tick("A", "2024-01-01 10:05:00", 99.0, 0),   // same ts: id breaks the open tie
+        tick("A", "2024-01-01 10:40:00", 105.0, 2),
+        tick("A", "2024-01-01 10:50:00", 103.0, 3))
+      input.addData(ticks: _*)
+      q.processAllAvailable()
+      input.addData(tick("A", "2024-01-01 12:30:00", 1.0, 9)) // advance watermark
+      q.processAllAvailable()
+      input.addData(tick("A", "2024-01-01 12:31:00", 1.0, 10))
+      q.processAllAvailable()
+      val bar = spark.table("bars")
+        .filter($"bar_start" === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()(0)
+      assert(bar.getDouble(2) == 99.0)   // open: lower id at the tied ts
+      assert(bar.getDouble(3) == 105.0 && bar.getDouble(4) == 99.0)
+      assert(bar.getDouble(5) == 103.0 && bar.getLong(6) == 4L)
+      // the batch shadow over the same rows produces the identical bar
+      val batch = graft.streaming.StreamingBars.barsAgg(
+          ticks.toDF("k", "ts", "v", "id"), "k", "ts", "v", "id", "1 hour")
+        .collect()(0)
+      assert(batch.toSeq.drop(2) == bar.toSeq.drop(2))
+    } finally q.stop()
+  }
+
   test("runningLatest: mapGroupsWithState keeps the per-key latest across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[NewsEvent]
