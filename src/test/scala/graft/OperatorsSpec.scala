@@ -443,6 +443,33 @@ class ValidatorSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("batch funnel: strictly-after ordering, per-stage conditional minima") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE the first view -> never reaches stage 2
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: view only
+      (3L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    assert(s1.count() == 3 && s2.count() == 1)
+    assert(s2.collect()(0).getLong(0) == 1L)
+  }
+}
+
 class CalendarSpec extends SparkSpec {
 
   test("G1: inclusive bounds, weekdays only, holidays NOT excluded") {

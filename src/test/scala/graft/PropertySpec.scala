@@ -179,6 +179,29 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClusters equals union-find components on random graphs") {
+    val n = 80
+    val nodeIds = (0L until n).toSeq
+    val edges = (1 to 60).map(_ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodeIds.map(i => i -> {
+      // component min = min over members sharing the root
+      val r = find(i.toInt)
+      nodeIds.filter(j => find(j.toInt) == r).min
+    }).toMap
+    val got = Dedup.duplicateClusters(
+        nodeIds.toDF("id"), edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("property: salted aggregation equals direct aggregation") {
     val df = series.toDF("k", "t", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
