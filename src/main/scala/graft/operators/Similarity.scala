@@ -110,7 +110,11 @@ object Similarity {
     */
   def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String,
       scale: Long = 1000000L): DataFrame = {
+    // null vectors/labels carry no information and would otherwise skew
+    // n (count) against sq (sum skips nulls) — drop them up front, the
+    // same guard the as-of entry points apply to their key/time columns
     val comp = emb
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).as("clabel"),
         posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
       .select(col("clabel"), col("i"),
@@ -140,6 +144,7 @@ object Similarity {
   def centroidAssign(emb: DataFrame, idCol: String, labelCol: String,
       vecCol: String, centroids: DataFrame): DataFrame = {
     val scored = emb
+      .filter(col(vecCol).isNotNull) // a null vector has no nearest centroid
       .select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("__v"))
       .crossJoin(broadcast(centroids))
       .withColumn("cos", round(cosine(col("__v"), col("cv")), 6))
@@ -164,7 +169,7 @@ object Similarity {
     */
   def quantize(emb: DataFrame, idCol: String, vecCol: String,
       scale: Double): DataFrame =
-    emb.select(col(idCol).as("id"),
+    emb.filter(col(vecCol).isNotNull).select(col(idCol).as("id"),
       transform(asDouble(col(vecCol)), x => round(x * scale)).as("qv"))
 
   /** The quantization scale for a corpus: `127 / max|component|` —
