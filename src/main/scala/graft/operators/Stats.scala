@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-exact distributional statistics: Pearson correlation and
+  * z-score anomaly ranking over INTEGER-DOMAIN moments.
+  *
+  * Spark ships `corr`/`covar_samp`/`stddev`, but their streaming-update
+  * double accumulation is partition-order-dependent — two runs (or two
+  * engines) can disagree in the last ulps, which an exact-match oracle
+  * cannot tolerate. The graft forms instead aggregate the five raw
+  * moments (n, Σx, Σy, Σx², Σy², Σxy) as LONG sums of long-valued inputs
+  * — exact in any order, map-side combinable, ONE codegen'd hash
+  * aggregate — and combine them into corr/σ in a fixed double expression
+  * afterwards. From identical integer sums, IEEE gives identical doubles
+  * in every engine (each cast/×/−//√ is correctly rounded), so results
+  * are bit-stable without sacrificing the single-shuffle scale shape.
+  *
+  * Inputs must be integer-valued columns (callers fix the domain, e.g.
+  * `floor(value * 100)` cents — the float→int fix itself is one
+  * correctly-rounded multiply, so both engines agree on it too). Long
+  * sums need n · max(x·y) < 2^63; the final combination is double, so
+  * magnitudes beyond 2^53 only cost ulps, never correctness of the
+  * shared value.
+  */
+object Stats {
+
+  /** The five raw moments per group (plus `n`), as exact long sums. */
+  private def momentAggs(x: Column, y: Column): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(x).as("sx"),
+    sum(y).as("sy"),
+    sum(x * x).as("sxx"),
+    sum(y * y).as("syy"),
+    sum(x * y).as("sxy"))
+
+  /** Pearson correlation per group from exact integer moments.
+    *
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)),
+    * combined in double AFTER the exact aggregation. Groups with zero
+    * variance on either side yield null (0/0 → try_divide null), same
+    * as SQL `corr`.
+    *
+    * @param x,y integer-valued (long) columns
+    * @return one row per group: (groupCols*, n, corr) with corr
+    *         stable-rounded to `scale`
+    */
+  def corrExact(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+      scale: Int = 6): DataFrame = {
+    val aggs = momentAggs(x, y)
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    g.select((groupCols.map(col) :+ col("n") :+
+      Rounding.stable(try_divide(cov, sqrt(varx) * sqrt(vary)), scale)
+        .as("corr")): _*)
+  }
+
+  /** Top-k most anomalous rows by |z| against PER-GROUP population
+    * mean/σ — the outlier screen a curation pipeline runs before
+    * training. One exact-moment aggregate over the fact (5-ish group
+    * rows), broadcast back onto the unshuffled fact scan for per-row
+    * scoring, then a TakeOrderedAndProject cut — the 100 TB shape: the
+    * fact is read once, never repartitioned, and only k rows sort.
+    *
+    * z = (x − μ) / σ with μ = Σx/n and σ = √(n·Σx² − Σx²)/n, all from
+    * the same exact long sums as [[corrExact]] (bit-stable cross-engine).
+    *
+    * @param x     integer-valued (long) scoring column
+    * @param keep  extra output columns (e.g. the row id used as the
+    *              deterministic tiebreak — pass it first)
+    * @return k rows: (groupCols*, keep*, x as `x`, z stable-rounded) in
+    *         |z|-descending order
+    */
+  def zscoreTopK(df: DataFrame, groupCols: Seq[String], x: Column,
+      keep: Seq[String], k: Int, tiebreak: String,
+      scale: Int = 4): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(groupCols.map(col) :+
+        (col("sx").cast("double") / col("n").cast("double")).as("mu") :+
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          col("n").cast("double")).as("sigma"): _*)
+    val z = try_divide(x - col("mu"), col("sigma"))
+    df.join(broadcast(stats), groupCols)
+      .select(groupCols.map(col) ++ keep.map(col) :+
+        x.as("x") :+ Rounding.stable(z, scale).as("z"): _*)
+      .orderBy(abs(col("z")).desc, col(tiebreak).asc)
+      .limit(k)
+  }
+}

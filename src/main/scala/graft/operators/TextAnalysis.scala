@@ -204,4 +204,32 @@ object TextAnalysis {
       lit(0L), (acc, x) => acc + x)
     pmod(total, lit(1000000007L))
   }
+
+  /** PII patterns: (name, regex, replacement token). Written in the
+    * common Java-regex ∩ RE2 dialect (char classes, bounded repetition,
+    * `\b`, group repetition — no lookaround, no backrefs) so the SAME
+    * pattern string runs in Spark's `regexp_count`/`regexp_replace` and
+    * the DuckDB oracle's `regexp_extract_all`/`regexp_replace(..., 'g')`.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IPV4>"))
+
+  /** Per-pattern hit counts: ("n_email" -> count, ...). Narrow codegen'd
+    * map work — the PII screen costs one text scan at any scale.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> regexp_count(text, lit(pat))
+    }
+
+  /** Masked text: every PII match replaced by its token, applied in
+    * [[PiiPatterns]] order (email first — its local part may contain
+    * digits a later numeric pattern would otherwise split).
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }
