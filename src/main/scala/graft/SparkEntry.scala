@@ -1321,7 +1321,108 @@ object SparkEntry {
           col("lang"), col("source"))
         .agg(grouping_id().cast("int").as("gid"),
           count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("chars")))
+          sum(col("n_chars")).as("chars"))),
+
+    // Exact-moment Pearson correlation per event_type: does price move
+    // (cents) track the props payload's k? The reference's Pct_Change ↔
+    // Volume question in graft form — ONE codegen'd hash aggregate of
+    // integer moments (map-side combined; the exchange carries 6 longs
+    // per group), corr combined in double afterwards, bit-stable
+    // cross-engine (operators/Stats.scala).
+    "stats_corr" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("x"),
+        from_json(col("props"), schema).getField("k").as("y"))
+      Stats.corrExact(ev, Seq("event_type"), col("x"), col("y"))
+    }),
+
+    // Per-group z-score outlier top-50: the anomaly screen before
+    // training. Group stats from one exact-moment aggregate broadcast
+    // back onto the unshuffled fact scan; only k rows survive the
+    // TakeOrderedAndProject cut. event_id is the deterministic tiebreak.
+    "stats_zscore_topk" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), floor(col("value") * 100).cast("long").as("x"))
+      Stats.zscoreTopK(ev, Seq("event_type"), col("x"),
+        keep = Seq("event_id"), k = 50, tiebreak = "event_id")
+    }),
+
+    // PII screen: counts + redaction over a corpus with DETERMINISTIC
+    // synthetic PII derived from doc_id (testdata text carries none) —
+    // emails, phones, in- and out-of-range IPv4s, and a phone-shaped run
+    // inside an email local part (counted as email, not phone: counts are
+    // progressive, matching the redaction order). Narrow codegen'd map
+    // work — one text scan at any scale.
+    "ta_pii" -> ((s, dir) => {
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example"),
+          (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 300).cast("string"), lit(".0.1"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" id 555-123-4567@mail.example.org")).otherwise(lit("")))
+      Tables.documents(s, dir).select(
+        col("doc_id") +:
+          (TextAnalysis.piiCounts(injected).map { case (n, c) => c.as(n) } :+
+            TextAnalysis.piiRedact(injected).as("redacted")): _*)
+    }),
+
+    // The sketch-accuracy gate that makes ta_approx_distinct (rows-only
+    // by design — sketch values are engine-specific) hash-checkable:
+    // each engine runs ITS OWN HLL next to the exact distinct and
+    // reports the boolean |approx − exact| / exact ≤ 5%. The booleans
+    // agree even though the sketches don't. Exact and approx aggregate
+    // separately (5-row join) so the HLL path keeps its sketch-only
+    // exchange rather than the expand-based multi-distinct plan.
+    "ta_approx_distinct_gate" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("token")).as("exact_tokens"))
+      val approx = toks.groupBy(col("lang"))
+        .agg(approx_count_distinct(col("token"), 0.01).as("approx"))
+      exact.join(approx, Seq("lang"))
+        .select(col("lang"), col("exact_tokens"),
+          (abs(col("approx") - col("exact_tokens")).cast("double") /
+            col("exact_tokens") <= 0.05).as("within_5pct"))
+    }),
+
+    // Batch shadow of StreamingAlerts.thresholdAlerts — the SAME
+    // baseline-anchored recurrence (alert iff ≥50% move from the last
+    // alerted value) as a secondary-sorted group scan, giving the
+    // streaming operator's semantics an oracle-checked row (the DuckDB
+    // side walks the recurrence with a recursive CTE). value>0 filter:
+    // a ratio baseline of 0 is undefined in both engines.
+    "ev_alerts_scan" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val ticks = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 0)
+        .select(col("user_id").cast("string").as("key"), col("event_id"),
+          col("ts"), col("value"))
+        .as[graft.streaming.StreamingAlerts.IdTick]
+      graft.streaming.StreamingAlerts.thresholdAlertsScan(ticks, 50.0).toDF()
+    }),
+
+    // Batch shadow of StreamingVocab.heavyHitters: every emitEvery=500
+    // milestone each token's lifetime count has crossed — count per
+    // token (map-side combined), then explode(sequence(...)) generates
+    // exactly the milestone rows the stream would have emitted.
+    "ta_vocab_milestones" -> ((s, dir) => {
+      val emitEvery = 500L
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= emitEvery)
+        .select(col("token"),
+          explode(sequence(lit(1L), floor(col("cnt") / emitEvery).cast("long")))
+            .as("m"))
+        .select(col("token"), (col("m") * emitEvery).as("count"))
+    })
   )
 
   // ── programmatic oracle builders (SQL must mirror the Scala constants
@@ -1633,6 +1734,109 @@ object SparkEntry {
     * name before hashing).
     */
   def oracleSql: Map[String, String] = Map(
+
+    // Moments as DuckDB HUGEINT sums cast to DOUBLE — sums stay < 2^53
+    // here, so the doubles equal Spark's long-sum casts bit-for-bit and
+    // the fixed combination expression agrees everywhere.
+    "stats_corr" ->
+      s"""WITH t AS (
+         |  SELECT event_type,
+         |         CAST(floor(value * 100) AS BIGINT) AS x,
+         |         CAST(props->>'k' AS BIGINT) AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+         |         CAST(sum(x*y) AS DOUBLE) AS sxy
+         |  FROM t GROUP BY 1)
+         |SELECT event_type, n,
+         |       ${Rounding.stableSql(
+                   "(n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) * sqrt(greatest(n*syy - sy*sy, 0.0)))",
+                   6)} AS corr
+         |FROM m""".stripMargin,
+
+    "stats_zscore_topk" ->
+      s"""WITH t AS (
+         |  SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS x
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx
+         |  FROM t GROUP BY 1),
+         |st AS (
+         |  SELECT event_type, sx / n AS mu,
+         |         sqrt(greatest(n*sxx - sx*sx, 0.0)) / n AS sigma
+         |  FROM m)
+         |SELECT t.event_type, t.event_id, t.x,
+         |       ${Rounding.stableSql("(t.x - st.mu) / st.sigma", 4)} AS z
+         |FROM t JOIN st USING (event_type)
+         |ORDER BY abs(z) DESC NULLS LAST, event_id ASC
+         |LIMIT 50""".stripMargin,
+
+    "ta_pii" -> {
+      val Seq((_, emailPat, _), (_, phonePat, _), (_, ipPat, _)) =
+        TextAnalysis.PiiPatterns
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |         text
+         |         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |                   || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+         |         || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-'
+         |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+         |                   || CAST(doc_id % 300 AS VARCHAR) || '.0.1' ELSE '' END
+         |         || CASE WHEN doc_id % 7 = 0 THEN ' id 555-123-4567@mail.example.org' ELSE '' END AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, t, regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t1 FROM inj),
+         |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$phonePat', '<PHONE>', 'g') AS t2 FROM r1)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t,  '$emailPat')) AS INT) AS n_email,
+         |       CAST(len(regexp_extract_all(t1, '$phonePat')) AS INT) AS n_phone,
+         |       CAST(len(regexp_extract_all(t2, '$ipPat')) AS INT) AS n_ipv4,
+         |       regexp_replace(t2, '$ipPat', '<IPV4>', 'g') AS redacted
+         |FROM r2""".stripMargin
+    },
+
+    // Each engine judges ITS OWN sketch against the exact count; only
+    // the boolean verdicts are compared.
+    "ta_approx_distinct_gate" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |e AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens FROM toks GROUP BY 1),
+        |a AS (SELECT lang, approx_count_distinct(token) AS approx FROM toks GROUP BY 1)
+        |SELECT lang, exact_tokens,
+        |       CAST(abs(approx - exact_tokens) AS DOUBLE) / exact_tokens <= 0.05 AS within_5pct
+        |FROM e JOIN a USING (lang)""".stripMargin,
+
+    // The streaming recurrence (baseline updates only on alert) walked
+    // with a recursive CTE: rows advance one rank per iteration, depth =
+    // max ticks per key.
+    "ev_alerts_scan" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key, event_id, ts, value,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events WHERE event_type = 'purchase' AND value > 0),
+         |walk AS (
+         |  SELECT key, rn, event_id, ts, value,
+         |         value AS baseline, false AS alert, CAST(NULL AS DOUBLE) AS prev_baseline
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.key, t.rn, t.event_id, t.ts, t.value,
+         |         CASE WHEN abs((t.value / w.baseline - 1.0) * 100.0) >= 50.0
+         |              THEN t.value ELSE w.baseline END,
+         |         abs((t.value / w.baseline - 1.0) * 100.0) >= 50.0,
+         |         w.baseline
+         |  FROM walk w JOIN t ON t.key = w.key AND t.rn = w.rn + 1)
+         |SELECT key, event_id, ts, value, prev_baseline AS baseline,
+         |       ${Rounding.stableSql("(value / prev_baseline - 1.0) * 100.0", 4)} AS move_pct
+         |FROM walk WHERE alert""".stripMargin,
+
+    "ta_vocab_milestones" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
+        |SELECT token, CAST(m * 500 AS BIGINT) AS "count"
+        |FROM (SELECT token, unnest(generate_series(1, cnt // 500)) AS m
+        |      FROM g WHERE cnt >= 500)""".stripMargin,
 
     "t10_debug_annotations" ->
       s"""WITH $DebugCte

@@ -26,14 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** The five raw moments per group (plus `n`), as exact long sums. */
-  private def momentAggs(x: Column, y: Column): Seq[Column] = Seq(
-    count(lit(1)).as("n"),
-    sum(x).as("sx"),
-    sum(y).as("sy"),
-    sum(x * x).as("sxx"),
-    sum(y * y).as("syy"),
-    sum(x * y).as("sxy"))
+  /** The five raw moments per group (plus `n`), as exact long sums.
+    * Only COMPLETE pairs count: SQL `corr` drops a pair when either side
+    * is null, so `n` is `count(x && y non-null)` and every sum is guarded
+    * the same way — a stray null can shift neither `n` nor a sum. A group
+    * with zero complete pairs still surfaces (n=0, null corr).
+    */
+  private def momentAggs(x: Column, y: Column): Seq[Column] = {
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column, name: String) = sum(when(both, c)).as(name)
+    Seq(
+      count(when(both, lit(1))).as("n"),
+      s(x, "sx"), s(y, "sy"),
+      s(x * x, "sxx"), s(y * y, "syy"), s(x * y, "sxy"))
+  }
 
   /** Pearson correlation per group from exact integer moments.
     *
@@ -56,8 +62,10 @@ object Stats {
     val (sxx, syy, sxy) =
       (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
     val cov = n * sxy - sx * sy
-    val varx = n * sxx - sx * sx
-    val vary = n * syy - sy * sy
+    // n·Σx² − (Σx)² is ≥ 0 in exact arithmetic but can round a hair
+    // negative once the sums pass 2^53; clamp so sqrt never yields NaN.
+    val varx = greatest(n * sxx - sx * sx, lit(0.0))
+    val vary = greatest(n * syy - sy * sy, lit(0.0))
     g.select((groupCols.map(col) :+ col("n") :+
       Rounding.stable(try_divide(cov, sqrt(varx) * sqrt(vary)), scale)
         .as("corr")): _*)
@@ -83,13 +91,20 @@ object Stats {
       keep: Seq[String], k: Int, tiebreak: String,
       scale: Int = 4): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .agg(count(when(x.isNotNull, lit(1))).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"))
       .select(groupCols.map(col) :+
         (col("sx").cast("double") / col("n").cast("double")).as("mu") :+
-        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")) /
+        // clamp the radicand: exact-arithmetic ≥ 0, but double rounding
+        // past 2^53 can dip it negative and sqrt(neg) = NaN
+        (sqrt(greatest(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"), lit(0.0))) /
           col("n").cast("double")).as("sigma"): _*)
-    val z = try_divide(x - col("mu"), col("sigma"))
+    // σ=0 → null via try_divide; any residual non-finite z (NaN input,
+    // overflowed moments) maps to null too — Spark sorts NaN ABOVE every
+    // double, so an unguarded NaN would squat in the top-k.
+    val z0 = try_divide(x - col("mu"), col("sigma"))
+    val z = when(isnan(z0), lit(null)).otherwise(z0)
     df.join(broadcast(stats), groupCols)
       .select(groupCols.map(col) ++ keep.map(col) :+
         x.as("x") :+ Rounding.stable(z, scale).as("z"): _*)

@@ -211,17 +211,32 @@ object TextAnalysis {
     * pattern string runs in Spark's `regexp_count`/`regexp_replace` and
     * the DuckDB oracle's `regexp_extract_all`/`regexp_replace(..., 'g')`.
     */
-  val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
-    ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IPV4>"))
+  val PiiPatterns: Seq[(String, String, String)] = {
+    // 0-255 only — "999.1.1.1" is not an address. A dotted run LONGER
+    // than 4 octets still redacts its first 4-octet window (leftmost
+    // match; `\b` holds between digit and '.'): over-redaction, the
+    // right failure mode for a PII screen.
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+      ("ipv4", s"\\b$octet(\\.$octet){3}\\b", "<IPV4>"))
+  }
 
-  /** Per-pattern hit counts: ("n_email" -> count, ...). Narrow codegen'd
-    * map work — the PII screen costs one text scan at any scale.
+  /** Per-pattern hit counts: ("n_email" -> count, ...). Each pattern is
+    * counted on the text AS ALREADY REDACTED by the patterns before it —
+    * exactly the substrings [[piiRedact]] replaces — so a phone-shaped
+    * run inside an email's local part counts as (part of) the email, not
+    * as a phone, and `n_*` always sums to the number of tokens in the
+    * redacted output. Still narrow codegen'd map work — the whole screen
+    * costs one text scan at any scale.
     */
   def piiCounts(text: Column): Seq[(String, Column)] =
-    PiiPatterns.map { case (name, pat, _) =>
-      s"n_$name" -> regexp_count(text, lit(pat))
+    PiiPatterns.zipWithIndex.map { case ((name, pat, _), i) =>
+      val seen = PiiPatterns.take(i).foldLeft(text) { case (c, (_, p, r)) =>
+        regexp_replace(c, p, r)
+      }
+      s"n_$name" -> regexp_count(seen, lit(pat))
     }
 
   /** Masked text: every PII match replaced by its token, applied in

@@ -51,4 +51,46 @@ object StreamingAlerts {
           out.result().iterator
       }
   }
+
+  case class IdTick(key: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class AlertRow(key: String, event_id: Long, ts: java.sql.Timestamp,
+      value: Double, baseline: Double, move_pct: Double)
+
+  /** Batch twin of [[thresholdAlerts]] — the SAME baseline-anchored scan
+    * (alert iff the value moved ≥ `thresholdPct`% from the last ALERTED
+    * value; first tick arms silently) over a bounded table, so the
+    * driver's DuckDB oracle can hash-check the streaming operator's
+    * semantics (a recursive-CTE walk reproduces the recurrence).
+    *
+    * `flatMapSortedGroups` is Spark's secondary sort: each key's ticks
+    * arrive as ONE (ts, event_id)-ordered iterator straight off the
+    * shuffle's sort — no per-key array materializes, so a key with a
+    * billion ticks streams through in constant memory. Zero/negative
+    * values must be pre-filtered (a ratio baseline of 0 is undefined).
+    */
+  def thresholdAlertsScan(ds: Dataset[IdTick],
+      thresholdPct: Double): Dataset[AlertRow] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.asc
+    ds.groupByKey(_.key)
+      .flatMapSortedGroups(asc("ts"), asc("event_id")) {
+        (key: String, ticks: Iterator[IdTick]) =>
+          var baseline = Option.empty[Double]
+          val out = Seq.newBuilder[AlertRow]
+          for (t <- ticks) {
+            baseline match {
+              case None => baseline = Some(t.value)
+              case Some(b) =>
+                val movePct = (t.value / b - 1.0) * 100.0
+                if (math.abs(movePct) >= thresholdPct) {
+                  out += AlertRow(key, t.event_id, t.ts, t.value, b,
+                    graft.operators.Rounding.stableVal(movePct, 4))
+                  baseline = Some(t.value)
+                }
+            }
+          }
+          out.result()
+      }
+  }
 }
