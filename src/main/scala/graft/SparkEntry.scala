@@ -1386,10 +1386,13 @@ object SparkEntry {
         .agg(countDistinct(col("token")).as("exact_tokens"))
       val approx = toks.groupBy(col("lang"))
         .agg(approx_count_distinct(col("token"), 0.01).as("approx"))
+      // 10% gate: Spark pins rsd=0.01 but DuckDB's HLL precision is not
+      // configurable, so the gate needs margin over BOTH engines' typical
+      // error at any sf — 5% held but sat close to DuckDB's worst case.
       exact.join(approx, Seq("lang"))
         .select(col("lang"), col("exact_tokens"),
           (abs(col("approx") - col("exact_tokens")).cast("double") /
-            col("exact_tokens") <= 0.05).as("within_5pct"))
+            col("exact_tokens") <= 0.10).as("within_10pct"))
     }),
 
     // Batch shadow of StreamingAlerts.thresholdAlerts — the SAME
@@ -1737,7 +1740,10 @@ object SparkEntry {
 
     // Moments as DuckDB HUGEINT sums cast to DOUBLE — sums stay < 2^53
     // here, so the doubles equal Spark's long-sum casts bit-for-bit and
-    // the fixed combination expression agrees everywhere.
+    // the fixed combination expression agrees everywhere. FILTER mirrors
+    // Stats.momentAggs' complete-pair guard exactly (n counts only rows
+    // with BOTH sides non-null, every sum skips the same rows) while the
+    // plain GROUP BY keeps all-null groups alive as (n=0, null corr).
     "stats_corr" ->
       s"""WITH t AS (
          |  SELECT event_type,
@@ -1745,9 +1751,12 @@ object SparkEntry {
          |         CAST(props->>'k' AS BIGINT) AS y
          |  FROM events),
          |m AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         |         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+         |  SELECT event_type,
+         |         CAST(count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS BIGINT) AS n,
+         |         CAST(sum(x)   FILTER (WHERE y IS NOT NULL) AS DOUBLE) AS sx,
+         |         CAST(sum(y)   FILTER (WHERE x IS NOT NULL) AS DOUBLE) AS sy,
+         |         CAST(sum(x*x) FILTER (WHERE y IS NOT NULL) AS DOUBLE) AS sxx,
+         |         CAST(sum(y*y) FILTER (WHERE x IS NOT NULL) AS DOUBLE) AS syy,
          |         CAST(sum(x*y) AS DOUBLE) AS sxy
          |  FROM t GROUP BY 1)
          |SELECT event_type, n,
@@ -1761,7 +1770,9 @@ object SparkEntry {
          |  SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS x
          |  FROM events),
          |m AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  -- count(x) not count(*): Stats.zscoreTopK counts non-null x
+         |  -- only (sum() skips nulls in both engines already)
+         |  SELECT event_type, CAST(count(x) AS BIGINT) AS n,
          |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx
          |  FROM t GROUP BY 1),
          |st AS (
@@ -1805,7 +1816,7 @@ object SparkEntry {
         |e AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens FROM toks GROUP BY 1),
         |a AS (SELECT lang, approx_count_distinct(token) AS approx FROM toks GROUP BY 1)
         |SELECT lang, exact_tokens,
-        |       CAST(abs(approx - exact_tokens) AS DOUBLE) / exact_tokens <= 0.05 AS within_5pct
+        |       CAST(abs(approx - exact_tokens) AS DOUBLE) / exact_tokens <= 0.10 AS within_10pct
         |FROM e JOIN a USING (lang)""".stripMargin,
 
     // The streaming recurrence (baseline updates only on alert) walked

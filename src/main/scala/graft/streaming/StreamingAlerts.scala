@@ -76,21 +76,23 @@ object StreamingAlerts {
     ds.groupByKey(_.key)
       .flatMapSortedGroups(asc("ts"), asc("event_id")) {
         (key: String, ticks: Iterator[IdTick]) =>
+          // lazy flatMap, never a per-key buffer: the baseline threads
+          // through as the iterator is PULLED, so a key whose every tick
+          // alerts still streams in constant memory
           var baseline = Option.empty[Double]
-          val out = Seq.newBuilder[AlertRow]
-          for (t <- ticks) {
+          ticks.flatMap { t =>
             baseline match {
-              case None => baseline = Some(t.value)
+              case None =>
+                baseline = Some(t.value); Iterator.empty
               case Some(b) =>
                 val movePct = (t.value / b - 1.0) * 100.0
                 if (math.abs(movePct) >= thresholdPct) {
-                  out += AlertRow(key, t.event_id, t.ts, t.value, b,
-                    graft.operators.Rounding.stableVal(movePct, 4))
                   baseline = Some(t.value)
-                }
+                  Iterator.single(AlertRow(key, t.event_id, t.ts, t.value, b,
+                    graft.operators.Rounding.stableVal(movePct, 4)))
+                } else Iterator.empty
             }
           }
-          out.result()
       }
   }
 }
