@@ -315,13 +315,17 @@ object SparkEntry {
     // J5 + T14/N2 — attach the per-key selected headline to every date of
     // the calendar universe (left + default-fill, engine.py:149-162) and
     // assemble the pipe-delimited provenance column (engine.py:136-188).
-    // The selected-headline side is one row per key — broadcast it.
+    // The selected-headline side is one row per key — small today, but
+    // NOT hint-forced: AQE broadcasts it from the RUNTIME size, so at
+    // 100× key cardinality the same plan degrades to a shuffle join
+    // instead of OOMing the driver (ExplainAuditSpec pins the runtime
+    // broadcast).
     "j5_attach_provenance" -> ((s, dir) => {
       val selected = selectedHeadlines(s, dir, "2024-01-15 00:00:00")
       Calendar.universe(
           Calendar.tradingDates(s, "2024-01-08", "2024-01-19"),
           Tables.events(s, dir).select(col("user_id")).distinct())
-        .join(broadcast(selected), Seq("user_id"), "left")
+        .join(selected, Seq("user_id"), "left")
         .select(col("date"), col("user_id"),
           coalesce(col("headline_source"), lit("default")).as("headline_source"),
           when(col("picked_event_id").isNull, lit(Sentiment.DefaultHeadline))
@@ -339,8 +343,10 @@ object SparkEntry {
     //   ⋈ inner  daily market fact with full-history lag (T3/N6; missing
     //            (key,date) or first-ever day ⇒ row DROPPED, N1)
     //   ⟕ left   per-key selected headline + document text (A4+J5, N2) —
-    //            one row per key ⇒ broadcast
-    //   ⟕ left   as-of YoY fundamentals (J4) — dimension ⇒ broadcast
+    //            one row per key ⇒ AQE broadcasts from runtime size
+    //   ⟕ left   as-of YoY fundamentals (J4) — dimension ⇒ same; no
+    //            hard hint, so 100× key cardinality degrades to a
+    //            shuffle join instead of an OOM
     //   → sentiment projection (M1/T11-T13), provenance (T14), rounding.
     "e1_pipeline" -> ((s, dir) => {
       val asOf = "2024-01-15 00:00:00"
@@ -369,8 +375,8 @@ object SparkEntry {
         .select(col("o_custkey").as("user_id"), col("yoy_pct"))
       Sentiment.withAnalysis(
         market
-          .join(broadcast(head), Seq("user_id"), "left")
-          .join(broadcast(fund), Seq("user_id"), "left")
+          .join(head, Seq("user_id"), "left")
+          .join(fund, Seq("user_id"), "left")
           .withColumn("Headline",
             coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline))),
         "Headline", "__s")

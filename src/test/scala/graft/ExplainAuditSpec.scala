@@ -19,10 +19,20 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("e1_pipeline: headline/fundamentals sides broadcast; no cartesian product") {
-    val p = plan("e1_pipeline")
-    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2)
-    assert(!p.contains("CartesianProduct"))
+  test("e1_pipeline + j5: dims broadcast at RUNTIME via AQE (no hard hint); no cartesian") {
+    // The headline/fundamentals sides carry no broadcast() hint (so 100×
+    // key cardinality degrades to a shuffle join, not an OOM) — the
+    // broadcast must therefore appear in the FINAL adaptive plan, which
+    // only exists after execution.
+    for (q <- Seq("e1_pipeline", "j5_attach_provenance")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q did not finalize under AQE")
+      assert("BroadcastHashJoin".r.findAllMatchIn(p).size >=
+        (if (q == "e1_pipeline") 2 else 1), s"$q lost the runtime broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
   }
 
   test("banded/bucketed candidate generation never plans a cross product") {
