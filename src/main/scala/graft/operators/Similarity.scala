@@ -158,25 +158,37 @@ object Similarity {
   }
 
   /** Scalar (int8-style) quantization: components scaled by
-    * `127 / max|x|` and rounded to integers (held in doubles — every
-    * value and every dot-product partial stays < 2^53, so the
-    * arithmetic is EXACT integer math in both engines; no rounding
-    * discipline needed anywhere downstream). This is the compression
-    * real vector stores run: 4× smaller vectors, integer dots, ranking
-    * preserved up to quantization error.
+    * `127 / max|x|`, rounded to integers and CLAMPED to [-127, 127]
+    * (saturating, like a real int8 cast — required because the scale is
+    * calibrated on a sample, so out-of-sample components may overshoot).
+    * Values are held in doubles — every value and every dot-product
+    * partial stays < 2^53, so the arithmetic is EXACT integer math in
+    * both engines; no rounding discipline needed anywhere downstream.
+    * This is the compression real vector stores run: 4× smaller
+    * vectors, integer dots, ranking preserved up to quantization error.
     *
-    * @return (id, qv DOUBLE[] of integer values)
+    * @return (id, qv DOUBLE[] of integer values in [-127, 127])
     */
   def quantize(emb: DataFrame, idCol: String, vecCol: String,
       scale: Double): DataFrame =
     emb.filter(col(vecCol).isNotNull).select(col(idCol).as("id"),
-      transform(asDouble(col(vecCol)), x => round(x * scale)).as("qv"))
+      transform(asDouble(col(vecCol)),
+        x => greatest(least(round(x * scale), lit(127.0)), lit(-127.0))).as("qv"))
 
-  /** The quantization scale for a corpus: `127 / max|component|` —
-    * max is an exact fold, so both engines derive the identical double.
+  /** The quantization scale, `127 / max|component|`, CALIBRATED on the
+    * bounded id-prefix sample `id < sampleBound` rather than the full
+    * corpus: at 100 TB a scan for one scalar is an extra full pass, so
+    * the scale is a training-time constant derived the way real vector
+    * stores derive it — from a calibration sample. The `id <` predicate
+    * pushes into the parquet scan and prunes row groups via min/max
+    * stats, so the read is bounded at any corpus size; components the
+    * sample missed saturate in [[quantize]]'s clamp (standard int8
+    * behavior). Max over the sample is an exact fold, so both engines
+    * derive the identical double.
     */
-  def sqScale(emb: DataFrame, vecCol: String): Double = {
-    val maxAbs = emb
+  def sqScale(emb: DataFrame, idCol: String, vecCol: String,
+      sampleBound: Long = 256L): Double = {
+    val maxAbs = emb.filter(col(idCol) < sampleBound)
       .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
       .agg(max(abs(col("x")))).collect()(0).getDouble(0)
     127.0 / maxAbs

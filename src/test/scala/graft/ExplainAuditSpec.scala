@@ -26,7 +26,7 @@ class ExplainAuditSpec extends SparkSpec {
     // only exists after execution.
     for (q <- Seq("e1_pipeline", "j5_attach_provenance")) {
       val df = SparkEntry.queries(q)(spark, sf)
-      df.write.format("noop").mode("overwrite").save()
+      df.collect() // withAction on THIS QueryExecution finalizes its AQE plan
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("isFinalPlan=true"), s"$q did not finalize under AQE")
       assert("BroadcastHashJoin".r.findAllMatchIn(p).size >=

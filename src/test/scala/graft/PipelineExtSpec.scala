@@ -223,7 +223,7 @@ class SimilaritySpec extends SparkSpec {
       (0L, Array(0.5f, -1.0f)),       // max|x| = 1.0 -> scale 127
       (1L, Array(1.0f, 0.25f))
     ).toDF("id", "vec")
-    val scale = Similarity.sqScale(emb, "vec")
+    val scale = Similarity.sqScale(emb, "id", "vec")
     assert(scale == 127.0)
     val q = Similarity.quantize(emb, "id", "vec", scale)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
