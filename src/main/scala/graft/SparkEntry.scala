@@ -101,6 +101,73 @@ object SparkEntry {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** E1 — the full pipeline (engine.py:101-214) with the error-
+    * degradation channels parameterized: `newsFail` models a
+    * fetch_headline exception (row kept, DEFAULT headline, news=error
+    * in the log — engine.py:156-163), `sentFail` a sentiment.analyze
+    * exception (row kept, Neutral/0.0, sentiment=error —
+    * engine.py:165-173). e1_pipeline passes lit(false) for both (the
+    * healthy run, constant-folded away); e1_pipeline_degraded injects
+    * deterministic keyed failures so the degradation vocabulary is
+    * itself oracle-checked.
+    */
+  private def e1Pipeline(s: SparkSession, dir: String,
+      newsFail: org.apache.spark.sql.Column,
+      sentFail: org.apache.spark.sql.Column): DataFrame = {
+    val asOf = "2024-01-15 00:00:00"
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(sum(col("value")).as("close"), count(lit(1)).as("volume"))
+    val withPct = PctChange.withPctChange(
+      daily, Seq("user_id"), Seq(col("date")), "close")
+    val market = Calendar.universe(
+        Calendar.tradingDates(s, "2024-01-08", "2024-01-26"),
+        Tables.events(s, dir).select(col("user_id")).distinct())
+      .join(withPct, Seq("user_id", "date"), "inner")
+      .filter(col("pct_change").isNotNull)
+    val head = selectedHeadlines(s, dir, asOf)
+      .withColumn("doc_id", pmod(col("picked_event_id"), lit(500)))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("headline_text")),
+        Seq("doc_id"), "left")
+      .select(col("user_id"), col("headline_source"), col("headline_text"))
+    val fund = AsOf.yoyAsOf(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("o_orderkey")),
+        keyCol = "o_custkey", timeCol = "o_orderdate",
+        valueCol = "o_totalprice",
+        offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")
+      .select(col("o_custkey").as("user_id"), col("yoy_pct"))
+    Sentiment.withAnalysis(
+      market
+        .join(head, Seq("user_id"), "left")
+        .join(fund, Seq("user_id"), "left")
+        .withColumn("Headline",
+          when(newsFail, lit(Sentiment.DefaultHeadline))
+            .otherwise(coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline)))),
+      "Headline", "__s")
+      .select(
+        col("date").as("Date"),
+        col("user_id").as("Stock"),
+        col("pct_change").as("Pct_Change"),
+        col("volume").as("Volume"),
+        col("Headline"),
+        when(sentFail, lit("Neutral")).otherwise(col("__s.label"))
+          .as("Sentiment_Label"),
+        when(sentFail, lit(0.0)).otherwise(col("__s.score"))
+          .as("Sentiment_Score"),
+        col("yoy_pct").as("YoY_NetIncome_Pct"),
+        concat_ws(" | ",
+          lit("market=events"),
+          concat(lit("news="), when(newsFail, lit("error"))
+            .otherwise(coalesce(col("headline_source"), lit("default")))),
+          concat(lit("sentiment="), when(sentFail, lit("error"))
+            .otherwise(lit("lexicon"))),
+          concat(lit("fundamentals="),
+            when(col("yoy_pct").isNotNull, lit("orders"))
+              .otherwise(lit("unavailable")))).as("Data_Source_Log"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G1 — trading-calendar generation (engine.py:248-263): sequence +
@@ -348,55 +415,24 @@ object SparkEntry {
     //            hard hint, so 100× key cardinality degrades to a
     //            shuffle join instead of an OOM
     //   → sentiment projection (M1/T11-T13), provenance (T14), rounding.
-    "e1_pipeline" -> ((s, dir) => {
-      val asOf = "2024-01-15 00:00:00"
-      val daily = Tables.events(s, dir)
-        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
-        .agg(sum(col("value")).as("close"), count(lit(1)).as("volume"))
-      val withPct = PctChange.withPctChange(
-        daily, Seq("user_id"), Seq(col("date")), "close")
-      val market = Calendar.universe(
-          Calendar.tradingDates(s, "2024-01-08", "2024-01-26"),
-          Tables.events(s, dir).select(col("user_id")).distinct())
-        .join(withPct, Seq("user_id", "date"), "inner")
-        .filter(col("pct_change").isNotNull)
-      val head = selectedHeadlines(s, dir, asOf)
-        .withColumn("doc_id", pmod(col("picked_event_id"), lit(500)))
-        .join(Tables.documents(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 60).as("headline_text")),
-          Seq("doc_id"), "left")
-        .select(col("user_id"), col("headline_source"), col("headline_text"))
-      val fund = AsOf.yoyAsOf(
-          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
-            col("o_totalprice"), col("o_orderkey")),
-          keyCol = "o_custkey", timeCol = "o_orderdate",
-          valueCol = "o_totalprice",
-          offsetMonths = 12, toleranceDays = 120, tiebreakCol = "o_orderkey")
-        .select(col("o_custkey").as("user_id"), col("yoy_pct"))
-      Sentiment.withAnalysis(
-        market
-          .join(head, Seq("user_id"), "left")
-          .join(fund, Seq("user_id"), "left")
-          .withColumn("Headline",
-            coalesce(col("headline_text"), lit(Sentiment.DefaultHeadline))),
-        "Headline", "__s")
-        .select(
-          col("date").as("Date"),
-          col("user_id").as("Stock"),
-          col("pct_change").as("Pct_Change"),
-          col("volume").as("Volume"),
-          col("Headline"),
-          col("__s.label").as("Sentiment_Label"),
-          col("__s.score").as("Sentiment_Score"),
-          col("yoy_pct").as("YoY_NetIncome_Pct"),
-          concat_ws(" | ",
-            lit("market=events"),
-            concat(lit("news="), coalesce(col("headline_source"), lit("default"))),
-            lit("sentiment=lexicon"),
-            concat(lit("fundamentals="),
-              when(col("yoy_pct").isNotNull, lit("orders"))
-                .otherwise(lit("unavailable")))).as("Data_Source_Log"))
-    }),
+    "e1_pipeline" -> ((s, dir) =>
+      e1Pipeline(s, dir, newsFail = lit(false), sentFail = lit(false))),
+
+    // E1d — fault-injection shadow of e1_pipeline: the engine-level
+    // error degradation the reference wraps in try/except around
+    // fetch_headline and sentiment.analyze (engine.py:156-173). A
+    // failed news fetch keeps the row with the DEFAULT headline and
+    // logs news=error; a failed scoring call keeps the row with
+    // Neutral/0.0 and logs sentiment=error — degrade, never drop.
+    // Failures are injected deterministically per key (provider outages
+    // are call-level, so a keyed predicate is the bounded-data stand-in)
+    // to make the degradation TOKEN VOCABULARY itself oracle-hashed;
+    // at scale a real try_-null scoring signal lands in the same
+    // branches.
+    "e1_pipeline_degraded" -> ((s, dir) =>
+      e1Pipeline(s, dir,
+        newsFail = pmod(col("user_id"), lit(11)) === 3,
+        sentFail = pmod(col("user_id"), lit(11)) === 7)),
 
     // T10 — annotated candidate dump: the debug/explain view of the news
     // selection (flags, no filtering; dump_news_debug.py:83-136).
@@ -504,6 +540,48 @@ object SparkEntry {
           col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"),
           col("n_events"))),
+
+    // ST4 — batch shadow of StreamingDedup.exactWithinWatermark:
+    // first-seen-wins exact dedup over the re-crawled corpus with a
+    // deterministic event time (base copy at doc_id seconds past
+    // 2024-01-01, re-crawl one hour later), so the watermark operator's
+    // "emit each distinct text once" semantics get a hash-checked
+    // oracle row per distinct text.
+    "st4_dedup_scan" -> ((s, dir) => {
+      val withTs = recrawl(s, dir).withColumn("ts", timestamp_seconds(
+        lit(1704067200L) + (col("doc_id") % 1000000) +
+          expr("doc_id div 1000000") * 3600))
+      graft.streaming.StreamingDedup.firstSeenScan(withTs, "doc_id", "text", "ts")
+    }),
+
+    // ST5 — batch shadow of StreamingNearDedup.nearDupPairs: the same
+    // banding + signature-agreement estimate (matching positions / nSig
+    // ≥ 0.5) the streaming buckets apply, as a bounded-table scan the
+    // oracle re-derives from the shared minhash CTEs.
+    "st5_neardedup_scan" -> ((s, dir) =>
+      graft.streaming.StreamingNearDedup.nearDupPairsScan(
+        recrawl(s, dir), "doc_id", "text",
+        numBands = 4, rowsPerBand = 3, minEstJaccard = 0.5)),
+
+    // ST6 — batch shadow of StreamingFunnel.stageAdvances: one advance
+    // row per (user, stage) via the secondary-sort scan, oracle-checked
+    // against the conditional-min-ts stage recurrence.
+    "st6_funnel_scan" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .as[graft.streaming.StreamingFunnel.IdEv]
+      graft.streaming.StreamingFunnel.stageAdvancesScan(
+        ev, Seq("view", "click", "purchase")).toDF()
+    }),
+
+    // ST7 — batch shadow of StreamingBars.bars: the SAME barsAgg the
+    // append-mode stream runs (6-hour tumbling candlesticks, min_by/
+    // max_by open/close on the (ts, event_id) struct), so backfill and
+    // live bars are pinned to one definition by the oracle.
+    "st7_bars_scan" -> ((s, dir) =>
+      graft.streaming.StreamingBars.barsAgg(
+        Tables.events(s, dir), "user_id", "ts", "value", "event_id", "6 hours")),
 
     // Bucketed rolling aggregation — the 100 TB companion to
     // ev_rolling_24h: pre-aggregate events to (user, hour) buckets,
@@ -1655,11 +1733,15 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(range(1, $bound + 1), i -> i * (ascii(substr($hs[i], 1, 1)) * 256 + ascii(substr($hs[i], 2, 1))))) % 1000000007 AS BIGINT)"
   }
 
-  /** The E1 oracle, shared by e1_pipeline and the e2 validation
-    * composition.
+  /** The E1 oracle with the two error-degradation predicates injectable
+    * (SQL over `m.user_id`, evaluated in the base CTE): the healthy run
+    * passes literal "false" for both; the degraded shadow injects the
+    * keyed provider outages.
     */
-  private val E1OracleSql: String =
-    """WITH daily AS (
+  private def e1OracleSqlWith(newsFail: String, sentFail: String): String =
+    // raw interpolator: the sentiment regexes contain \b, which s"" would
+    // cook into backspace characters
+    raw"""WITH daily AS (
         |  SELECT user_id, ts::DATE AS date, sum(value) AS close, CAST(count(*) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2),
         |pct AS (
@@ -1712,8 +1794,10 @@ object SparkEntry {
         |  WHERE rn = 1 AND prev_value <> 0),
         |base AS (
         |  SELECT m.date, m.user_id, m.pct_change, m.volume,
-        |         coalesce(h.headline_text, 'No major headline available') AS headline,
-        |         h.headline_source, f.yoy_pct
+        |         CASE WHEN $newsFail THEN 'No major headline available'
+        |              ELSE coalesce(h.headline_text, 'No major headline available') END AS headline,
+        |         h.headline_source, f.yoy_pct,
+        |         ($newsFail) AS news_failed, ($sentFail) AS sent_failed
         |  FROM market m
         |  LEFT JOIN head h ON m.user_id = h.user_id
         |  LEFT JOIN fund f ON m.user_id = f.user_id),
@@ -1727,18 +1811,27 @@ object SparkEntry {
         |  FROM base)
         |SELECT date AS "Date", user_id AS "Stock", pct_change AS "Pct_Change", volume AS "Volume",
         |       headline AS "Headline",
-        |       CASE WHEN dflt THEN 'Neutral'
+        |       CASE WHEN sent_failed THEN 'Neutral'
+        |            WHEN dflt THEN 'Neutral'
         |            WHEN pos > neg THEN 'Positive'
         |            WHEN neg > pos THEN 'Negative' ELSE 'Neutral' END AS "Sentiment_Label",
-        |       CASE WHEN dflt OR pos + neg = 0 THEN 0.0
+        |       CASE WHEN sent_failed THEN 0.0
+        |            WHEN dflt OR pos + neg = 0 THEN 0.0
         |            WHEN pos > neg THEN round(pos / (pos + neg), 4)
         |            WHEN neg > pos THEN round(-(neg / (pos + neg)), 4)
         |            ELSE 0.0 END AS "Sentiment_Score",
         |       yoy_pct AS "YoY_NetIncome_Pct",
-        |       'market=events | news=' || coalesce(headline_source, 'default')
-        |         || ' | sentiment=lexicon | fundamentals='
+        |       'market=events | news='
+        |         || CASE WHEN news_failed THEN 'error' ELSE coalesce(headline_source, 'default') END
+        |         || ' | sentiment=' || CASE WHEN sent_failed THEN 'error' ELSE 'lexicon' END
+        |         || ' | fundamentals='
         |         || CASE WHEN yoy_pct IS NOT NULL THEN 'orders' ELSE 'unavailable' END AS "Data_Source_Log"
         |FROM scored""".stripMargin
+
+  /** The healthy E1 oracle, shared by e1_pipeline and the e2 validation
+    * composition.
+    */
+  private val E1OracleSql: String = e1OracleSqlWith("false", "false")
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables). Column
     * names/aliases match the Spark output exactly (driver sorts columns by
@@ -1856,6 +1949,73 @@ object SparkEntry {
         |SELECT token, CAST(m * 500 AS BIGINT) AS "count"
         |FROM (SELECT token, unnest(generate_series(1, cnt // 500)) AS m
         |      FROM g WHERE cnt >= 500)""".stripMargin,
+
+    // first-seen-wins re-derived through a rank-1 window (DuckDB's
+    // arg_min cannot take the composite (ts, doc_id) key).
+    "st4_dedup_scan" ->
+      s"""WITH $RecrawlCte,
+         |tsd AS (
+         |  SELECT doc_id, text,
+         |         make_timestamp((1704067200 + doc_id % 1000000 + (doc_id // 1000000) * 3600) * 1000000) AS ts
+         |  FROM corpus),
+         |r AS (
+         |  SELECT md5(text) AS text_hash, doc_id, ts,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY ts, doc_id) AS rn
+         |  FROM tsd)
+         |SELECT text_hash,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS doc_id,
+         |       min(ts) AS first_ts,
+         |       CAST(count(*) AS BIGINT) AS dup_count
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "st5_neardedup_scan" ->
+      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+        s"""est AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |         ${Rounding.stableSql(
+                        "(" + (0 until 12).map(k =>
+                          s"(CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END)")
+                          .mkString(" + ") + ")::DOUBLE / 12.0", 4)} AS est_jaccard
+           |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b)
+           |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin),
+
+    "st6_funnel_scan" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT user_id, CAST(1 AS INT) AS stage, 'view' AS event_type, t AS ts FROM s1
+        |UNION ALL
+        |SELECT user_id, CAST(2 AS INT) AS stage, 'click' AS event_type, t AS ts FROM s2
+        |UNION ALL
+        |SELECT user_id, CAST(3 AS INT) AS stage, 'purchase' AS event_type, t AS ts FROM s3""".stripMargin,
+
+    // 6-hour tumbling buckets via epoch-µs floor division (Spark's
+    // window() start is epoch-aligned); open/close re-derived through
+    // rank-1 windows as in ev_ohlc_bars.
+    "st7_bars_scan" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bar_start,
+        |         ts, event_id, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, bar_start ORDER BY ts, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY user_id, bar_start ORDER BY ts DESC, event_id DESC) AS rd
+        |      FROM e)
+        |SELECT user_id, bar_start,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close,
+        |       CAST(count(*) AS BIGINT) AS volume
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "t10_debug_annotations" ->
       s"""WITH $DebugCte
@@ -2539,6 +2699,9 @@ object SparkEntry {
         |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
 
     "e1_pipeline" -> E1OracleSql,
+
+    "e1_pipeline_degraded" ->
+      e1OracleSqlWith("m.user_id % 11 = 3", "m.user_id % 11 = 7"),
 
     // (ts DESC, headline DESC) ordering mirrors windowedLatestAgg's
     // deterministic (ts, headline) max_by tie-break for equal-ts rows

@@ -27,4 +27,22 @@ object StreamingDedup {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /** Batch twin of [[exactWithinWatermark]] so the driver's DuckDB
+    * oracle can hash-check the streaming operator's semantics: "emit
+    * each distinct text once, first-seen wins" is, over a bounded
+    * table, the (min (ts, id)) row per content hash — ONE map-side-
+    * combinable hash aggregate, no window sort. (The streaming form's
+    * "first" is arrival order, which for a replayed event-time-ordered
+    * log is exactly this (ts, id) order.)
+    *
+    * @return (text_hash, idCol of the surviving row, first_ts, dup_count)
+    */
+  def firstSeenScan(df: DataFrame, idCol: String, textCol: String,
+      timeCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        min_by(col(idCol), struct(col(timeCol), col(idCol))).as(idCol),
+        min(col(timeCol)).as("first_ts"),
+        count(lit(1)).as("dup_count"))
 }

@@ -68,4 +68,37 @@ object StreamingFunnel {
           }
       }
   }
+
+  case class IdEv(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  /** Batch twin of [[stageAdvances]] so the driver's DuckDB oracle can
+    * hash-check the streaming operator's semantics — the same stage
+    * recurrence as one pass over a bounded table, via the
+    * `flatMapSortedGroups` secondary-sort pattern (see
+    * [[StreamingAlerts.thresholdAlertsScan]]): each user's events
+    * arrive as ONE (ts, event_id)-ordered iterator straight off the
+    * shuffle's sort, and the (stage, ts) state threads lazily as the
+    * iterator is pulled — a user with a billion events streams through
+    * in constant memory, no per-user array.
+    */
+  def stageAdvancesScan(ds: Dataset[IdEv],
+      steps: Seq[String]): Dataset[StageAdvance] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.asc
+    ds.groupByKey(_.user_id)
+      .flatMapSortedGroups(asc("ts"), asc("event_id")) {
+        (uid: Long, evs: Iterator[IdEv]) =>
+          var stage = 0
+          var lastTs = Long.MinValue
+          evs.flatMap { e =>
+            if (stage < steps.length && e.event_type == steps(stage) &&
+                e.ts.getTime > lastTs) {
+              stage += 1
+              lastTs = e.ts.getTime
+              Iterator.single(StageAdvance(uid, stage, e.event_type, e.ts))
+            } else Iterator.empty
+          }
+      }
+  }
 }

@@ -38,6 +38,37 @@ object StreamingNearDedup {
   // public: Janino-generated encoder code cannot access private classes
   case class BucketState(residents: List[(Long, Seq[Long])])
 
+  /** The banding derivation shared by the streaming operator and its
+    * batch scan twin: per input row, one output row per band with
+    * (bucket, doc_id [, passthrough cols], sigs). Same constants and
+    * arithmetic as [[graft.operators.Dedup.minhashPairs]], so a doc
+    * ingested by the stream bands identically to one scanned in batch.
+    *
+    * Each expensive derived column is staged in its own projection:
+    * multi-referenced lambda expressions otherwise re-evaluate per
+    * reference (no CSE across the sig/band expressions).
+    */
+  def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String], numBands: Int, rowsPerBand: Int): DataFrame = {
+    val nSig = numBands * rowsPerBand
+    val pass = passthrough.map(col)
+    val staged = df
+      .select(col(idCol).as("doc_id") +: pass :+
+        Dedup.tokenValues(col(textCol)).as("tv"): _*)
+      .select(col("doc_id") +: pass :+
+        Dedup.shingleValuesFromTokens(col("tv")).as("sh"): _*)
+      .select(col("doc_id") +: pass :+
+        array((0 until nSig).map(k => Dedup.minhashSig(col("sh"), k)): _*).as("sigs"): _*)
+    staged
+      .select(col("doc_id") +: pass :+ col("sigs") :+
+        posexplode(array((0 until numBands).map { b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string")): _*))
+        }: _*)).as(Seq("band_id", "band_key")): _*)
+      .select(concat_ws("#", col("band_id"), col("band_key")).as("bucket") +:
+        col("doc_id") +: pass :+ col("sigs"): _*)
+  }
+
   /** @param df streaming (idCol: Long, textCol: String, timeCol: Timestamp)
     * @param watermark lateness bound on `timeCol`
     * @param retention how long a doc stays pair-matchable after the
@@ -56,24 +87,9 @@ object StreamingNearDedup {
     import df.sparkSession.implicits._
     val nSig = numBands * rowsPerBand
 
-    // each expensive derived column staged in its own projection:
-    // multi-referenced lambda expressions otherwise re-evaluate per
-    // reference (no CSE across the sig/band expressions)
-    val staged = df
-      .select(col(idCol).as("doc_id"), col(timeCol).as("ts"),
-        Dedup.tokenValues(col(textCol)).as("tv"))
-      .select(col("doc_id"), col("ts"),
-        Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
-      .select(col("doc_id"), col("ts"),
-        array((0 until nSig).map(k => Dedup.minhashSig(col("sh"), k)): _*).as("sigs"))
-    val banded = staged
-      .select(col("doc_id"), col("ts"), col("sigs"),
-        posexplode(array((0 until numBands).map { b =>
-          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            element_at(col("sigs"), b * rowsPerBand + r + 1).cast("string")): _*))
-        }: _*)).as(Seq("band_id", "band_key")))
-      .select(concat_ws("#", col("band_id"), col("band_key")).as("bucket"),
-        col("doc_id"), col("ts"), col("sigs"))
+    val banded = bandedSigs(
+      df.select(col(idCol).as("doc_id"), col(timeCol).as("ts"), col(textCol).as("__text")),
+      "doc_id", "__text", Seq("ts"), numBands, rowsPerBand)
       .as[BandedDoc]
 
     val retentionMs = retention.toMillis
@@ -111,5 +127,35 @@ object StreamingNearDedup {
             out.result().iterator
           }
       }
+  }
+
+  /** Batch twin of [[nearDupPairs]] so the driver's DuckDB oracle can
+    * hash-check the streaming operator's semantics: the SAME banding
+    * and signature-agreement estimate over a bounded corpus —
+    * within-bucket pairs (a < b) kept at est ≥ `minEstJaccard`, one row
+    * per DISTINCT pair (the streaming form emits once per colliding
+    * band; est is pair-determined, so `distinct` is the downstream
+    * pair-dedup it prescribes). Candidates come from an equality join
+    * on the bucket key — never all-pairs — the same 100 TB contract as
+    * the batch minhash operator.
+    */
+  def nearDupPairsScan(df: DataFrame, idCol: String, textCol: String,
+      numBands: Int = 4, rowsPerBand: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val nSig = numBands * rowsPerBand
+    val banded = bandedSigs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "doc_id", "__text", Nil, numBands, rowsPerBand)
+    val a = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("sigs").as("sig_a"))
+    val b = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("sigs").as("sig_b"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v).cast("double") / nSig
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.operators.Rounding.stable(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 }

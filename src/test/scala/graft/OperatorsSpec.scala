@@ -441,6 +441,22 @@ class ValidatorSpec extends SparkSpec {
     assert(!Validator.validate(df, rules.copy(nullRateMax = 0.33), Some(4L)))
     assert(!Validator.validate(df, rules, Some(15L)))
   }
+
+  test("E1d: provider failures degrade rows, never drop them (engine.py:156-173)") {
+    val sf = "/root/testdata/sf0.001"
+    val healthy = SparkEntry.queries("e1_pipeline")(spark, sf)
+    val degraded = SparkEntry.queries("e1_pipeline_degraded")(spark, sf)
+    assert(degraded.count() == healthy.count()) // degrade, never drop
+    val sentErr = degraded
+      .filter(col("Data_Source_Log").contains("sentiment=error"))
+      .select(col("Sentiment_Label"), col("Sentiment_Score")).distinct().collect()
+    assert(sentErr.nonEmpty && sentErr.forall(r =>
+      r.getString(0) == "Neutral" && r.getDouble(1) == 0.0))
+    val newsErr = degraded.filter(col("Data_Source_Log").contains("news=error"))
+    assert(newsErr.count() > 0)
+    assert(newsErr.select(col("Headline")).distinct().collect()
+      .forall(_.getString(0) == Sentiment.DefaultHeadline))
+  }
 }
 
 class FunnelSpec extends SparkSpec {

@@ -238,6 +238,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeenScan: batch twin picks the stream's surviving first-seen rows") {
+    // same log as the exactWithinWatermark test above, replayed as a
+    // bounded table: the (min (ts, key)) row per text survives
+    val batch = Seq(
+      ev("A", "2024-01-01 10:00:00", "same story"),
+      ev("B", "2024-01-01 10:01:00", "same story"),
+      ev("C", "2024-01-01 10:02:00", "different story"),
+      ev("D", "2024-01-01 10:30:00", "same story")).toDF()
+    val got = graft.streaming.StreamingDedup
+      .firstSeenScan(batch, "key", "headline", "ts")
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == Set(("A", 3L), ("C", 1L))) // first-seen key, dup count
+  }
+
+  test("nearDupPairsScan: batch twin equals the distinct streaming pair stream") {
+    val dupText = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      DocEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), dupText),
+      DocEvent(4, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        "completely different words about spark query engines here"),
+      DocEvent(2, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), dupText)).toDF()
+    val got = graft.streaming.StreamingNearDedup
+      .nearDupPairsScan(docs, "doc_id", "text",
+        numBands = 4, rowsPerBand = 3, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the streaming test above emits exactly {(1,2,1.0)} (per colliding
+    // band, deduped); the scan is its distinct equivalent
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("stageAdvancesScan: batch twin replays the funnel stream's advances") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.IdEv
+    // the stageAdvances test's event log with arrival-order event ids
+    def e(id: Long, u: Long, t: String, ts: String) =
+      IdEv(u, id, t, java.sql.Timestamp.valueOf(ts))
+    val evs = Seq(
+      e(0, 1L, "click", "2024-01-01 09:00:00"),
+      e(1, 1L, "view", "2024-01-01 10:00:00"),
+      e(2, 1L, "click", "2024-01-01 10:05:00"),
+      e(3, 2L, "view", "2024-01-01 10:00:00"),
+      e(4, 1L, "click", "2024-01-01 10:06:00"),
+      e(5, 1L, "purchase", "2024-01-01 10:04:00"),
+      e(6, 1L, "purchase", "2024-01-01 10:10:00"),
+      e(7, 2L, "purchase", "2024-01-01 11:00:00")).toDS()
+    val got = StreamingFunnel
+      .stageAdvancesScan(evs, Seq("view", "click", "purchase"))
+      .collect().map(a => (a.user_id, a.stage, a.event_type)).toSet
+    assert(got == Set((1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view")))
+  }
+
   test("session_window finalizes sessions in streaming append mode once the watermark passes") {
     import org.apache.spark.sql.functions._
     implicit val ctx = spark.sqlContext
