@@ -373,6 +373,26 @@ object SparkEntry {
           col("s.label").as("label"), col("s.score").as("score"))
     }),
 
+    // M1 through the inference seam: the same analyze() contract routed
+    // via SentimentInference.withBatchedAnalysis — per-partition model
+    // init + fixed-size batches, the mapPartitions shape a real
+    // ONNX/DJL FinBERT drops into (sentiment.py:100-140). Shares
+    // m1_sentiment's oracle: the two execution forms must hash
+    // identically.
+    "m1_sentiment_batched" -> ((s, dir) => {
+      val headline = when(col("doc_id") % 11 === 0, lit(Sentiment.DefaultHeadline))
+        .when(col("doc_id") % 13 === 0, lit("  "))
+        .otherwise(col("text"))
+      SentimentInference.withBatchedAnalysis(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), headline.as("headline")),
+        "doc_id", "headline",
+        () => new SentimentInference.LexiconModel())
+        .select(col("doc_id"),
+          substring(col("headline"), 1, 30).as("headline_prefix"),
+          col("raw_label"), col("raw_score"), col("label"), col("score"))
+    }),
+
     // A4/N8/N3 — the coalesce-fallback precedence chain as a live query
     // (news.py:344-397): google name ≻ google ticker ≻ newsdata name ≻
     // newsdata ticker, most-recent within the winning source.
@@ -1833,6 +1853,43 @@ object SparkEntry {
     */
   private val E1OracleSql: String = e1OracleSqlWith("false", "false")
 
+  /** The M1 analyze() oracle, shared by the expression scorer
+    * (m1_sentiment) and the batched inference seam
+    * (m1_sentiment_batched) — one contract, two execution forms.
+    */
+  private val M1OracleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN 'No major headline available'
+      |              WHEN doc_id % 13 = 0 THEN '  ' ELSE text END AS headline
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, headline,
+      |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
+      |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
+      |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
+      |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
+      |         (headline IS NULL OR length(trim(headline)) = 0
+      |          OR trim(headline) = 'No major headline available') AS dflt
+      |  FROM h),
+      |r AS (
+      |  SELECT doc_id, headline,
+      |         CASE WHEN dflt THEN 'neutral'
+      |              WHEN pos > neg THEN 'positive'
+      |              WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS raw_label,
+      |         CASE WHEN dflt OR pos + neg = 0 THEN 0.0
+      |              WHEN pos > neg THEN round(pos / (pos + neg), 4)
+      |              WHEN neg > pos THEN round(neg / (pos + neg), 4)
+      |              ELSE 0.5 END AS raw_score
+      |  FROM c)
+      |SELECT doc_id, substr(headline, 1, 30) AS headline_prefix, raw_label, raw_score,
+      |       CASE raw_label WHEN 'positive' THEN 'Positive'
+      |                      WHEN 'negative' THEN 'Negative' ELSE 'Neutral' END AS label,
+      |       CASE WHEN raw_label = 'positive' THEN round(raw_score, 4)
+      |            WHEN raw_label = 'negative' THEN round(-raw_score, 4)
+      |            ELSE 0.0 END AS score
+      |FROM r""".stripMargin
+
   /** DuckDB-runnable ANSI SQL oracle per query (same tables). Column
     * names/aliases match the Spark output exactly (driver sorts columns by
     * name before hashing).
@@ -2609,38 +2666,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '   ' ELSE text END AS title FROM documents)
         |WHERE length(trim(title)) > 0""".stripMargin,
 
-    "m1_sentiment" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 11 = 0 THEN 'No major headline available'
-        |              WHEN doc_id % 13 = 0 THEN '  ' ELSE text END AS headline
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, headline,
-        |         len(regexp_extract_all(lower(trim(headline)), '\bfast\b'))
-        |           + len(regexp_extract_all(lower(trim(headline)), '\bsmall\b')) AS pos,
-        |         len(regexp_extract_all(lower(trim(headline)), '\bslow\b'))
-        |           + len(regexp_extract_all(lower(trim(headline)), '\bbig\b')) AS neg,
-        |         (headline IS NULL OR length(trim(headline)) = 0
-        |          OR trim(headline) = 'No major headline available') AS dflt
-        |  FROM h),
-        |r AS (
-        |  SELECT doc_id, headline,
-        |         CASE WHEN dflt THEN 'neutral'
-        |              WHEN pos > neg THEN 'positive'
-        |              WHEN neg > pos THEN 'negative' ELSE 'neutral' END AS raw_label,
-        |         CASE WHEN dflt OR pos + neg = 0 THEN 0.0
-        |              WHEN pos > neg THEN round(pos / (pos + neg), 4)
-        |              WHEN neg > pos THEN round(neg / (pos + neg), 4)
-        |              ELSE 0.5 END AS raw_score
-        |  FROM c)
-        |SELECT doc_id, substr(headline, 1, 30) AS headline_prefix, raw_label, raw_score,
-        |       CASE raw_label WHEN 'positive' THEN 'Positive'
-        |                      WHEN 'negative' THEN 'Negative' ELSE 'Neutral' END AS label,
-        |       CASE WHEN raw_label = 'positive' THEN round(raw_score, 4)
-        |            WHEN raw_label = 'negative' THEN round(-raw_score, 4)
-        |            ELSE 0.0 END AS score
-        |FROM r""".stripMargin,
+    "m1_sentiment" -> M1OracleSql,
+
+    // identical by contract: the batched inference seam must reproduce
+    // the expression scorer's rows bit-for-bit
+    "m1_sentiment_batched" -> M1OracleSql,
 
     "a4_fallback_chain" ->
       """WITH ev AS (

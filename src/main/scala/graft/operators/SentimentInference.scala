@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-inference seam for M1 (reference: src/providers/sentiment.py):
+  * the `mapPartitions` plumbing a REAL transformer (FinBERT via ONNX
+  * Runtime / DJL) drops into, with the deterministic lexicon as the
+  * sandbox model (no model weights or native inference runtime ship in
+  * this container — see [[Sentiment]]'s header).
+  *
+  * What is real here and what is stubbed:
+  *  - REAL: the provider contract ([[SentimentModel]] — lazy per-
+  *    partition init like sentiment.py:100-102's lazy pipeline load,
+  *    BATCHED scoring calls, close-with-partition lifecycle), the T13
+  *    short-circuit BEFORE inference (structurally empty inputs never
+  *    reach the model, sentiment.py:85-92), and the canonicalization /
+  *    signed-normalization downstream of the raw model output
+  *    (identical to [[Sentiment.analysisFromCounts]], so this operator
+  *    and the expression scorer are interchangeable and share one
+  *    oracle).
+  *  - STUB: [[LexiconModel]] scores with the same word lists as the
+  *    codegen'd expression path instead of running a transformer.
+  *
+  * Scale shape: one model handle per partition (not per row), fixed-size
+  * batches amortize the per-call overhead a native runtime has, the
+  * stage is a narrow zero-shuffle map, and upstream `repartition`
+  * controls model-instance memory × parallelism. Prefer the expression
+  * scorer ([[Sentiment.withAnalysis]]) when the model IS expressible as
+  * expressions — it stays inside whole-stage codegen; this seam exists
+  * for models that are not.
+  */
+object SentimentInference {
+
+  /** The provider contract a real ONNX/DJL FinBERT implements: batched
+    * raw scoring, (raw_label ∈ {positive,negative,neutral},
+    * raw_score ∈ [0,1]) per input — one output per input, in order.
+    */
+  trait SentimentModel extends Serializable {
+    def scoreBatch(headlines: Seq[String]): Seq[(String, Double)]
+    def close(): Unit = ()
+  }
+
+  /** Deterministic sandbox model: the same lexicon semantics as
+    * [[Sentiment.rawLabel]]/[[Sentiment.rawScore]], evaluated with Java
+    * regex instead of codegen'd `regexp_count` — winning-class hits over
+    * total hits (0.5 on a tie, 0.0 with no hits).
+    */
+  final class LexiconModel extends SentimentModel {
+    private val posRe = Sentiment.PositiveLexicon
+      .map(w => java.util.regex.Pattern.compile("\\b" + w + "\\b"))
+    private val negRe = Sentiment.NegativeLexicon
+      .map(w => java.util.regex.Pattern.compile("\\b" + w + "\\b"))
+
+    private def countAll(res: Seq[java.util.regex.Pattern], s: String): Int =
+      res.map { p =>
+        val m = p.matcher(s)
+        var c = 0
+        while (m.find()) c += 1
+        c
+      }.sum
+
+    def scoreBatch(headlines: Seq[String]): Seq[(String, Double)] =
+      headlines.map { h =>
+        val lower = h.trim.toLowerCase
+        val pos = countAll(posRe, lower)
+        val neg = countAll(negRe, lower)
+        val tot = pos + neg
+        if (pos > neg) ("positive", pos.toDouble / tot)
+        else if (neg > pos) ("negative", neg.toDouble / tot)
+        else if (tot == 0) ("neutral", 0.0)
+        else ("neutral", 0.5)
+      }
+  }
+
+  case class ScoredHeadline(doc_id: Long, headline: String, raw_label: String,
+      raw_score: Double, label: String, score: Double)
+
+  /** Spark `round(_, 4)` on the JVM: HALF_UP over the shortest decimal
+    * representation (BigDecimal.valueOf), so the batched path rounds
+    * bit-identically to the expression path.
+    */
+  private def round4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  private def isDefault(h: String): Boolean =
+    h == null || h.trim.isEmpty || h.trim == Sentiment.DefaultHeadline
+
+  /** M1 through the inference seam: (idCol: Long, headlineCol: String) →
+    * the full analyze() row. Contract identical to
+    * [[Sentiment.withAnalysis]] — same short-circuit, label map, signed
+    * 4-dp score — so the two forms share one DuckDB oracle.
+    */
+  def withBatchedAnalysis(df: DataFrame, idCol: String, headlineCol: String,
+      modelFactory: () => SentimentModel,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(headlineCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val model = modelFactory() // once per partition, like the lazy pipeline load
+        rows.grouped(batchSize).flatMap { batch =>
+          // T13 short-circuit BEFORE the model: structurally empty
+          // inputs never reach inference (sentiment.py:85-92)
+          val live = batch.filter { case (_, h) => !isDefault(h) }
+          val raw = model.scoreBatch(live.map(_._2)).iterator
+          batch.map { case (id, h) =>
+            if (isDefault(h)) ScoredHeadline(id, h, "neutral", 0.0, "Neutral", 0.0)
+            else {
+              val (rl, rs0) = raw.next()
+              val rs = round4(rs0)
+              val label = rl match {
+                case "positive" => "Positive"
+                case "negative" => "Negative"
+                case _ => "Neutral"
+              }
+              val score = rl match {
+                case "positive" => round4(rs)
+                case "negative" => round4(-rs)
+                case _ => 0.0
+              }
+              ScoredHeadline(id, h, rl, rs, label, score)
+            }
+          }
+        }
+        // model closed with the partition; LexiconModel close is a no-op
+      }.toDF()
+  }
+}

@@ -37,7 +37,8 @@ class ExplainAuditSpec extends SparkSpec {
 
   test("banded/bucketed candidate generation never plans a cross product") {
     for (q <- Seq("dedup_minhash", "dedup_incremental", "dedup_ngram_jaccard",
-        "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "dedup_exact")) {
+        "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "dedup_exact",
+        "st5_neardedup_scan")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
@@ -107,6 +108,24 @@ class ExplainAuditSpec extends SparkSpec {
       assert(p.contains("WindowGroupLimit"),
         s"$q ranks without the group-limit optimization:\n$p")
     }
+  }
+
+  test("streaming-shadow scans keep their single-pass shapes") {
+    // st4: first-seen dedup is ONE hash aggregate (partial min_by) — no
+    // window, no join; st7: bars are ONE aggregate on (key, window)
+    for (q <- Seq("st4_dedup_scan", "st7_bars_scan")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks through a window:\n$p")
+      assert(p.contains("partial_min_by") || p.contains("partial_minby"),
+        s"$q lost map-side combine:\n$p")
+      assert("Exchange".r.findAllMatchIn(p).size == 1,
+        s"$q should shuffle exactly once:\n$p")
+    }
+    // st6: the funnel scan's only exchange is the keyed shuffle whose
+    // sort feeds flatMapSortedGroups — no extra sort-stage beyond it
+    val p6 = plan("st6_funnel_scan")
+    assert("Exchange".r.findAllMatchIn(p6).size == 1,
+      s"st6 should shuffle exactly once:\n$p6")
   }
 
   test("sessionization plans ONE exchange shared by both windows and the aggregate") {

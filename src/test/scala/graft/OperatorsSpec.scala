@@ -385,6 +385,36 @@ class SentimentSpec extends SparkSpec {
       .select(Sentiment.canonicalLabel(col("x"))).collect()(0).getString(0)
     assert(out == "Neutral")
   }
+
+  test("M1 inference seam: batched mapPartitions path equals the expression scorer") {
+    // covers every branch: default short-circuit, blank, null, positive,
+    // negative, tie, no-hits — across batch boundaries (batchSize=2 over
+    // 7 rows) so the live/short-circuit interleave is exercised
+    val rows = Seq[(Long, String)](
+      (0L, "No major headline available"),
+      (1L, "   "),
+      (2L, "fast fast slow gains"),
+      (3L, "big big slow crash"),
+      (4L, "fast slow tie"),
+      (5L, "no lexicon words here"),
+      (6L, "fast wins")
+    ).toDF("doc_id", "headline")
+      .withColumn("headline",
+        when(col("doc_id") === 6L, lit(null: String)).otherwise(col("headline")))
+    val expected = Sentiment.withAnalysis(rows, "headline", "s")
+      .select(col("doc_id"), col("s.raw_label"), col("s.raw_score"),
+        col("s.label"), col("s.score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4))).toSet
+    val got = SentimentInference.withBatchedAnalysis(
+        rows, "doc_id", "headline",
+        () => new SentimentInference.LexiconModel(), batchSize = 2)
+      .select(col("doc_id"), col("raw_label"), col("raw_score"),
+        col("label"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(got == expected)
+  }
 }
 
 class RecencySpec extends SparkSpec {
