@@ -1501,6 +1501,28 @@ object SparkEntry {
             col("exact_tokens") <= 0.10).as("within_10pct"))
     }),
 
+    // The quantile twin of the HLL gate: ta_length_stats' exact
+    // percentile sorts inside each group, which is the test-SF ground
+    // truth but not the 100 TB path — there a mergeable quantile sketch
+    // (approx_percentile) replaces the sort. Sketch outputs are
+    // engine-specific (Spark GK vs DuckDB t-digest), so each engine
+    // gates ITS OWN sketch median against its exact median and reports
+    // the boolean; the booleans agree even though the sketches don't.
+    // Exact and approx aggregate separately (|langs|-row join) so the
+    // approx plan keeps its sketch-only exchange.
+    "ta_quantile_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5D)").as("exact_p50"))
+      val approx = docs.groupBy(col("lang"))
+        .agg(expr("approx_percentile(n_chars, 0.5D, 10000)").as("approx_p50"))
+      exact.join(approx, Seq("lang"))
+        .select(col("lang"),
+          Rounding.stable(col("exact_p50"), 4).as("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) /
+            col("exact_p50") <= 0.10).as("within_10pct"))
+    }),
+
     // Batch shadow of StreamingAlerts.thresholdAlerts — the SAME
     // baseline-anchored recurrence (alert iff ≥50% move from the last
     // alerted value) as a secondary-sorted group scan, giving the
@@ -1975,6 +1997,13 @@ object SparkEntry {
         |a AS (SELECT lang, approx_count_distinct(token) AS approx FROM toks GROUP BY 1)
         |SELECT lang, exact_tokens,
         |       CAST(abs(approx - exact_tokens) AS DOUBLE) / exact_tokens <= 0.10 AS within_10pct
+        |FROM e JOIN a USING (lang)""".stripMargin,
+
+    "ta_quantile_gate" ->
+      """WITH e AS (SELECT lang, quantile_cont(n_chars, 0.5) AS exact_p50 FROM documents GROUP BY 1),
+        |a AS (SELECT lang, approx_quantile(n_chars, 0.5) AS approx_p50 FROM documents GROUP BY 1)
+        |SELECT lang, round(exact_p50 * 10000) / 10000 AS exact_p50,
+        |       abs(approx_p50 - exact_p50) / exact_p50 <= 0.10 AS within_10pct
         |FROM e JOIN a USING (lang)""".stripMargin,
 
     // The streaming recurrence (baseline updates only on alert) walked

@@ -336,6 +336,55 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: funnel stage scan equals the sequential recurrence on random logs") {
+    // validates the distributed machinery (keyed shuffle + secondary
+    // sort + lazy iterator) against the sequential walk it implements
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.IdEv
+    val steps = Seq("view", "click", "purchase")
+    val types = Vector("view", "click", "purchase", "signup")
+    val events = (1 to 30).flatMap { u =>
+      (1 to 40).map { i =>
+        IdEv(u.toLong, (u * 1000 + i).toLong, types(rng.nextInt(4)),
+          new java.sql.Timestamp(rng.nextInt(50) * 1000L)) // dense ts => real ties
+      }
+    }
+    val got = StreamingFunnel.stageAdvancesScan(events.toDS(), steps)
+      .collect().map(a => (a.user_id, a.stage, a.event_type, a.ts.getTime)).toSet
+    val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+      var stage = 0
+      var last = Long.MinValue
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        if (stage < steps.length && e.event_type == steps(stage) &&
+            e.ts.getTime > last) {
+          stage += 1; last = e.ts.getTime
+          Some((u, stage, e.event_type, e.ts.getTime))
+        } else None
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("property: firstSeenScan picks the (ts, id)-min row with exact dup counts") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(rng.nextInt(1000) * 1000L),
+        s"text ${rng.nextInt(20)}") // 20-text pool => guaranteed collisions
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.streaming.StreamingDedup
+      .firstSeenScan(rows.toDF("id", "ts", "text"), "id", "text", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getTimestamp(2).getTime, r.getLong(3)))).toMap
+    assert(got.size == rows.map(_._3).distinct.size)
+    rows.groupBy(_._3).foreach { case (text, rs) =>
+      val first = rs.minBy(r => (r._2.getTime, r._1))
+      assert(got(md5hex(text)) ==
+        ((first._1, rs.map(_._2.getTime).min, rs.size.toLong)), s"text '$text'")
+    }
+  }
+
   test("property: calendar emits only weekdays and respects inclusive bounds") {
     val dates = Calendar.tradingDates(spark, "2023-11-07", "2024-02-19")
       .collect().map(_.getDate(0).toLocalDate)
