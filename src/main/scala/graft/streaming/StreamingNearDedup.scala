@@ -38,27 +38,35 @@ object StreamingNearDedup {
   // public: Janino-generated encoder code cannot access private classes
   case class BucketState(residents: List[(Long, Seq[Long])])
 
-  /** The banding derivation shared by the streaming operator and its
-    * batch scan twin: per input row, one output row per band with
-    * (bucket, doc_id [, passthrough cols], sigs). Same constants and
-    * arithmetic as [[graft.operators.Dedup.minhashPairs]], so a doc
-    * ingested by the stream bands identically to one scanned in batch.
+  /** The per-doc minhash signature array, staged one expensive derived
+    * column per projection: multi-referenced lambda expressions
+    * otherwise re-evaluate per reference (no CSE across the sig/band
+    * expressions). Same constants and arithmetic as
+    * [[graft.operators.Dedup.minhashPairs]], so a doc ingested by the
+    * stream bands identically to one scanned in batch.
     *
-    * Each expensive derived column is staged in its own projection:
-    * multi-referenced lambda expressions otherwise re-evaluate per
-    * reference (no CSE across the sig/band expressions).
+    * @return (doc_id [, passthrough cols], sigs)
     */
-  def bandedSigs(df: DataFrame, idCol: String, textCol: String,
-      passthrough: Seq[String], numBands: Int, rowsPerBand: Int): DataFrame = {
-    val nSig = numBands * rowsPerBand
+  def sigArray(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String], nSig: Int): DataFrame = {
     val pass = passthrough.map(col)
-    val staged = df
-      .select(col(idCol).as("doc_id") +: pass :+
+    df.select(col(idCol).as("doc_id") +: pass :+
         Dedup.tokenValues(col(textCol)).as("tv"): _*)
       .select(col("doc_id") +: pass :+
         Dedup.shingleValuesFromTokens(col("tv")).as("sh"): _*)
       .select(col("doc_id") +: pass :+
         array((0 until nSig).map(k => Dedup.minhashSig(col("sh"), k)): _*).as("sigs"): _*)
+  }
+
+  /** The banding derivation shared by the streaming operator and its
+    * batch scan twin: per input row, one output row per band with
+    * (bucket, doc_id [, passthrough cols], sigs).
+    */
+  def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String], numBands: Int, rowsPerBand: Int): DataFrame = {
+    val pass = passthrough.map(col)
+    val staged = sigArray(df, idCol, textCol, passthrough,
+      numBands * rowsPerBand)
     staged
       .select(col("doc_id") +: pass :+ col("sigs") :+
         posexplode(array((0 until numBands).map { b =>
@@ -143,19 +151,32 @@ object StreamingNearDedup {
       numBands: Int = 4, rowsPerBand: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame = {
     val nSig = numBands * rowsPerBand
-    val banded = bandedSigs(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-      "doc_id", "__text", Nil, numBands, rowsPerBand)
-    val a = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("sigs").as("sig_a"))
-    val b = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("sigs").as("sig_b"))
+    val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // candidate generation shuffles ONLY (bucket, doc_id) — the
+    // signature arrays must never ride the explode+self-join (the same
+    // discipline as Dedup.minhashPairs: at scale they would serialize
+    // numBands× through two exchanges); they are re-derived narrow and
+    // joined back per side below, with both shuffles hashing on the id
+    // so the exchange is reused between the two join builds
+    val keys = bandedSigs(renamed, "doc_id", "__text", Nil,
+      numBands, rowsPerBand).select(col("bucket"), col("doc_id"))
+    val pairs = keys.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(keys.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val withSigs = sigArray(renamed, "doc_id", "__text", Nil, nSig)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, v) => acc + v).cast("double") / nSig
-    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+    pairs
+      .join(withSigs.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a")),
+        Seq("doc_a"))
+      .join(withSigs.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.operators.Rounding.stable(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .distinct()
   }
 }
