@@ -1282,9 +1282,9 @@ object SparkEntry {
           numBands = 4, rowsPerBand = 3, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val sig = Dedup.signatures(corpus, "doc_id", "text", 12)
-      val sa = sig.toDF(sig.columns.map(c =>
+      val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_a" else s"a_$c"): _*)
-      val sb = sig.toDF(sig.columns.map(c =>
+      val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_b" else s"b_$c"): _*)
       val matches = (0 until 12).map(k =>
         when(col(s"a_sig_$k") === col(s"b_sig_$k"), 1).otherwise(0))
