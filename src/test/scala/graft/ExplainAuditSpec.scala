@@ -128,6 +128,16 @@ class ExplainAuditSpec extends SparkSpec {
       s"st6 should shuffle exactly once:\n$p6")
   }
 
+  test("batched model inference is a zero-exchange narrow map") {
+    // the mapPartitions seam must stay a pure per-partition map: no
+    // shuffle, no sort — at 100 TB the inference stage's only cost is
+    // the model forward pass itself
+    val p = plan("m1_sentiment_batched")
+    assert(!p.contains("Exchange"), s"inference stage shuffles:\n$p")
+    assert(!p.contains("Sort "), s"inference stage sorts:\n$p")
+    assert(p.contains("MapPartitions"), s"lost the mapPartitions seam:\n$p")
+  }
+
   test("sessionization plans ONE exchange shared by both windows and the aggregate") {
     val p = plan("ev_sessionize")
     assert("Exchange".r.findAllMatchIn(p).size == 1,
