@@ -101,6 +101,25 @@ object SparkEntry {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** The two snapshots the reconciliation queries compare: the live
+    * events table vs a deterministic "backfill" that drops every 97th
+    * event and perturbs every 101st value — so the operator must report
+    * exactly those keys. Row hashes compare integerized values
+    * (floor(value·1e4)); raw double rendering is not engine-stable.
+    */
+  private def reconcileInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val h = Reconcile.rowHash(col("user_id"), col("event_type"),
+      floor(col("value") * 10000).cast("long"))
+    val live = Tables.events(s, dir).select(col("event_id"), h.as("h"))
+    val backfill = Tables.events(s, dir)
+      .filter(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 101 === 0, col("value") + 1)
+          .otherwise(col("value")))
+      .select(col("event_id"), h.as("h"))
+    (live, backfill)
+  }
+
   /** E1 — the full pipeline (engine.py:101-214) with the error-
     * degradation channels parameterized: `newsFail` models a
     * fetch_headline exception (row kept, DEFAULT headline, news=error
@@ -602,6 +621,22 @@ object SparkEntry {
     "st7_bars_scan" -> ((s, dir) =>
       graft.streaming.StreamingBars.barsAgg(
         Tables.events(s, dir), "user_id", "ts", "value", "event_id", "6 hours")),
+
+    // QA — snapshot reconciliation: the one-row verdict (matched /
+    // changed / missing / extra) of the deterministic backfill against
+    // the live table. One narrow (key, hash) projection per side, one
+    // co-partitioned full-outer join, partial-aggregated counts.
+    "qa_reconcile" -> ((s, dir) => {
+      val (live, backfill) = reconcileInputs(s, dir)
+      Reconcile.counts(live, backfill, "event_id")
+    }),
+
+    // QA — the per-key attribution form: exactly the diverged keys with
+    // their classification (the rows an on-call engineer actually reads).
+    "qa_reconcile_diff" -> ((s, dir) => {
+      val (live, backfill) = reconcileInputs(s, dir)
+      Reconcile.diff(live, backfill, "event_id")
+    }),
 
     // Bucketed rolling aggregation — the 100 TB companion to
     // ev_rolling_24h: pre-aggregate events to (user, hour) buckets,
@@ -1598,6 +1633,25 @@ object SparkEntry {
   private val RecrawlCte =
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents)"
 
+  /** SQL mirror of reconcileInputs + the full-outer key join; concat_ws
+    * skips NULLs identically in both engines, and the value is
+    * integerized with an explicit floor before casting.
+    */
+  private val ReconcileCtes: String =
+    """live AS (
+      |  SELECT event_id,
+      |         md5(concat_ws('|', user_id::VARCHAR, event_type,
+      |             CAST(floor(value * 10000) AS BIGINT)::VARCHAR)) AS h
+      |  FROM events),
+      |backfill AS (
+      |  SELECT event_id,
+      |         md5(concat_ws('|', user_id::VARCHAR, event_type,
+      |             CAST(floor((CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END) * 10000) AS BIGINT)::VARCHAR)) AS h
+      |  FROM events WHERE event_id % 97 <> 0),
+      |j AS (
+      |  SELECT coalesce(l.event_id, b.event_id) AS event_id, l.h AS h_a, b.h AS h_b
+      |  FROM live l FULL OUTER JOIN backfill b ON l.event_id = b.event_id)""".stripMargin
+
   /** Quality-signal scan over `src` — the SQL mirror of
     * TextAnalysis.qualityColumns' intermediate counts, shared by
     * ta_quality and e3_curation.
@@ -2081,6 +2135,23 @@ object SparkEntry {
         |SELECT user_id, CAST(2 AS INT) AS stage, 'click' AS event_type, t AS ts FROM s2
         |UNION ALL
         |SELECT user_id, CAST(3 AS INT) AS stage, 'purchase' AS event_type, t AS ts FROM s3""".stripMargin,
+
+    "qa_reconcile" ->
+      s"""WITH $ReconcileCtes
+         |SELECT CAST(sum(CASE WHEN h_a = h_b THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |       CAST(sum(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL AND h_a <> h_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |       CAST(sum(CASE WHEN h_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         |       CAST(sum(CASE WHEN h_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+         |FROM j""".stripMargin,
+
+    "qa_reconcile_diff" ->
+      s"""WITH $ReconcileCtes
+         |SELECT event_id,
+         |       CASE WHEN h_a IS NULL THEN 'extra'
+         |            WHEN h_b IS NULL THEN 'missing'
+         |            WHEN h_a <> h_b THEN 'changed' END AS status
+         |FROM j
+         |WHERE h_a IS NULL OR h_b IS NULL OR h_a <> h_b""".stripMargin,
 
     // 6-hour tumbling buckets via epoch-µs floor division (Spark's
     // window() start is epoch-aligned); open/close re-derived through

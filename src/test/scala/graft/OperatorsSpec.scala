@@ -489,6 +489,33 @@ class ValidatorSpec extends SparkSpec {
   }
 }
 
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("reconcile classifies matched/changed/missing/extra exactly") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("k", "v").select(col("k"), Reconcile.rowHash(col("v")).as("h"))
+    val b = Seq((1L, "x"), (2L, "CHANGED"), (4L, "new"))
+      .toDF("k", "v").select(col("k"), Reconcile.rowHash(col("v")).as("h"))
+    val c = Reconcile.counts(a, b, "k").collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((1L, 1L, 1L, 1L))) // 1 match, 2 changed, 3 missing, 4 extra
+    val d = Reconcile.diff(a, b, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((2L, "changed"), (3L, "missing"), (4L, "extra")))
+  }
+
+  test("identical snapshots reconcile clean") {
+    val a = Seq((1L, "x"), (2L, "y"))
+      .toDF("k", "v").select(col("k"), Reconcile.rowHash(col("v")).as("h"))
+    val c = Reconcile.counts(a, a, "k").collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((2L, 0L, 0L, 0L)))
+    assert(Reconcile.diff(a, a, "k").count() == 0)
+  }
+}
+
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
