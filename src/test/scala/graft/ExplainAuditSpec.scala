@@ -128,6 +128,15 @@ class ExplainAuditSpec extends SparkSpec {
       s"st6 should shuffle exactly once:\n$p6")
   }
 
+  test("reconciliation joins narrow (key, hash) projections, never full rows") {
+    val p = plan("qa_reconcile_diff")
+    assert(p.contains("FullOuter"), s"reconcile lost the full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the events columns not in the hash (ts, props) must be pruned at scan
+    for (dead <- Seq("props", "ts"))
+      assert(!p.contains(s"$dead#"), s"unused column $dead still read:\n$p")
+  }
+
   test("batched model inference is a zero-exchange narrow map") {
     // the mapPartitions seam must stay a pure per-partition map: no
     // shuffle, no sort — at 100 TB the inference stage's only cost is
