@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, DotProduct, RelevantTitle, SortedIntersectCount}
+import graft.expressions.{CosineSim, DotProduct, NfcNormalize, RelevantTitle, SortedIntersectCount}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §7.3 — custom `Expression`s as the perf upgrade path).
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"cosine_sim(a, b) takes 2 arguments, got ${args.length}")
         CosineSim(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"nfc_normalize(s) takes 1 argument, got ${args.length}")
+        NfcNormalize(args(0))
       }))
     // Whole-operator extension (SURVEY.md §7.3 option c): the native
     // as-of join's planner strategy + the optimizer rule restoring

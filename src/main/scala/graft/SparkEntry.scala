@@ -622,6 +622,27 @@ object SparkEntry {
       graft.streaming.StreamingBars.barsAgg(
         Tables.events(s, dir), "user_id", "ts", "value", "event_id", "6 hours")),
 
+    // Unicode NFC canonicalization over the corpus (native codegen'd
+    // nfc_normalize vs DuckDB's nfc_normalize — both UAX #15): every
+    // 3rd doc gets a DECOMPOSED accent suffix, every 3rd+1 the
+    // precomposed spelling; after NFC both tails are byte-identical and
+    // the combining marks collapse (len_raw − len_norm counts them).
+    "ta_normalize" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301 nai\u0308ve")) // decomposed
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9 na\u00efve")) // precomposed
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.expressions.NfcNormalize(col("raw")).as("norm"))
+        .select(col("doc_id"),
+          substring(col("norm"), -12, 12).as("tail_norm"),
+          length(col("raw")).as("len_raw"),
+          length(col("norm")).as("len_norm"),
+          (length(col("raw")) - length(col("norm"))).as("combining_removed"))
+    }),
+
     // QA — snapshot reconciliation: the one-row verdict (matched /
     // changed / missing / extra) of the deterministic backfill against
     // the live table. One narrow (key, hash) projection per side, one
@@ -2135,6 +2156,24 @@ object SparkEntry {
         |SELECT user_id, CAST(2 AS INT) AS stage, 'click' AS event_type, t AS ts FROM s2
         |UNION ALL
         |SELECT user_id, CAST(3 AS INT) AS stage, 'purchase' AS event_type, t AS ts FROM s3""".stripMargin,
+
+    // suffixes built from chr() so the SQL stays ASCII: decomposed
+    // (e+chr(769), i+chr(776)) for doc_id%3=0, precomposed (chr(233),
+    // chr(239)) for %3=1; nfc_normalize is DuckDB's own UAX #15 kernel.
+    "ta_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+        |                      ELSE '' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id,
+        |       right(norm, 12) AS tail_norm,
+        |       CAST(length(raw) AS INT) AS len_raw,
+        |       CAST(length(norm) AS INT) AS len_norm,
+        |       CAST(length(raw) - length(norm) AS INT) AS combining_removed
+        |FROM n""".stripMargin,
 
     "qa_reconcile" ->
       s"""WITH $ReconcileCtes

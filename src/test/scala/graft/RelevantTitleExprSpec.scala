@@ -58,3 +58,31 @@ class RelevantTitleExprSpec extends SparkSpec {
     assert(!noTick.collect()(0).getBoolean(0)) // ticker match unavailable
   }
 }
+
+class NfcNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.expressions.NfcNormalize
+
+  test("decomposed and precomposed spellings normalize to identical bytes") {
+    val df = Seq(
+      (" cafe\u0301 nai\u0308ve", " caf\u00e9 na\u00efve"), // NFD vs NFC
+      ("plain ascii", "plain ascii")
+    ).toDF("a", "b").select(
+      NfcNormalize(col("a")).as("na"), NfcNormalize(col("b")).as("nb"),
+      length(col("a")).as("la"), length(col("na")).as("lna"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+    }
+    // the decomposed row loses its two combining marks
+    val first = df.collect()(0)
+    assert(first.getInt(2) - first.getInt(3) == 2)
+  }
+
+  test("ASCII fast path is identity; null stays null; registry form resolves") {
+    val out = Seq(("abc", null.asInstanceOf[String])).toDF("s", "n")
+      .selectExpr("nfc_normalize(s) AS s2", "nfc_normalize(n) AS n2")
+      .collect()(0)
+    assert(out.getString(0) == "abc" && out.isNullAt(1))
+  }
+}
