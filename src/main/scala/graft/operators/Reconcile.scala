@@ -31,34 +31,43 @@ object Reconcile {
     */
   def rowHash(cols: Column*): Column = md5(concat_ws("|", cols: _*))
 
-  /** Per-key classification of two (key, hash) snapshots: one row per
-    * key that is NOT an exact match, tagged 'changed' / 'missing' (in b)
-    * / 'extra' (only in b).
+  /** The shared full-outer key join of two (keyCol, hashCol) snapshots,
+    * hashes surfaced as h_a / h_b.
     */
-  def diff(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
-    val l = a.select(col(keyCol), col("h").as("h_a"))
-    val r = b.select(col(keyCol), col("h").as("h_b"))
-    l.join(r, Seq(keyCol), "full_outer")
+  private def joined(a: DataFrame, b: DataFrame, keyCol: String,
+      hashCol: String): DataFrame =
+    a.select(col(keyCol), col(hashCol).as("h_a"))
+      .join(b.select(col(keyCol), col(hashCol).as("h_b")),
+        Seq(keyCol), "full_outer")
+
+  /** Per-key classification of two (keyCol, hashCol) snapshots: one row
+    * per key that is NOT an exact match, tagged 'changed' / 'missing'
+    * (in b) / 'extra' (only in b).
+    */
+  def diff(a: DataFrame, b: DataFrame, keyCol: String,
+      hashCol: String = "h"): DataFrame =
+    joined(a, b, keyCol, hashCol)
       .withColumn("status",
         when(col("h_a").isNull, "extra")
           .when(col("h_b").isNull, "missing")
           .when(col("h_a") =!= col("h_b"), "changed"))
       .filter(col("status").isNotNull)
       .select(col(keyCol), col("status"))
-  }
 
   /** The one-row reconciliation verdict: matched / changed / missing /
-    * extra counts over the full-outer key join.
+    * extra counts over the full-outer key join. Counts coalesce to 0 so
+    * two empty snapshots reconcile clean instead of returning nulls.
     */
-  def counts(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
-    val l = a.select(col(keyCol), col("h").as("h_a"))
-    val r = b.select(col(keyCol), col("h").as("h_b"))
-    l.join(r, Seq(keyCol), "full_outer")
+  def counts(a: DataFrame, b: DataFrame, keyCol: String,
+      hashCol: String = "h"): DataFrame =
+    joined(a, b, keyCol, hashCol)
       .agg(
-        sum(when(col("h_a") === col("h_b"), 1L).otherwise(0L)).as("n_match"),
-        sum(when(col("h_a").isNotNull && col("h_b").isNotNull &&
-          col("h_a") =!= col("h_b"), 1L).otherwise(0L)).as("n_changed"),
-        sum(when(col("h_b").isNull, 1L).otherwise(0L)).as("n_missing"),
-        sum(when(col("h_a").isNull, 1L).otherwise(0L)).as("n_extra"))
-  }
+        coalesce(sum(when(col("h_a") === col("h_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_match"),
+        coalesce(sum(when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L)), lit(0L)).as("n_changed"),
+        coalesce(sum(when(col("h_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_missing"),
+        coalesce(sum(when(col("h_a").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_extra"))
 }

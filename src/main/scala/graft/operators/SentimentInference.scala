@@ -62,7 +62,10 @@ object SentimentInference {
 
     def scoreBatch(headlines: Seq[String]): Seq[(String, Double)] =
       headlines.map { h =>
-        val lower = h.trim.toLowerCase
+        // Locale.ROOT: the expression scorer's lower() is locale-
+        // independent; default-locale toLowerCase diverges under e.g.
+        // Turkish I-dotting and would break the shared oracle
+        val lower = h.trim.toLowerCase(java.util.Locale.ROOT)
         val pos = countAll(posRe, lower)
         val neg = countAll(negRe, lower)
         val tot = pos + neg
@@ -101,31 +104,34 @@ object SentimentInference {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val model = modelFactory() // once per partition, like the lazy pipeline load
+        // close-with-partition: the output iterator is lazy, so the only
+        // correct hook is task completion (runs after the iterator is
+        // drained OR the task dies — either way the native handle frees)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => model.close()))
         rows.grouped(batchSize).flatMap { batch =>
-          // T13 short-circuit BEFORE the model: structurally empty
-          // inputs never reach inference (sentiment.py:85-92)
-          val live = batch.filter { case (_, h) => !isDefault(h) }
-          val raw = model.scoreBatch(live.map(_._2)).iterator
-          batch.map { case (id, h) =>
-            if (isDefault(h)) ScoredHeadline(id, h, "neutral", 0.0, "Neutral", 0.0)
-            else {
+          // T13 short-circuit BEFORE the model, evaluated ONCE per row:
+          // structurally empty inputs never reach inference
+          // (sentiment.py:85-92) — including the whole-batch-default
+          // case, where scoreBatch is not called at all
+          val flagged = batch.map { case (id, h) => (id, h, isDefault(h)) }
+          val live = flagged.collect { case (_, h, false) => h }
+          val raw =
+            (if (live.isEmpty) Nil else model.scoreBatch(live)).iterator
+          flagged.map {
+            case (id, h, true) =>
+              ScoredHeadline(id, h, "neutral", 0.0, "Neutral", 0.0)
+            case (id, h, false) =>
               val (rl, rs0) = raw.next()
               val rs = round4(rs0)
-              val label = rl match {
-                case "positive" => "Positive"
-                case "negative" => "Negative"
-                case _ => "Neutral"
-              }
-              val score = rl match {
-                case "positive" => round4(rs)
-                case "negative" => round4(-rs)
-                case _ => 0.0
+              val (label, score) = rl match {
+                case "positive" => ("Positive", rs)
+                case "negative" => ("Negative", round4(-rs))
+                case _ => ("Neutral", 0.0)
               }
               ScoredHeadline(id, h, rl, rs, label, score)
-            }
           }
         }
-        // model closed with the partition; LexiconModel close is a no-op
       }.toDF()
   }
 }

@@ -188,9 +188,17 @@ object Similarity {
     */
   def sqScale(emb: DataFrame, idCol: String, vecCol: String,
       sampleBound: Long = 256L): Double = {
-    val maxAbs = emb.filter(col(idCol) < sampleBound)
+    val row = emb.filter(col(idCol) < sampleBound)
       .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
-      .agg(max(abs(col("x")))).collect()(0).getDouble(0)
+      .agg(max(abs(col("x")))).collect()(0)
+    // the prefix sample can legitimately be empty (ids not anchored at
+    // 0) or all-zero (padding vectors) — either would silently produce
+    // a NaN/Infinity scale and poison every quantized vector downstream
+    require(!row.isNullAt(0),
+      s"sqScale: calibration sample `$idCol < $sampleBound` matched no vectors — raise sampleBound or re-key")
+    val maxAbs = row.getDouble(0)
+    require(maxAbs > 0.0,
+      s"sqScale: calibration sample `$idCol < $sampleBound` is all-zero — scale undefined")
     127.0 / maxAbs
   }
 

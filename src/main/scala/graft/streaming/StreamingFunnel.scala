@@ -20,7 +20,15 @@ object StreamingFunnel {
   case class Ev(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   case class StageAdvance(user_id: Long, stage: Int, event_type: String,
       ts: java.sql.Timestamp)
-  case class FunnelState(stage: Int, tsMillis: Long)
+  case class FunnelState(stage: Int, tsMicros: Long)
+
+  /** Full Spark-timestamp precision (µs): getTime alone is millisecond-
+    * truncated, so two events in the same millisecond would compare
+    * equal and a genuinely later advance would be refused — diverging
+    * from the µs-precision `>` the SQL oracle evaluates.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 
   /** Use with `outputMode("append")`. `steps` is the ordered event-type
     * sequence (e.g. view, click, purchase); stage i is reached by the
@@ -49,20 +57,20 @@ object StreamingFunnel {
           } else {
             var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
             val out = Seq.newBuilder[StageAdvance]
-            var newest = Long.MinValue
-            for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
-              newest = math.max(newest, e.ts.getTime)
+            var newestMillis = Long.MinValue
+            for (e <- evs.toSeq.sortBy(e => micros(e.ts))) {
+              newestMillis = math.max(newestMillis, e.ts.getTime)
               if (st.stage < steps.length &&
                   e.event_type == steps(st.stage) &&
-                  e.ts.getTime > st.tsMillis) {
-                st = FunnelState(st.stage + 1, e.ts.getTime)
+                  micros(e.ts) > st.tsMicros) {
+                st = FunnelState(st.stage + 1, micros(e.ts))
                 out += StageAdvance(uid, st.stage, e.event_type, e.ts)
               }
             }
             if (st.stage > 0 || state.exists) {
               state.update(st)
               abandonAfter.foreach(d => state.setTimeoutTimestamp(
-                math.max(newest + d.toMillis, state.getCurrentWatermarkMs() + 1)))
+                math.max(newestMillis + d.toMillis, state.getCurrentWatermarkMs() + 1)))
             }
             out.result().iterator
           }
@@ -90,12 +98,12 @@ object StreamingFunnel {
       .flatMapSortedGroups(asc("ts"), asc("event_id")) {
         (uid: Long, evs: Iterator[IdEv]) =>
           var stage = 0
-          var lastTs = Long.MinValue
+          var lastMicros = Long.MinValue
           evs.flatMap { e =>
             if (stage < steps.length && e.event_type == steps(stage) &&
-                e.ts.getTime > lastTs) {
+                micros(e.ts) > lastMicros) {
               stage += 1
-              lastTs = e.ts.getTime
+              lastMicros = micros(e.ts)
               Iterator.single(StageAdvance(uid, stage, e.event_type, e.ts))
             } else Iterator.empty
           }

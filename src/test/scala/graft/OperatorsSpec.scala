@@ -506,6 +506,13 @@ class ReconcileSpec extends SparkSpec {
     assert(d == Set((2L, "changed"), (3L, "missing"), (4L, "extra")))
   }
 
+  test("empty snapshots reconcile clean (zeros, not nulls)") {
+    val e = Seq.empty[(Long, String)].toDF("k", "v")
+      .select(col("k"), Reconcile.rowHash(col("v")).as("h"))
+    val c = Reconcile.counts(e, e, "k").collect()(0)
+    assert((0 until 4).forall(i => !c.isNullAt(i) && c.getLong(i) == 0L))
+  }
+
   test("identical snapshots reconcile clean") {
     val a = Seq((1L, "x"), (2L, "y"))
       .toDF("k", "v").select(col("k"), Reconcile.rowHash(col("v")).as("h"))

@@ -343,22 +343,28 @@ class SparkAlgebraSpec extends SparkSpec {
     import graft.streaming.StreamingFunnel.IdEv
     val steps = Seq("view", "click", "purchase")
     val types = Vector("view", "click", "purchase", "signup")
+    // µs-precision reference: getTime alone is millisecond-truncated
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
     val events = (1 to 30).flatMap { u =>
       (1 to 40).map { i =>
-        IdEv(u.toLong, (u * 1000 + i).toLong, types(rng.nextInt(4)),
-          new java.sql.Timestamp(rng.nextInt(50) * 1000L)) // dense ts => real ties
+        // dense seconds => real ties; µs jitter => same-millisecond
+        // collisions that a getTime comparison would mis-order
+        val t = new java.sql.Timestamp(rng.nextInt(50) * 1000L)
+        t.setNanos(rng.nextInt(1000) * 1000)
+        IdEv(u.toLong, (u * 1000 + i).toLong, types(rng.nextInt(4)), t)
       }
     }
     val got = StreamingFunnel.stageAdvancesScan(events.toDS(), steps)
-      .collect().map(a => (a.user_id, a.stage, a.event_type, a.ts.getTime)).toSet
+      .collect().map(a => (a.user_id, a.stage, a.event_type, us(a.ts))).toSet
     val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
       var stage = 0
       var last = Long.MinValue
-      evs.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      evs.sortBy(e => (us(e.ts), e.event_id)).flatMap { e =>
         if (stage < steps.length && e.event_type == steps(stage) &&
-            e.ts.getTime > last) {
-          stage += 1; last = e.ts.getTime
-          Some((u, stage, e.event_type, e.ts.getTime))
+            us(e.ts) > last) {
+          stage += 1; last = us(e.ts)
+          Some((u, stage, e.event_type, us(e.ts)))
         } else None
       }
     }.toSet
