@@ -238,6 +238,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state survives a query restart from its checkpoint") {
+    // the production claim behind mapGroupsWithState: a deploy/crash
+    // restart resumes from the state store, it does not re-arm funnels.
+    // Phase 1 reaches stage 1, the query STOPS; phase 2 restarts the
+    // same plan from the same checkpoint and must advance to stage 2 —
+    // possible only if FunnelState(view@10:00) was recovered, since the
+    // view event is never replayed into phase 2's sink.
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Ev
+    implicit val ctx = spark.sqlContext
+    // memory sink rejects recovery; the parquet sink is the
+    // fault-tolerant one, so the restart goes through a temp file sink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fnr_out").toString
+    val input = MemoryStream[Ev]
+    def e(u: Long, t: String, ts: String) = Ev(u, t, java.sql.Timestamp.valueOf(ts))
+    def startQuery() =
+      StreamingFunnel.stageAdvances(input.toDS(), Seq("view", "click"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def advances(): Set[(Long, Int)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    val q1 = startQuery()
+    try {
+      input.addData(e(1L, "view", "2024-01-01 10:00:00"))
+      q1.processAllAvailable()
+      assert(advances() == Set((1L, 1)))
+    } finally q1.stop()
+
+    val q2 = startQuery()
+    try {
+      input.addData(e(1L, "click", "2024-01-01 10:05:00"))
+      q2.processAllAvailable()
+      assert(advances().contains((1L, 2)),
+        s"state not recovered across restart: ${advances()}") // stage 2 only reachable via recovered stage-1 state
+    } finally q2.stop()
+  }
+
   test("firstSeenScan: batch twin picks the stream's surviving first-seen rows") {
     // same log as the exactWithinWatermark test above, replayed as a
     // bounded table: the (min (ts, key)) row per text survives
