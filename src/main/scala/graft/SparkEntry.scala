@@ -1499,6 +1499,24 @@ object SparkEntry {
       Stats.corrExact(ev, Seq("event_type"), col("x"), col("y"))
     }),
 
+    // Rolling 24-bucket Pearson correlation per event_type — the exact
+    // integer moments composed with the bucketed-rolling frame
+    // (ev_rolling_bucketed's shape): one hash aggregate to (type, hour)
+    // moment partials, ONE window shuffle of six longs per bucket row,
+    // each frame folds ≤ 24 partials, corr combined in double per
+    // output row. Sliding correlation features at 100 TB are computed
+    // this way — the window input is |types × active hours|, not the
+    // fact (operators/Stats.rollingCorr).
+    "stats_rolling_corr" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        floor(col("value") * 100).cast("long").as("x"),
+        from_json(col("props"), schema).getField("k").as("y"))
+      Stats.rollingCorr(ev, "event_type", "hour_bucket",
+        col("x"), col("y"), lookback = 23)
+    }),
+
     // Per-group z-score outlier top-50: the anomaly screen before
     // training. Group stats from one exact-moment aggregate broadcast
     // back onto the unshuffled fact scan; only k rows survive the
@@ -2019,6 +2037,44 @@ object SparkEntry {
                    "(n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) * sqrt(greatest(n*syy - sy*sy, 0.0)))",
                    6)} AS corr
          |FROM m""".stripMargin,
+
+    // Same moment discipline as stats_corr, framed: the per-bucket
+    // HUGEINT partials window-sum EXACTLY (sums stay < 2^53), the
+    // double cast + fixed combination run per frame — bit-identical to
+    // Spark's long window sums. FILTER guards mirror Stats.momentAggs;
+    // a bucket whose pairs are all incomplete still contributes a row
+    // (n0=0, null sums — window sum skips nulls in both engines).
+    "stats_rolling_corr" ->
+      s"""WITH t AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+         |         CAST(floor(value * 100) AS BIGINT) AS x,
+         |         CAST(props->>'k' AS BIGINT) AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, hour_bucket,
+         |         count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n0,
+         |         sum(x)   FILTER (WHERE y IS NOT NULL) AS sx0,
+         |         sum(y)   FILTER (WHERE x IS NOT NULL) AS sy0,
+         |         sum(x*x) FILTER (WHERE y IS NOT NULL) AS sxx0,
+         |         sum(y*y) FILTER (WHERE x IS NOT NULL) AS syy0,
+         |         sum(x*y) AS sxy0
+         |  FROM t GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, hour_bucket,
+         |         CAST(sum(n0)   OVER win AS BIGINT) AS n,
+         |         CAST(sum(sx0)  OVER win AS DOUBLE) AS sx,
+         |         CAST(sum(sy0)  OVER win AS DOUBLE) AS sy,
+         |         CAST(sum(sxx0) OVER win AS DOUBLE) AS sxx,
+         |         CAST(sum(syy0) OVER win AS DOUBLE) AS syy,
+         |         CAST(sum(sxy0) OVER win AS DOUBLE) AS sxy
+         |  FROM m
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_bucket
+         |                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, hour_bucket, n,
+         |       ${Rounding.stableSql(
+                   "(n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) * sqrt(greatest(n*syy - sy*sy, 0.0)))",
+                   6)} AS corr
+         |FROM w""".stripMargin,
 
     "stats_zscore_topk" ->
       s"""WITH t AS (

@@ -41,12 +41,25 @@ object Stats {
       s(x * x, "sxx"), s(y * y, "syy"), s(x * y, "sxy"))
   }
 
-  /** Pearson correlation per group from exact integer moments.
-    *
-    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)),
-    * combined in double AFTER the exact aggregation. Groups with zero
-    * variance on either side yield null (0/0 → try_divide null), same
-    * as SQL `corr`.
+  /** The fixed double combination of the six exact moments into Pearson
+    * corr: (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)). Zero
+    * variance on either side → null (0/0 → try_divide null), same as SQL
+    * `corr`. n·Σx² − (Σx)² is ≥ 0 in exact arithmetic but can round a
+    * hair negative once the sums pass 2^53; clamp so sqrt never NaNs.
+    */
+  private def corrFromMoments(nL: Column, sxL: Column, syL: Column,
+      sxxL: Column, syyL: Column, sxyL: Column): Column = {
+    val n = nL.cast("double")
+    val (sx, sy) = (sxL.cast("double"), syL.cast("double"))
+    val (sxx, syy, sxy) = (sxxL.cast("double"), syyL.cast("double"), sxyL.cast("double"))
+    val cov = n * sxy - sx * sy
+    val varx = greatest(n * sxx - sx * sx, lit(0.0))
+    val vary = greatest(n * syy - sy * sy, lit(0.0))
+    try_divide(cov, sqrt(varx) * sqrt(vary))
+  }
+
+  /** Pearson correlation per group from exact integer moments, combined
+    * in double AFTER the exact aggregation (see [[corrFromMoments]]).
     *
     * @param x,y integer-valued (long) columns
     * @return one row per group: (groupCols*, n, corr) with corr
@@ -57,18 +70,44 @@ object Stats {
     val aggs = momentAggs(x, y)
     val g = df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val n = col("n").cast("double")
-    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
-    val (sxx, syy, sxy) =
-      (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
-    val cov = n * sxy - sx * sy
-    // n·Σx² − (Σx)² is ≥ 0 in exact arithmetic but can round a hair
-    // negative once the sums pass 2^53; clamp so sqrt never yields NaN.
-    val varx = greatest(n * sxx - sx * sx, lit(0.0))
-    val vary = greatest(n * syy - sy * sy, lit(0.0))
     g.select((groupCols.map(col) :+ col("n") :+
-      Rounding.stable(try_divide(cov, sqrt(varx) * sqrt(vary)), scale)
-        .as("corr")): _*)
+      Rounding.stable(corrFromMoments(col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy")), scale).as("corr")): _*)
+  }
+
+  /** Rolling Pearson correlation over a sliding bucket window — the
+    * at-scale composition of [[corrExact]] with the bucketed-rolling
+    * frame (ev_rolling_bucketed): pre-aggregate the fact to
+    * (key, bucket) integer-moment partials, then RANGE-frame-sum the
+    * LONG moments over the trailing `lookback` buckets and combine into
+    * corr in double per frame.
+    *
+    * Scale shape: the window shuffle carries |keys × active buckets|
+    * rows of six longs — not the fact — and each frame folds ≤
+    * lookback+1 partials. Long sums are exact in any order, so the
+    * framed re-sums are bit-stable cross-engine exactly like the global
+    * ones; the double combination runs once per output row.
+    *
+    * @param bucket   integer bucket column name (e.g. hours since epoch);
+    *                 the RANGE frame is over its values
+    * @param lookback trailing frame width in buckets (23 → 24-bucket
+    *                 window)
+    * @return one row per (key, bucket) present in the fact:
+    *         (key, bucket, n, corr), n = complete pairs in the frame
+    */
+  def rollingCorr(df: DataFrame, key: String, bucket: String,
+      x: Column, y: Column, lookback: Int, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aggs = momentAggs(x, y)
+    val perBucket = df.groupBy(col(key), col(bucket))
+      .agg(aggs.head, aggs.tail: _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(bucket))
+      .rangeBetween(-lookback, 0)
+    def fold(c: String) = sum(col(c)).over(w)
+    perBucket.select(col(key), col(bucket),
+      fold("n").as("n"),
+      Rounding.stable(corrFromMoments(fold("n"), fold("sx"), fold("sy"),
+        fold("sxx"), fold("syy"), fold("sxy")), scale).as("corr"))
   }
 
   /** Top-k most anomalous rows by |z| against PER-GROUP population

@@ -147,6 +147,20 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"lost the mapPartitions seam:\n$p")
   }
 
+  test("rolling correlation windows over bucket partials, never the fact") {
+    // shape: partial-agg on the scan → ONE exchange to (key, bucket)
+    // groups → ONE exchange to the (key) window. The window input is
+    // |types × active hours| rows of six longs — a third exchange or a
+    // window directly over events would be the 100 TB failure mode.
+    val p = plan("stats_rolling_corr")
+    assert("Exchange".r.findAllMatchIn(p).size == 2,
+      s"rolling corr should shuffle exactly twice (agg, window):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"moment aggregate lost map-side combine:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1,
+      s"rolling corr re-scans events:\n$p")
+  }
+
   test("sessionization plans ONE exchange shared by both windows and the aggregate") {
     val p = plan("ev_sessionize")
     assert("Exchange".r.findAllMatchIn(p).size == 1,

@@ -45,6 +45,31 @@ class StatsSpec extends SparkSpec {
     assert(out(1).getString(0) == "ok" && out(1).getLong(1) == 2L)
   }
 
+  test("rollingCorr: trailing RANGE frame folds exact moments; bucket gaps break the frame") {
+    val df = Seq(
+      // bucket 1: y = 2x exactly
+      ("a", 1L, Some(1L), Some(2L)), ("a", 1L, Some(2L), Some(4L)),
+      // bucket 2: adds (3,5) — frame {1,2} has x=[1,2,3], y=[2,4,5]
+      ("a", 2L, Some(3L), Some(5L)),
+      // bucket 3: adds (5,1) — frame {2,3} is two points, x up y down
+      ("a", 3L, Some(5L), Some(1L)),
+      // incomplete pair in bucket 3: must shift no frame moment
+      ("a", 3L, None: Option[Long], Some(99L)),
+      // bucket 30: gap > lookback — RANGE isolates it (ROWS would not);
+      // single pair → zero variance → null corr
+      ("a", 30L, Some(4L), Some(7L))
+    ).toDF("g", "b", "x", "y")
+    val out = Stats.rollingCorr(df, "g", "b", col("x"), col("y"), lookback = 1)
+      .orderBy("b").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 3L), (3L, 2L), (30L, 1L)))
+    assert(out(0).getDouble(3) == 1.0)
+    // n=3: cov=3·25−6·11=9, varx=3·14−36=6, vary=3·45−121=14 → 9/√84
+    assert(out(1).getDouble(3) == 0.981981)
+    assert(out(2).getDouble(3) == -1.0)
+    assert(out(3).isNullAt(3))
+  }
+
   test("zscoreTopK: σ=0 and null-x rows get null z and sort below every scored row") {
     val df = Seq(
       ("a", 1L, Some(0L)), ("a", 2L, Some(10L)), ("a", 3L, Some(20L)),
