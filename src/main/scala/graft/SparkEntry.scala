@@ -1134,6 +1134,28 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))),
 
+    // Context-window chunking — 32-token windows advancing by 24 (8-token
+    // overlap): the layout pass that turns curated documents into
+    // model-context pieces. Narrow tokenize → explode(sequence) → slice,
+    // ZERO exchanges at any corpus size (plan-asserted); chunk content
+    // travels as an md5, never as token arrays.
+    "ta_chunk" -> ((s, dir) =>
+      Packing.chunk(Tables.documents(s, dir), "doc_id", col("text"),
+        chunkTokens = 32, stride = 24)),
+
+    // Fixed-budget shard packing — 20k-char output shards per language,
+    // docs laid out in doc_id order, shard = offset div budget. The
+    // running offset is a TWO-PHASE distributed prefix sum (per-bucket
+    // totals → window over the tiny bucket table → broadcast offsets →
+    // bounded per-(lang, bucket) window), so no window task ever sees
+    // more than bucketSize rows — the oracle states the straight
+    // one-window cumsum SPEC the two-phase plan must reproduce exactly.
+    "ta_shard_pack" -> ((s, dir) =>
+      Packing.packShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        part = "lang", orderCol = "doc_id", weight = col("n_chars"),
+        budget = 20000L, bucketSize = 100L)),
+
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
     "ta_fingerprint" -> ((s, dir) =>
@@ -2621,6 +2643,14 @@ object SparkEntry {
          |WHERE ${graft.operators.Sampling.stratifiedKeepSql("doc_id", "lang",
                   Map("en" -> 20, "zh" -> 50), 80)}
          |GROUP BY lang""".stripMargin,
+
+    "ta_chunk" ->
+      graft.operators.Packing.chunkSql("documents", "doc_id", "text",
+        chunkTokens = 32, stride = 24),
+
+    "ta_shard_pack" ->
+      graft.operators.Packing.packShardsSql("documents", "lang", "doc_id",
+        "n_chars", budget = 20000L, selectCols = "doc_id, lang, n_chars"),
 
     "ta_token_topk" ->
       """WITH c AS (

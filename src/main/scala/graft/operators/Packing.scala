@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking and token-budget shard packing — the two
+  * layout passes a training-data pipeline runs AFTER curation: split
+  * each surviving document into model-context-sized pieces, then pack
+  * the pieces into fixed-budget output shards.
+  *
+  * graft-native extensions (builder brief: "the operations a
+  * large-scale training-data pipeline would need"). Both are defined in
+  * pure integer arithmetic over deterministic orderings so the DuckDB
+  * oracle reproduces every assignment bit-for-bit.
+  */
+object Packing {
+
+  /** Sliding-window chunking: token windows of `chunkTokens`, advancing
+    * by `stride` (< chunkTokens ⇒ overlapping context, the usual
+    * pretraining layout). A document with n tokens yields
+    * 1 + ⌈(n − chunkTokens)/stride⌉ chunks (min 1), chunk i covering
+    * tokens [i·stride, i·stride + chunkTokens) clipped to n — every
+    * token lands in ≥ 1 chunk and the trailing window is short rather
+    * than padded.
+    *
+    * Scale shape: tokenize → explode(sequence) → slice is a NARROW
+    * per-row map with bounded fan-out — zero exchanges at any corpus
+    * size (plan-asserted). The chunk text itself is emitted as an md5
+    * so downstream equality (and the oracle) never ships token arrays.
+    *
+    * @return one row per (doc, chunk): (docId, chunk_id, chunk_tokens,
+    *         chunk_hash)
+    */
+  def chunk(df: DataFrame, docId: String, text: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val tv = split(text, " ")
+    // integer ceil via `div` (SQL integer division — Spark's `/` is
+    // double division, which floors correctly only below 2^53; keep
+    // the arithmetic integral so the bound never matters).
+    // n - C + (S-1) ≡ n - (C - S + 1).
+    val nc = when(col("_n") <= chunkTokens, lit(1)).otherwise(
+      expr(s"(_n - ${chunkTokens - stride + 1}) div $stride") + 1)
+    val sliced = df
+      .select(col(docId), tv.as("_tv"), size(tv).as("_n"))
+      .select(col(docId), col("_tv"),
+        explode(sequence(lit(0), nc.cast("int") - 1)).as("_i"))
+      .select(col(docId), col("_i").cast("long").as("chunk_id"),
+        slice(col("_tv"), col("_i") * stride + 1, lit(chunkTokens)).as("_c"))
+    sliced.select(col(docId), col("chunk_id"),
+      size(col("_c")).cast("long").as("chunk_tokens"),
+      md5(concat_ws(" ", col("_c"))).as("chunk_hash"))
+  }
+
+  /** SQL mirror of [[chunk]] over a DuckDB table (UNNEST of a
+    * correlated generate_series; list slices clamp like Spark's).
+    */
+  def chunkSql(table: String, docId: String, textExpr: String,
+      chunkTokens: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT $docId, string_split($textExpr, ' ') AS tv FROM $table),
+       |n AS (
+       |  SELECT $docId, tv,
+       |         CASE WHEN len(tv) <= $chunkTokens THEN 1
+       |              ELSE (len(tv) - $chunkTokens + ${stride - 1}) // $stride + 1
+       |         END AS nc
+       |  FROM t),
+       |e AS (
+       |  SELECT $docId, tv,
+       |         UNNEST(generate_series(0, nc - 1)) AS chunk_id
+       |  FROM n)
+       |SELECT $docId, chunk_id,
+       |       CAST(len(tv[chunk_id*$stride+1 : chunk_id*$stride+$chunkTokens]) AS BIGINT) AS chunk_tokens,
+       |       md5(array_to_string(tv[chunk_id*$stride+1 : chunk_id*$stride+$chunkTokens], ' ')) AS chunk_hash
+       |FROM e""".stripMargin
+
+  /** Fixed-budget shard packing: within each `part`, lay the rows out
+    * in `orderCol` order and assign each to shard ⌊offset/budget⌋,
+    * where offset is the running `weight` total BEFORE the row — the
+    * deterministic next-fit layout (a row straddling a boundary belongs
+    * to the shard its offset starts in; no re-sorting, no best-fit
+    * search, reproducible from the ordering alone).
+    *
+    * The running total is a TWO-PHASE distributed prefix sum, not one
+    * window over the whole partition: a naive
+    * `sum over (partition by part order by orderCol)` puts an entire
+    * 100 TB part's rows through ONE window task. Instead rows bucket by
+    * `orderCol div bucketSize`; phase 1 aggregates per-bucket totals
+    * (tiny: |parts × buckets| rows) and window-sums THOSE into bucket
+    * start offsets; phase 2 broadcasts the offsets back and runs the
+    * per-row window inside (part, bucket) — every window partition is
+    * bounded by bucketSize rows no matter how large the corpus. The
+    * fact shuffles exactly once (to the phase-2 window); phase 1 costs
+    * a second scan of the three narrow layout columns — the price of
+    * keeping every window partition bounded (the one-window spec form
+    * reads once but serializes an entire part through one task).
+    *
+    * @return input rows + `shard_id` (long)
+    */
+  def packShards(df: DataFrame, part: String, orderCol: String,
+      weight: Column, budget: Long, bucketSize: Long): DataFrame = {
+    require(budget > 0 && bucketSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_bucket", expr(s"$orderCol div $bucketSize"))
+    val totals = b.groupBy(col(part), col("_bucket"))
+      .agg(sum(weight).as("_w"))
+    val woff = Window.partitionBy(col(part)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col(part), col("_bucket"),
+      coalesce(sum(col("_w")).over(woff), lit(0L)).as("_offset"))
+    val wloc = Window.partitionBy(col(part), col("_bucket"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offsets), Seq(part, "_bucket"))
+      .withColumn("_before", col("_offset") + coalesce(sum(weight).over(wloc), lit(0L)))
+      // integer div: running offsets at 100 TB exceed 2^53, where
+      // Spark's double `/` would start mis-flooring
+      .withColumn("shard_id", expr(s"_before div $budget"))
+      .drop("_bucket", "_offset", "_before")
+  }
+
+  /** SQL mirror of [[packShards]]: the oracle states the SPEC — one
+    * straight window cumsum per part — which the two-phase plan must
+    * reproduce exactly (integer arithmetic throughout).
+    */
+  def packShardsSql(table: String, part: String, orderCol: String,
+      weightExpr: String, budget: Long, selectCols: String): String =
+    s"""SELECT $selectCols,
+       |       COALESCE(sum($weightExpr) OVER (PARTITION BY $part ORDER BY $orderCol
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         // $budget AS shard_id
+       |FROM $table""".stripMargin
+}

@@ -161,6 +161,29 @@ class ExplainAuditSpec extends SparkSpec {
       s"rolling corr re-scans events:\n$p")
   }
 
+  test("chunking is one narrow codegen span: zero exchanges, one scan, bounded Generate") {
+    val p = plan("ta_chunk")
+    assert(!p.contains("Exchange"), s"chunking shuffles:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"chunking re-scans:\n$p")
+    assert(p.contains("Generate"), s"chunking lost the explode fan-out:\n$p")
+  }
+
+  test("shard packing shuffles the fact ONCE; offsets stay broadcast") {
+    // two-phase prefix sum: bucket totals + their window run on the tiny
+    // bucket table (2 small exchanges), offsets come back as a
+    // BroadcastExchange, and the fact's only exchange feeds the bounded
+    // (part, bucket) window — 4 Exchange nodes total, exactly one
+    // carrying the fact. A shuffled offsets join or a whole-part window
+    // would be the 100 TB failure mode.
+    val p = plan("ta_shard_pack")
+    assert("Exchange".r.findAllMatchIn(p).size == 4,
+      s"shard packing changed its exchange shape:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
+    // phase-1 totals read only the 3 narrow columns, not the corpus text
+    assert(!p.contains("text#"), s"shard packing reads document text:\n$p")
+  }
+
   test("sessionization plans ONE exchange shared by both windows and the aggregate") {
     val p = plan("ev_sessionize")
     assert("Exchange".r.findAllMatchIn(p).size == 1,

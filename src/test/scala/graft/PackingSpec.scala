@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Layout-pass semantics: sliding-window chunk boundaries (overlap,
+  * clipped tail, degenerate docs) and the two-phase distributed prefix
+  * sum behind shard packing — which must equal the straight one-window
+  * cumsum SPEC the oracle states, across bucket boundaries and
+  * straddling rows.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: stride overlap, clipped tail, and the n<=C single-chunk edge") {
+    val df = Seq(
+      (1L, "a b c d e f g"),  // n=7, C=4, S=3 → chunks [a..d], [d..g]
+      (2L, "x y"),            // n<=C → one whole-doc chunk
+      (3L, "")                // split("") = [""] → one 1-token chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunk(df, "doc_id", col("text"), chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 4L), (1L, 1L, 4L), (2L, 0L, 2L), (3L, 0L, 1L)))
+    // overlap: chunk 1 re-covers token 'd' (stride 3 < C 4)
+    val h = out.map(_.getString(3))
+    assert(h(0) != h(1) && h.distinct.length == 4)
+  }
+
+  test("chunk: every token is covered and boundaries advance by exactly stride") {
+    val text = (1 to 103).map(i => s"t$i").mkString(" ")
+    val out = Packing.chunk(Seq((9L, text)).toDF("doc_id", "text"),
+        "doc_id", col("text"), chunkTokens = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+    // ceil((103-32)/24)+1 = 4 chunks; tail clipped to 103-3*24 = 31
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L, 31L))
+  }
+
+  test("packShards: two-phase prefix sum equals the one-window cumsum spec") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 buckets per part at bucketSize=2; weights force shard straddles
+    val rows = Seq(
+      ("en", 0L, 9L), ("en", 1L, 9L), ("en", 2L, 9L),
+      ("en", 3L, 1L), ("en", 4L, 25L), ("en", 5L, 2L),
+      ("zh", 0L, 10L), ("zh", 1L, 10L), ("zh", 5L, 1L))
+    val df = rows.toDF("lang", "doc_id", "w")
+    val out = Packing.packShards(df, "lang", "doc_id", col("w"),
+      budget = 10L, bucketSize = 2L)
+    val spec = df.withColumn("shard_id",
+      expr("coalesce(sum(w) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div 10"))
+    assert(out.columns.sorted.sameElements(spec.columns.sorted))
+    val a = out.select("lang", "doc_id", "w", "shard_id").orderBy("lang", "doc_id").collect()
+    val b = spec.select("lang", "doc_id", "w", "shard_id").orderBy("lang", "doc_id").collect()
+    assert(a.sameElements(b))
+    // the straddling row (offset 9, weight 9) stays in shard 0: next-fit
+    // assigns by START offset; parts are independent layouts
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq(("en", 0L, 0L), ("en", 1L, 0L), ("en", 2L, 1L), ("en", 3L, 2L),
+        ("en", 4L, 2L), ("en", 5L, 5L), ("zh", 0L, 0L), ("zh", 1L, 1L),
+        ("zh", 5L, 2L)))
+  }
+}
