@@ -88,7 +88,10 @@ object Bench {
         s"""  "$k": ${fmt(v, 1)}""" }.mkString("{\n", ",\n", "\n}")
       val body =
         s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      // relative to the working directory (sbt forks `run` in the
+      // project base), overridable for out-of-repo invocations
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail sidecar write failed: ${e.getMessage}") }

@@ -2152,12 +2152,14 @@ object SparkEntry {
         |       CAST(abs(approx - exact_tokens) AS DOUBLE) / exact_tokens <= 0.10 AS within_10pct
         |FROM e JOIN a USING (lang)""".stripMargin,
 
+    // the gate compares against e's UNROUNDED exact_p50 (a real column
+    // outranks the lateral alias in DuckDB, same as Spark's select)
     "ta_quantile_gate" ->
-      """WITH e AS (SELECT lang, quantile_cont(n_chars, 0.5) AS exact_p50 FROM documents GROUP BY 1),
-        |a AS (SELECT lang, approx_quantile(n_chars, 0.5) AS approx_p50 FROM documents GROUP BY 1)
-        |SELECT lang, round(exact_p50 * 10000) / 10000 AS exact_p50,
-        |       abs(approx_p50 - exact_p50) / exact_p50 <= 0.10 AS within_10pct
-        |FROM e JOIN a USING (lang)""".stripMargin,
+      s"""WITH e AS (SELECT lang, quantile_cont(n_chars, 0.5) AS exact_p50 FROM documents GROUP BY 1),
+         |a AS (SELECT lang, approx_quantile(n_chars, 0.5) AS approx_p50 FROM documents GROUP BY 1)
+         |SELECT lang, ${Rounding.stableSql("exact_p50", 4)} AS exact_p50,
+         |       abs(approx_p50 - exact_p50) / exact_p50 <= 0.10 AS within_10pct
+         |FROM e JOIN a USING (lang)""".stripMargin,
 
     // The streaming recurrence (baseline updates only on alert) walked
     // with a recursive CTE: rows advance one rank per iteration, depth =
@@ -2527,7 +2529,10 @@ object SparkEntry {
 
     "sim_sq_ann" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e WHERE id < 256),
+        |mx AS (SELECT CASE WHEN coalesce(max(list_aggregate(list_transform(v, x -> abs(x)), 'max')), 0) <= 0
+        |              THEN error('sqScale: empty or all-zero calibration sample id < 256')
+        |              ELSE 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) END AS s
+        |       FROM e WHERE id < 256),
         |q8 AS (SELECT id, list_transform(v, x -> greatest(least(round(x * s), 127.0), -127.0)) AS qv FROM e CROSS JOIN mx),
         |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
         |sc AS (
@@ -2577,7 +2582,10 @@ object SparkEntry {
          |  SELECT q_id, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
          |  WHERE rnk <= 3),
-         |mx AS (SELECT 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) AS s FROM e WHERE id < 256),
+         |mx AS (SELECT CASE WHEN coalesce(max(list_aggregate(list_transform(v, x -> abs(x)), 'max')), 0) <= 0
+         |              THEN error('sqScale: empty or all-zero calibration sample id < 256')
+         |              ELSE 127.0 / max(list_aggregate(list_transform(v, x -> abs(x)), 'max')) END AS s
+         |       FROM e WHERE id < 256),
          |q8 AS (SELECT id, list_transform(v, x -> greatest(least(round(x * s), 127.0), -127.0)) AS qv FROM e CROSS JOIN mx),
          |qq AS (SELECT id AS q_id, qv AS qqv FROM q8 WHERE id < 5),
          |ss AS (

@@ -112,12 +112,17 @@ object Packing {
     val wloc = Window.partitionBy(col(part), col("_bucket"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(offsets), Seq(part, "_bucket"))
+    // null-safe join keys: a NULL part is its own layout partition in
+    // the one-window spec (SQL PARTITION BY groups nulls), so the
+    // offsets row for the NULL group must come back to its rows — a
+    // plain equi-join would silently drop them
+    val off = offsets.withColumnRenamed(part, "_p").withColumnRenamed("_bucket", "_b")
+    b.join(broadcast(off), col(part) <=> col("_p") && col("_bucket") <=> col("_b"))
       .withColumn("_before", col("_offset") + coalesce(sum(weight).over(wloc), lit(0L)))
       // integer div: running offsets at 100 TB exceed 2^53, where
       // Spark's double `/` would start mis-flooring
       .withColumn("shard_id", expr(s"_before div $budget"))
-      .drop("_bucket", "_offset", "_before")
+      .drop("_p", "_b", "_bucket", "_offset", "_before")
   }
 
   /** SQL mirror of [[packShards]]: the oracle states the SPEC — one

@@ -20,6 +20,14 @@ object StreamingFunnel {
   case class Ev(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   case class StageAdvance(user_id: Long, stage: Int, event_type: String,
       ts: java.sql.Timestamp)
+  /** STATE FORMAT v2: the long holds MICROseconds since epoch. v1
+    * (pre-µs-precision builds) stored milliseconds in the same slot —
+    * the encoded schema is identical, so a v1 checkpoint would be
+    * silently misread as µs (every stored ts ≈ 1970) rather than
+    * rejected. Restarting across that upgrade requires discarding the
+    * checkpoint and replaying; same-version restarts round-trip
+    * losslessly (covered by the StreamingSpec restart test).
+    */
   case class FunnelState(stage: Int, tsMicros: Long)
 
   /** Full Spark-timestamp precision (µs): getTime alone is millisecond-

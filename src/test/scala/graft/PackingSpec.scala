@@ -39,11 +39,14 @@ class PackingSpec extends SparkSpec {
 
   test("packShards: two-phase prefix sum equals the one-window cumsum spec") {
     import org.apache.spark.sql.expressions.Window
-    // 3 buckets per part at bucketSize=2; weights force shard straddles
+    // 3 buckets per part at bucketSize=2; weights force shard straddles;
+    // the NULL part is its own layout partition (null-safe join keys —
+    // a plain equi-join would silently drop those rows)
     val rows = Seq(
-      ("en", 0L, 9L), ("en", 1L, 9L), ("en", 2L, 9L),
-      ("en", 3L, 1L), ("en", 4L, 25L), ("en", 5L, 2L),
-      ("zh", 0L, 10L), ("zh", 1L, 10L), ("zh", 5L, 1L))
+      (Some("en"), 0L, 9L), (Some("en"), 1L, 9L), (Some("en"), 2L, 9L),
+      (Some("en"), 3L, 1L), (Some("en"), 4L, 25L), (Some("en"), 5L, 2L),
+      (Some("zh"), 0L, 10L), (Some("zh"), 1L, 10L), (Some("zh"), 5L, 1L),
+      (None: Option[String], 0L, 15L), (None: Option[String], 3L, 15L))
     val df = rows.toDF("lang", "doc_id", "w")
     val out = Packing.packShards(df, "lang", "doc_id", col("w"),
       budget = 10L, bucketSize = 2L)
@@ -55,9 +58,10 @@ class PackingSpec extends SparkSpec {
     val b = spec.select("lang", "doc_id", "w", "shard_id").orderBy("lang", "doc_id").collect()
     assert(a.sameElements(b))
     // the straddling row (offset 9, weight 9) stays in shard 0: next-fit
-    // assigns by START offset; parts are independent layouts
+    // assigns by START offset; parts (incl. NULL) are independent layouts
     assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
-      Seq(("en", 0L, 0L), ("en", 1L, 0L), ("en", 2L, 1L), ("en", 3L, 2L),
+      Seq((null, 0L, 0L), (null, 3L, 1L),
+        ("en", 0L, 0L), ("en", 1L, 0L), ("en", 2L, 1L), ("en", 3L, 2L),
         ("en", 4L, 2L), ("en", 5L, 5L), ("zh", 0L, 0L), ("zh", 1L, 1L),
         ("zh", 5L, 2L)))
   }
