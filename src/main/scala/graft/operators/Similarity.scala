@@ -186,11 +186,20 @@ object Similarity {
     * behavior). Max over the sample is an exact fold, so both engines
     * derive the identical double.
     */
+  /** The bounded calibration read behind [[sqScale]], exposed so the
+    * plan-audit suite can assert the `id < sampleBound` predicate
+    * actually reaches the parquet scan (the boundedness claim is a
+    * pushdown property, invisible once collect() has run).
+    */
+  private[graft] def sqScaleCalibration(emb: DataFrame, idCol: String,
+      vecCol: String, sampleBound: Long): DataFrame =
+    emb.filter(col(idCol) < sampleBound)
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .agg(max(abs(col("x"))))
+
   def sqScale(emb: DataFrame, idCol: String, vecCol: String,
       sampleBound: Long = 256L): Double = {
-    val row = emb.filter(col(idCol) < sampleBound)
-      .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
-      .agg(max(abs(col("x")))).collect()(0)
+    val row = sqScaleCalibration(emb, idCol, vecCol, sampleBound).collect()(0)
     // the prefix sample can legitimately be empty (ids not anchored at
     // 0) or all-zero (padding vectors) — either would silently produce
     // a NaN/Infinity scale and poison every quantized vector downstream
