@@ -37,6 +37,23 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L, 31L))
   }
 
+  test("chunk: boundary sweep n=1..60 covers every residue class of the stride") {
+    val docs = (1 to 60).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+    val out = Packing.chunk(docs.toDF("doc_id", "text"), "doc_id", col("text"),
+        chunkTokens = 8, stride = 5)
+      .collect().groupBy(_.getLong(0))
+    for (n <- 1 to 60) {
+      val rows = out(n.toLong).sortBy(_.getLong(1))
+      val expected = if (n <= 8) 1 else (n - 8 + 4) / 5 + 1
+      assert(rows.length == expected, s"n=$n chunk count")
+      for ((r, i) <- rows.zipWithIndex)
+        assert(r.getLong(2) == math.min(8, n - i * 5), s"n=$n chunk=$i length")
+      // the final chunk reaches exactly token n — nothing dropped, no
+      // degenerate fully-contained trailing window
+      assert((rows.length - 1) * 5 + rows.last.getLong(2) == n, s"n=$n coverage")
+    }
+  }
+
   test("packShards: two-phase prefix sum equals the one-window cumsum spec") {
     import org.apache.spark.sql.expressions.Window
     // 3 buckets per part at bucketSize=2; weights force shard straddles;
