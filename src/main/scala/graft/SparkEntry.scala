@@ -1521,6 +1521,17 @@ object SparkEntry {
       Stats.corrExact(ev, Seq("event_type"), col("x"), col("y"))
     }),
 
+    // Z-order layout keys — the Morton interleave of (user, hour) that
+    // the write-side zOrderBy sorts by so parquet min/max stats prune
+    // scans filtered on EITHER dimension. Narrow bit math, zero
+    // exchanges (plan-asserted); the same step constants generate the
+    // oracle SQL (operators/Layout.scala).
+    "ev_zorder" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+        .withColumn("z", graft.operators.Layout.zValue(
+          col("user_id"), col("hour_bucket")))),
+
     // Rolling 24-bucket Pearson correlation per event_type — the exact
     // integer moments composed with the bucketed-rolling frame
     // (ev_rolling_bucketed's shape): one hash aggregate to (type, hour)
@@ -2059,6 +2070,15 @@ object SparkEntry {
                    "(n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) * sqrt(greatest(n*syy - sy*sy, 0.0)))",
                    6)} AS corr
          |FROM m""".stripMargin,
+
+    "ev_zorder" ->
+      s"""WITH t AS (
+         |  SELECT event_id, user_id,
+         |         epoch_us(ts) // 3600000000 AS hour_bucket
+         |  FROM events)
+         |SELECT event_id, user_id, hour_bucket,
+         |       ${graft.operators.Layout.zValueSql("user_id", "hour_bucket")} AS z
+         |FROM t""".stripMargin,
 
     // Same moment discipline as stats_corr, framed: the per-bucket
     // HUGEINT partials window-sum EXACTLY (sums stay < 2^53), the

@@ -173,6 +173,12 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"calibration shuffles rows:\n$p")
   }
 
+  test("z-order keying is a zero-exchange narrow projection") {
+    val p = plan("ev_zorder")
+    assert(!p.contains("Exchange"), s"z-keying shuffles:\n$p")
+    assert("Scan parquet".r.findAllMatchIn(p).size == 1, s"z-keying re-scans:\n$p")
+  }
+
   test("chunking is one narrow codegen span: zero exchanges, one scan, bounded Generate") {
     val p = plan("ta_chunk")
     assert(!p.contains("Exchange"), s"chunking shuffles:\n$p")
