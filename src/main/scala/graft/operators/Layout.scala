@@ -63,6 +63,10 @@ object Layout {
     * desired file size (at 100 TB: total bytes / ~1 GB).
     */
   def zOrderBy(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    // withColumn would silently REPLACE a caller's same-named column and
+    // the trailing drop would then delete their data
+    require(!df.columns.contains("_z"),
+      "zOrderBy: input already has a `_z` column — rename it first")
     val keyed = df.withColumn("_z", zValue(a, b))
     keyed.repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

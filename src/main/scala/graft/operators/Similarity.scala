@@ -175,17 +175,6 @@ object Similarity {
       transform(asDouble(col(vecCol)),
         x => greatest(least(round(x * scale), lit(127.0)), lit(-127.0))).as("qv"))
 
-  /** The quantization scale, `127 / max|component|`, CALIBRATED on the
-    * bounded id-prefix sample `id < sampleBound` rather than the full
-    * corpus: at 100 TB a scan for one scalar is an extra full pass, so
-    * the scale is a training-time constant derived the way real vector
-    * stores derive it — from a calibration sample. The `id <` predicate
-    * pushes into the parquet scan and prunes row groups via min/max
-    * stats, so the read is bounded at any corpus size; components the
-    * sample missed saturate in [[quantize]]'s clamp (standard int8
-    * behavior). Max over the sample is an exact fold, so both engines
-    * derive the identical double.
-    */
   /** The bounded calibration read behind [[sqScale]], exposed so the
     * plan-audit suite can assert the `id < sampleBound` predicate
     * actually reaches the parquet scan (the boundedness claim is a
@@ -197,6 +186,17 @@ object Similarity {
       .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
       .agg(max(abs(col("x"))))
 
+  /** The quantization scale, `127 / max|component|`, CALIBRATED on the
+    * bounded id-prefix sample `id < sampleBound` rather than the full
+    * corpus: at 100 TB a scan for one scalar is an extra full pass, so
+    * the scale is a training-time constant derived the way real vector
+    * stores derive it — from a calibration sample. The `id <` predicate
+    * pushes into the parquet scan and prunes row groups via min/max
+    * stats, so the read is bounded at any corpus size; components the
+    * sample missed saturate in [[quantize]]'s clamp (standard int8
+    * behavior). Max over the sample is an exact fold, so both engines
+    * derive the identical double.
+    */
   def sqScale(emb: DataFrame, idCol: String, vecCol: String,
       sampleBound: Long = 256L): Double = {
     val row = sqScaleCalibration(emb, idCol, vecCol, sampleBound).collect()(0)
