@@ -83,15 +83,16 @@ object Bench {
     // full-precision line overflowed the window and recorded
     // `parsed: null`), and ~95 query names alone are ~1.4 KB.
     val bySlowest = results.sortBy { case (_, v) => -v }
+    // relative to the working directory (sbt forks `run` in the project
+    // base), overridable for out-of-repo invocations; the stdout line
+    // advertises whatever path was actually used
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       val detail = bySlowest.map { case (k, v) =>
         s"""  "$k": ${fmt(v, 1)}""" }.mkString("{\n", ",\n", "\n}")
       val body =
         s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail}"""
-      // relative to the working directory (sbt forks `run` in the
-      // project base), overridable for out-of-repo invocations
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail sidecar write failed: ${e.getMessage}") }
@@ -103,7 +104,7 @@ object Bench {
       val qs = bySlowest.take(topN)
         .map { case (k, v) => "\"" + k + "\":" + math.round(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_unit":"ms","queries":$qs,"queries_listed":$topN,"detail":"BENCH_DETAIL.json"$errJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries_unit":"ms","queries":$qs,"queries_listed":$topN,"detail":"$detailPath"$errJson,"sf":"$sfName"}"""
     }
     val out = Seq(20, 12, 6).iterator.map(line).find(_.length <= 1850)
       .getOrElse(line(6))
