@@ -1521,6 +1521,25 @@ object SparkEntry {
       Stats.corrExact(ev, Seq("event_type"), col("x"), col("y"))
     }),
 
+    // Keyless range join — lineitem prices against $1000-wide supplier
+    // account bands, via bin decomposition (operators/RangeJoin): the
+    // `p BETWEEN lo AND hi` predicate alone would plan as a nested-loop
+    // scan of every band for every lineitem; binning at the band width
+    // makes it an ordinary equi-join (≤2 bins per band) and the exact
+    // predicate re-filters inside the bin. Aggregated to per-band
+    // counts so the output is band-sized, not match-sized.
+    "rj_price_bands" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val bands = Tables.supplier(s, dir).select(col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 100000L)
+      RangeJoin.pointInInterval(pts, bands, col("price_c"),
+          col("lo"), col("hi"), binWidth = 100000L)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_in_band"))
+    }),
+
     // Z-order layout keys — the Morton interleave of (user, hour) that
     // the write-side zOrderBy sorts by so parquet min/max stats prune
     // scans filtered on EITHER dimension. Narrow bit math, zero
@@ -2070,6 +2089,15 @@ object SparkEntry {
                    "(n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) * sqrt(greatest(n*syy - sy*sy, 0.0)))",
                    6)} AS corr
          |FROM m""".stripMargin,
+
+    // the oracle states the SPEC form — the plain theta join the bin
+    // decomposition must reproduce row-for-row
+    "rj_price_bands" ->
+      """WITH p AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem),
+        |b AS (SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS lo FROM supplier)
+        |SELECT b.s_suppkey, CAST(count(*) AS BIGINT) AS n_in_band
+        |FROM b JOIN p ON p.price_c >= b.lo AND p.price_c < b.lo + 100000
+        |GROUP BY 1""".stripMargin,
 
     "ev_zorder" ->
       s"""WITH t AS (

@@ -173,6 +173,21 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"calibration shuffles rows:\n$p")
   }
 
+  test("bin-decomposed range join stays an equi-join even with broadcast disabled") {
+    // the whole point of the bin decomposition: `p BETWEEN lo AND hi`
+    // alone can only plan as a nested loop once the interval side
+    // outgrows broadcast — on the bin key it must stay a shuffle
+    // hash/merge join at ANY interval-side size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("rj_price_bands")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join degenerated to a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"range join lost the bin equi-join:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("z-order keying is a zero-exchange narrow projection") {
     val p = plan("ev_zorder")
     assert(!p.contains("Exchange"), s"z-keying shuffles:\n$p")
