@@ -1540,6 +1540,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_band"))
     }),
 
+    // Interval-overlap form of the keyless range join: $1000-wide
+    // supplier account bands × $100-wide part price bands, each pair
+    // kept only in its canonical first shared bin (no dedup pass).
+    // Aggregated per supplier so output is dim-sized.
+    "rj_band_overlap" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("s_lo"))
+        .withColumn("s_hi", col("s_lo") + 100000L)
+      val par = Tables.part(s, dir).select(
+        (floor(col("p_retailprice") * 100).cast("long") - 5000L).as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + 10000L)
+      RangeJoin.intervalOverlap(sup, par, col("s_lo"), col("s_hi"),
+          col("p_lo"), col("p_hi"), binWidth = 100000L)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_overlapping"))
+    }),
+
     // Z-order layout keys — the Morton interleave of (user, hour) that
     // the write-side zOrderBy sorts by so parquet min/max stats prune
     // scans filtered on EITHER dimension. Narrow bit math, zero
@@ -2097,6 +2114,13 @@ object SparkEntry {
         |b AS (SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS lo FROM supplier)
         |SELECT b.s_suppkey, CAST(count(*) AS BIGINT) AS n_in_band
         |FROM b JOIN p ON p.price_c >= b.lo AND p.price_c < b.lo + 100000
+        |GROUP BY 1""".stripMargin,
+
+    "rj_band_overlap" ->
+      """WITH s AS (SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS s_lo FROM supplier),
+        |p AS (SELECT CAST(floor(p_retailprice * 100) AS BIGINT) - 5000 AS p_lo FROM part)
+        |SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS n_overlapping
+        |FROM s JOIN p ON s.s_lo < p.p_lo + 10000 AND p.p_lo < s.s_lo + 100000
         |GROUP BY 1""".stripMargin,
 
     "ev_zorder" ->

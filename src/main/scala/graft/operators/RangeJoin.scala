@@ -50,4 +50,32 @@ object RangeJoin {
       .filter(col("_pt") >= col("_lo") && col("_pt") < col("_hi"))
       .drop("_bin", "_pt", "_lo", "_hi")
   }
+
+  /** Interval × interval overlap join (half-open semantics: overlap iff
+    * `aLo < bHi && bLo < aHi`), same bin decomposition with one extra
+    * rule: an overlapping pair shares EVERY bin its intersection
+    * touches, so the join keeps a pair only in its canonical FIRST
+    * shared bin — the bin of `greatest(aLo, bLo)` (the intersection
+    * start, which both spans contain by definition). One output row per
+    * overlapping pair, no dedup pass, ordinary shuffle join on the bin.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftLo: Column, leftHi: Column, rightLo: Column, rightHi: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    for (c <- Seq("_llo", "_lhi", "_rlo", "_rhi", "_bin"))
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"intervalOverlap: inputs must not carry the internal column `$c`")
+    def binned(df: DataFrame, lo: Column, hi: Column, l: String, h: String) =
+      df.withColumn(l, lo.cast("long")).withColumn(h, hi.cast("long"))
+        .filter(col(h) > col(l))
+        .withColumn("_bin", explode(sequence(
+          expr(s"$l div $binWidth"), expr(s"($h - 1) div $binWidth"))))
+    val a = binned(left, leftLo, leftHi, "_llo", "_lhi")
+    val b = binned(right, rightLo, rightHi, "_rlo", "_rhi")
+    a.join(b, Seq("_bin"))
+      .filter(col("_llo") < col("_rhi") && col("_rlo") < col("_lhi") &&
+        col("_bin") === expr(s"greatest(_llo, _rlo) div $binWidth"))
+      .drop("_bin", "_llo", "_lhi", "_rlo", "_rhi")
+  }
 }

@@ -179,12 +179,12 @@ class ExplainAuditSpec extends SparkSpec {
     // outgrows broadcast — on the bin key it must stay a shuffle
     // hash/merge join at ANY interval-side size
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val p = plan("rj_price_bands")
+    try for (q <- Seq("rj_price_bands", "rj_band_overlap")) {
+      val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"range join degenerated to a nested loop:\n$p")
+        s"$q degenerated to a nested loop:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"range join lost the bin equi-join:\n$p")
+        s"$q lost the bin equi-join:\n$p")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 

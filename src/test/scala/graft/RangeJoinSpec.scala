@@ -42,6 +42,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((5L, "a"), (5L, "b")))
   }
 
+  test("intervalOverlap: touching intervals don't overlap; containment pairs once") {
+    val a = Seq(("a1", 0L, 10L), ("a2", 10L, 20L), ("a3", 0L, 1000L)).toDF("an", "alo", "ahi")
+    val b = Seq(("b1", 5L, 15L), ("b2", 200L, 300L)).toDF("bn", "blo", "bhi")
+    val out = RangeJoin.intervalOverlap(a, b, col("alo"), col("ahi"),
+        col("blo"), col("bhi"), binWidth = 100L)
+      .select("an", "bn").collect().map(r => (r.getString(0), r.getString(1)))
+    // a3 contains b2 (they share bins 2 and 3 — must still pair ONCE)
+    assert(out.toSet == Set(("a1", "b1"), ("a2", "b1"), ("a3", "b1"), ("a3", "b2")))
+    assert(out.length == 4, s"duplicate pairs: ${out.toSeq}")
+  }
+
+  test("intervalOverlap matches the plain theta-join spec on a dense sweep") {
+    val as = (0L to 300L by 37L).map(lo => (s"a$lo", lo, lo + 45L))
+    val bs = (0L to 300L by 23L).map(lo => (s"b$lo", lo, lo + 11L))
+    val got = RangeJoin.intervalOverlap(
+        as.toDF("an", "alo", "ahi"), bs.toDF("bn", "blo", "bhi"),
+        col("alo"), col("ahi"), col("blo"), col("bhi"), binWidth = 64L)
+      .select("an", "bn").collect().map(r => (r.getString(0), r.getString(1)))
+    val want = (for ((an, alo, ahi) <- as; (bn, blo, bhi) <- bs
+      if alo < bhi && blo < ahi) yield (an, bn)).toSet
+    assert(got.toSet == want && got.length == want.size)
+  }
+
   test("matches the plain theta-join spec on a dense sweep") {
     val points = (0L to 400L by 7L).toSeq
     val ivs = Seq(("t1", 0L, 50L), ("t2", 49L, 51L), ("t3", 100L, 300L),
