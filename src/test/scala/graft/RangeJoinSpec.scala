@@ -53,9 +53,11 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.length == 4, s"duplicate pairs: ${out.toSeq}")
   }
 
-  test("intervalOverlap matches the plain theta-join spec on a dense sweep") {
-    val as = (0L to 300L by 37L).map(lo => (s"a$lo", lo, lo + 45L))
-    val bs = (0L to 300L by 23L).map(lo => (s"b$lo", lo, lo + 11L))
+  test("intervalOverlap matches the plain theta-join spec on a dense sweep spanning zero") {
+    // negative coordinates: the canonical-bin dedup rule relies on
+    // truncating div being monotone on BOTH sides of zero
+    val as = (-300L to 300L by 37L).map(lo => (s"a$lo", lo, lo + 45L))
+    val bs = (-300L to 300L by 23L).map(lo => (s"b$lo", lo, lo + 11L))
     val got = RangeJoin.intervalOverlap(
         as.toDF("an", "alo", "ahi"), bs.toDF("bn", "blo", "bhi"),
         col("alo"), col("ahi"), col("blo"), col("bhi"), binWidth = 64L)
