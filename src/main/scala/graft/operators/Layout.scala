@@ -64,8 +64,9 @@ object Layout {
     */
   def zOrderBy(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
     // withColumn would silently REPLACE a caller's same-named column and
-    // the trailing drop would then delete their data
-    require(!df.columns.contains("_z"),
+    // the trailing drop would then delete their data (ignore-case:
+    // Spark resolution is case-insensitive by default)
+    require(!df.columns.exists(_.equalsIgnoreCase("_z")),
       "zOrderBy: input already has a `_z` column — rename it first")
     val keyed = df.withColumn("_z", zValue(a, b))
     keyed.repartitionByRange(numFiles, col("_z"))

@@ -101,6 +101,12 @@ object Packing {
   def packShards(df: DataFrame, part: String, orderCol: String,
       weight: Column, budget: Long, bucketSize: Long): DataFrame = {
     require(budget > 0 && bucketSize > 0)
+    // internal names must be free (ignore-case: Spark resolution is
+    // case-insensitive by default) — withColumn would silently replace
+    // a caller's column and the trailing drop would delete it
+    for (c <- Seq("_bucket", "_offset", "_before", "_p", "_b", "_w"))
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"packShards: input must not carry the internal column `$c`")
     import org.apache.spark.sql.expressions.Window
     val b = df.withColumn("_bucket", expr(s"$orderCol div $bucketSize"))
     val totals = b.groupBy(col(part), col("_bucket"))

@@ -44,13 +44,42 @@ class RangeJoinSpec extends SparkSpec {
 
   test("intervalOverlap: touching intervals don't overlap; containment pairs once") {
     val a = Seq(("a1", 0L, 10L), ("a2", 10L, 20L), ("a3", 0L, 1000L)).toDF("an", "alo", "ahi")
-    val b = Seq(("b1", 5L, 15L), ("b2", 200L, 300L)).toDF("bn", "blo", "bhi")
+    val b = Seq(("b1", 5L, 15L), ("b2", 150L, 350L)).toDF("bn", "blo", "bhi")
     val out = RangeJoin.intervalOverlap(a, b, col("alo"), col("ahi"),
         col("blo"), col("bhi"), binWidth = 100L)
       .select("an", "bn").collect().map(r => (r.getString(0), r.getString(1)))
-    // a3 contains b2 (they share bins 2 and 3 — must still pair ONCE)
+    // a3 contains b2, and they SHARE bins 1,2,3 — the canonical-first-bin
+    // rule must still pair them exactly once
     assert(out.toSet == Set(("a1", "b1"), ("a2", "b1"), ("a3", "b1"), ("a3", "b2")))
     assert(out.length == 4, s"duplicate pairs: ${out.toSeq}")
+  }
+
+  test("guards: non-integral coordinates, colliding/shared names, runaway fan-out all fail fast") {
+    val p = Seq(1.5d).toDF("p")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, Seq((0L, 10L)).toDF("lo", "hi"),
+        col("p"), col("lo"), col("hi"), 10L)
+    }
+    // case-insensitive internal-name collision
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(Seq((1L, 2L)).toDF("p", "_BIN"),
+        Seq((0L, 10L)).toDF("lo", "hi"), col("p"), col("lo"), col("hi"), 10L)
+    }
+    // shared user column name across the two inputs
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(Seq((1L, 1L)).toDF("p", "id"),
+        Seq((1L, 0L, 10L)).toDF("id", "lo", "hi"), col("p"), col("lo"), col("hi"), 10L)
+    }
+    // an open-ended sentinel interval dies with the readable message,
+    // not the executor's array-size limit
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(Seq(5L).toDF("p"),
+        Seq((0L, Long.MaxValue)).toDF("lo", "hi"),
+        col("p"), col("lo"), col("hi"), 10L).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("raise binWidth"), s"wrong failure mode: ${chain(e)}")
   }
 
   test("intervalOverlap matches the plain theta-join spec on a dense sweep spanning zero") {
