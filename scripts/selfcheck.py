@@ -46,6 +46,12 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in got.columns:
         a, b = got[c], want[c]
+        # int-vs-float dtype drift (e.g. DuckDB HUGEINT -> pandas float)
+        # breaks the driver's exact hash even when values match — FAIL here
+        # too so it can never pass locally and fail on the driver.
+        if (a.dtype.kind == "f") != (b.dtype.kind == "f"):
+            bad = f"col {c}: dtype mismatch {a.dtype} vs {b.dtype} (int-vs-float breaks driver hash)"
+            break
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             af = a.astype(float); bf = b.astype(float)
             # NOTE: the driver gate compares exactly (hash of rounded

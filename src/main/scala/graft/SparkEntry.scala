@@ -1001,22 +1001,6 @@ object SparkEntry {
               TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
               TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))): _*)),
 
-    // Approximate distinct-token counts per language (HyperLogLog++,
-    // 1% rsd) — the sketch an interactive profile uses at 100 TB where
-    // exact distinct is a full shuffle of the token universe. The HLL
-    // buffer map-side combines, so the exchange carries one sketch per
-    // (partition, lang), never the token stream; computing an exact
-    // count ALONGSIDE it (as this query once did) would force the
-    // expand-based multi-distinct plan and defeat the point. No oracle
-    // SQL by design (sketch values are engine-specific): the driver
-    // records a rows-only check, and TextAnalysisSpec pins the error
-    // bound against an exact count.
-    "ta_approx_distinct" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("token"), 0.01).as("approx_tokens"))),
-
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →
     // count (map-side combined) → bounded top-k AGGREGATE per lang
@@ -1356,10 +1340,18 @@ object SparkEntry {
     // corpus.
     "dedup_minhash_est" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
-      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // ONE signature computation feeds banding AND both estimate
+      // sides: Spark recomputes a shared unpersisted subtree once per
+      // consumer, so without the localCheckpoint the tokenize+md5+agg
+      // pipeline would run 3× (it was this query's whole cost). The
+      // checkpointed frame is |docs| rows × 12 longs — at 100 TB this
+      // is exactly the signature table an ingest job persists anyway.
       val sig = Dedup.signatures(corpus, "doc_id", "text", 12)
+        .localCheckpoint()
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.8,
+          sigs = Some(sig))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_a" else s"a_$c"): _*)
       val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
@@ -1463,8 +1455,13 @@ object SparkEntry {
       val cross = Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
           numBands = 4, rowsPerBand = 3, threshold = 0.8)
         .select(col("doc_new").as("new_id"), col("doc_base").as("base_id"))
+      // cap disabled: this query's oracle states base+batch banding
+      // JOINTLY (one CTE chain), where a per-side hot-bucket count
+      // cannot be mirrored; at scale the cap lives in the precomputed
+      // banded table both sides read (Dedup.minhashPairsBetween doc)
       val inner = Dedup.minhashPairs(batch, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+          numBands = 4, rowsPerBand = 3, threshold = 0.8,
+          maxBucket = Int.MaxValue)
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(
           base.select(col("doc_id").as("id"), col("doc_id").as("label")),
@@ -1621,13 +1618,18 @@ object SparkEntry {
             TextAnalysis.piiRedact(injected).as("redacted")): _*)
     }),
 
-    // The sketch-accuracy gate that makes ta_approx_distinct (rows-only
-    // by design — sketch values are engine-specific) hash-checkable:
-    // each engine runs ITS OWN HLL next to the exact distinct and
-    // reports the boolean |approx − exact| / exact ≤ 10%. The booleans
-    // agree even though the sketches don't. Exact and approx aggregate
-    // separately (5-row join) so the HLL path keeps its sketch-only
-    // exchange rather than the expand-based multi-distinct plan.
+    // Approximate distinct-token counts per language (HyperLogLog++,
+    // 1% rsd) — the sketch an interactive profile uses at 100 TB where
+    // exact distinct is a full shuffle of the token universe. The HLL
+    // buffer map-side combines, so the exchange carries one sketch per
+    // (partition, lang), never the token stream. Raw sketch values are
+    // engine-specific and can't hash cross-engine, so this IS the
+    // hash-checkable form: each engine runs ITS OWN HLL next to the
+    // exact distinct and reports the boolean |approx − exact| / exact
+    // ≤ 10%. The booleans agree even though the sketches don't. Exact
+    // and approx aggregate separately (5-row join) so the HLL path
+    // keeps its sketch-only exchange rather than the expand-based
+    // multi-distinct plan. TextAnalysisSpec pins the error bound.
     "ta_approx_distinct_gate" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -1843,10 +1845,15 @@ object SparkEntry {
     * corpus. `pairPred` selects which banded collisions count as
     * candidates (self-dedup: ordered pairs; incremental: base-side ×
     * batch-side only), with the a/b doc ids surfaced under
-    * `aName`/`bName`.
+    * `aName`/`bName`. `maxBucket` mirrors Dedup's hot-bucket guard
+    * (rows of buckets above the cap are dropped before pairing) for the
+    * oracles whose Spark side runs the capped `minhashPairs`; None for
+    * the joint base+batch oracles (`minhashPairsBetween` carries no
+    * inline cap — see its scaladoc).
     */
   private def minhashCtes(numBands: Int, rowsPerBand: Int,
-      pairPred: String, aName: String, bName: String): String = {
+      pairPred: String, aName: String, bName: String,
+      maxBucket: Option[Int] = None): String = {
     val P = Dedup.MinhashP
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
@@ -1870,17 +1877,25 @@ object SparkEntry {
        |banded AS (
        |  SELECT doc_id, band_id,
        |         CASE band_id $bandCases END AS band_key
-       |  FROM sig, (SELECT unnest(range(0, $numBands)) AS band_id)),
+       |  FROM sig, (SELECT unnest(range(0, $numBands)) AS band_id)),${maxBucket
+           .map(cap => s"""
+       |bandedc AS (
+       |  SELECT doc_id, band_id, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+       |    FROM banded)
+       |  WHERE bn <= $cap),""").getOrElse("")}
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS $aName, b.doc_id AS $bName
-       |  FROM banded a JOIN banded b
+       |  FROM ${if (maxBucket.isDefined) "bandedc" else "banded"} a
+       |  JOIN ${if (maxBucket.isDefined) "bandedc" else "banded"} b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND $pairPred)""".stripMargin
   }
 
   private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double,
       pairPred: String = "a.doc_id < b.doc_id",
-      aName: String = "doc_a", bName: String = "doc_b"): String =
-    s"WITH ${minhashCtes(numBands, rowsPerBand, pairPred, aName, bName)}\n" +
+      aName: String = "doc_a", bName: String = "doc_b",
+      maxBucket: Option[Int] = None): String =
+    s"WITH ${minhashCtes(numBands, rowsPerBand, pairPred, aName, bName, maxBucket)}\n" +
       s"""SELECT $aName, $bName,
          |       $MinhashJaccardSql AS jaccard
          |FROM pairs JOIN sh sa ON sa.doc_id = $aName JOIN sh sb ON sb.doc_id = $bName
@@ -1892,7 +1907,8 @@ object SparkEntry {
     * loop also converges to.
     */
   private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
-    s"WITH RECURSIVE ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+    s"WITH RECURSIVE ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+      Some(Dedup.DefaultMaxBucket))},\n" +
       s"""verified AS (
          |  SELECT doc_a, doc_b
          |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
@@ -2282,7 +2298,8 @@ object SparkEntry {
          |FROM r GROUP BY 1""".stripMargin,
 
     "st5_neardedup_scan" ->
-      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+        Some(Dedup.DefaultMaxBucket))},\n" +
         s"""est AS (
            |  SELECT p.doc_a, p.doc_b,
            |         ${Rounding.stableSql(
@@ -2385,7 +2402,8 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS dup_count
          |FROM corpus GROUP BY 1""".stripMargin,
 
-    "dedup_minhash" -> minhashOracle(numBands = 4, rowsPerBand = 3, threshold = 0.8),
+    "dedup_minhash" -> minhashOracle(numBands = 4, rowsPerBand = 3, threshold = 0.8,
+      maxBucket = Some(Dedup.DefaultMaxBucket)),
 
     // incremental: candidates restricted to base (< 1e6) × batch (>= 1e6)
     "dedup_incremental" -> minhashOracle(numBands = 4, rowsPerBand = 3,
@@ -2415,7 +2433,8 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "dedup_minhash_est" ->
-      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+        Some(Dedup.DefaultMaxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b, $MinhashJaccardSql AS jaccard
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
@@ -2757,7 +2776,8 @@ object SparkEntry {
         s"WHERE $QualitySql >= 0.2 AND $WsTokensSql BETWEEN 5 AND 200"),
 
     "e4_curation_full" ->
-      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+        Some(Dedup.DefaultMaxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b

@@ -162,13 +162,47 @@ object Dedup {
   }
 
   def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
-      numBands: Int, rowsPerBand: Int): DataFrame = {
-    signatures(docs, idCol, textCol, numBands * rowsPerBand)
-      .select(col("id"),
-        posexplode(array((0 until numBands).map { b =>
-          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            col(s"sig_${b * rowsPerBand + r}").cast("string")): _*))
-        }: _*)).as(Seq("band_id", "band_key")))
+      numBands: Int, rowsPerBand: Int): DataFrame =
+    bandedKeysFromSignatures(
+      signatures(docs, idCol, textCol, numBands * rowsPerBand),
+      numBands, rowsPerBand)
+
+  /** Band keys derived from an already-computed [[signatures]] frame —
+    * the narrow posexplode half of [[bandedKeys]]. Lets a plan that also
+    * needs the raw signatures (e.g. the estimate-quality query) compute
+    * them ONCE, checkpoint, and feed both consumers instead of
+    * re-running the tokenize+md5+agg pipeline per use.
+    */
+  def bandedKeysFromSignatures(sig: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
+      posexplode(array((0 until numBands).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}").cast("string")): _*))
+      }: _*)).as(Seq("band_id", "band_key")))
+
+  /** Hot-bucket guard for LSH banding: candidate-pair volume in a band
+    * bucket is |bucket|², so ONE degenerate band key (boilerplate text,
+    * an empty-ish shingle set) turns the bucket join quadratic — the
+    * first thing a 100 TB dedup run hits. Buckets larger than this are
+    * dropped from candidate generation entirely (their members still
+    * dedup via exact-hash grouping, which has no quadratic term; the
+    * constant is mirrored literally in the DuckDB oracles so the hash
+    * check stays exact).
+    */
+  val DefaultMaxBucket = 1000
+
+  /** Drop every row of any (band_id, band_key) bucket holding more than
+    * `maxBucket` docs. A window count over the bucket key — the same
+    * hash partitioning the downstream bucket self-join requires, so the
+    * exchange is shared and the guard adds no extra shuffle of the
+    * banded rows.
+    */
+  private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_id"), col("band_key"))
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
   }
 
   /** Exact dedup: group identical normalized text, keep the smallest id as
@@ -183,10 +217,18 @@ object Dedup {
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     *
     * Pipeline: shingle → `numBands`×`rowsPerBand` minhash signature →
-    * explode band keys → self-equi-join on (band_id, band_key) with
-    * `a.id < b.id` → distinct pairs → true Jaccard on the shingle sets →
-    * keep >= `threshold`.
+    * explode band keys → drop hot buckets (> `maxBucket` residents —
+    * see [[DefaultMaxBucket]]) → self-equi-join on (band_id, band_key)
+    * with `a.id < b.id` → distinct pairs → true Jaccard on the shingle
+    * sets → keep >= `threshold`.
     *
+    * @param sigs optionally, a precomputed (ideally checkpointed)
+    *             [[signatures]] frame with `numBands`×`rowsPerBand`
+    *             minima — banding derives from it instead of re-running
+    *             the tokenize+md5+agg pipeline (Spark recomputes a
+    *             shared unpersisted subtree once per consumer).
+    * @param maxBucket hot-bucket cap; `Int.MaxValue` disables (only for
+    *                  call sites whose oracle states base+batch jointly)
     * @return (doc_a, doc_b, jaccard) — one row per near-dup pair.
     */
   def minhashPairs(
@@ -195,7 +237,9 @@ object Dedup {
       textCol: String,
       numBands: Int = 4,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      sigs: Option[DataFrame] = None): DataFrame = {
     // Token-hash shingling: md5 once per TOKEN, shingle values combined
     // arithmetically (see shingleValuesFromTokens). The two-step select
     // keeps each expensive higher-order transform in its own projection
@@ -209,7 +253,12 @@ object Dedup {
     // shingle arrays must never ride through the explode+self-join (at
     // scale that would serialize every array numBands× through two
     // exchanges). They are re-joined below for candidates only.
-    val banded = bandedKeys(docs, idCol, textCol, numBands, rowsPerBand)
+    val rawBanded = sigs
+      .map(bandedKeysFromSignatures(_, numBands, rowsPerBand))
+      .getOrElse(bandedKeys(docs, idCol, textCol, numBands, rowsPerBand))
+    val banded =
+      if (maxBucket == Int.MaxValue) rawBanded
+      else dropHotBuckets(rawBanded, maxBucket)
     val pairs = banded.select(col("id").as("doc_a"), col("band_id"), col("band_key"))
       .join(banded.select(col("id").as("doc_b"), col("band_id"), col("band_key")),
         Seq("band_id", "band_key"))
@@ -385,8 +434,11 @@ object Dedup {
     * Σ_bucket |new_b|·|base_b|, proportional to the BATCH size, not the
     * corpus: the property that keeps day-N dedup cost flat at 100 TB of
     * history. At scale the base side's banded keys are a precomputed,
-    * bucketed table (written once per ingest); here they are derived in
-    * the same plan.
+    * bucketed table (written once per ingest) — the hot-bucket cap
+    * (see [[DefaultMaxBucket]]) is applied THERE at write time, which is
+    * why this operator carries none inline: its oracle states base and
+    * batch jointly, and a per-side inline cap could not be mirrored
+    * exactly in that joint form.
     *
     * @return (doc_new, doc_base, jaccard) — one row per near-dup pair.
     */

@@ -138,8 +138,8 @@ object Packing {
   def packShardsSql(table: String, part: String, orderCol: String,
       weightExpr: String, budget: Long, selectCols: String): String =
     s"""SELECT $selectCols,
-       |       COALESCE(sum($weightExpr) OVER (PARTITION BY $part ORDER BY $orderCol
+       |       CAST(COALESCE(sum($weightExpr) OVER (PARTITION BY $part ORDER BY $orderCol
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |         // $budget AS shard_id
+       |         // $budget AS BIGINT) AS shard_id
        |FROM $table""".stripMargin
 }

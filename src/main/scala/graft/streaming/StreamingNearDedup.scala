@@ -91,7 +91,8 @@ object StreamingNearDedup {
       rowsPerBand: Int = 3,
       minEstJaccard: Double = 0.5,
       watermark: String = "1 hour",
-      retention: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[CandidatePair] = {
+      retention: java.time.Duration = java.time.Duration.ofHours(1),
+      maxBucket: Int = Dedup.DefaultMaxBucket): Dataset[CandidatePair] = {
     import df.sparkSession.implicits._
     val nSig = numBands * rowsPerBand
 
@@ -116,17 +117,29 @@ object StreamingNearDedup {
             val arriving = docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
             val out = Seq.newBuilder[CandidatePair]
             var residents = state.getOption.map(_.residents).getOrElse(Nil)
+            var nResidents = residents.size
             for (d <- arriving) {
-              for ((pid, psigs) <- residents if pid != d.doc_id) {
-                val matching = psigs.iterator.zip(d.sigs.iterator)
-                  .count { case (a, b) => a == b }
-                val est = matching.toDouble / nSig
-                if (est >= minEstJaccard)
-                  out += CandidatePair(math.min(pid, d.doc_id),
-                    math.max(pid, d.doc_id),
-                    graft.operators.Rounding.stableVal(est, 4))
+              // hot-bucket guard (the streaming face of
+              // Dedup.DefaultMaxBucket): once a bucket holds maxBucket
+              // residents it is degenerate (boilerplate key) — arriving
+              // docs neither pair nor enroll, bounding BOTH state size
+              // and per-doc comparisons at maxBucket. Batch retroactively
+              // drops the whole hot bucket; a stream cannot retract
+              // already-emitted pairs, so saturation-stop is the
+              // streaming analog (downstream exact verify dedups).
+              if (nResidents < maxBucket) {
+                for ((pid, psigs) <- residents if pid != d.doc_id) {
+                  val matching = psigs.iterator.zip(d.sigs.iterator)
+                    .count { case (a, b) => a == b }
+                  val est = matching.toDouble / nSig
+                  if (est >= minEstJaccard)
+                    out += CandidatePair(math.min(pid, d.doc_id),
+                      math.max(pid, d.doc_id),
+                      graft.operators.Rounding.stableVal(est, 4))
+                }
+                residents = (d.doc_id, d.sigs) :: residents
+                nResidents += 1
               }
-              residents = (d.doc_id, d.sigs) :: residents
             }
             state.update(BucketState(residents))
             val newest = arriving.map(_.ts.getTime).max
@@ -149,7 +162,8 @@ object StreamingNearDedup {
     */
   def nearDupPairsScan(df: DataFrame, idCol: String, textCol: String,
       numBands: Int = 4, rowsPerBand: Int = 3,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nSig = numBands * rowsPerBand
     val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     // candidate generation shuffles ONLY (bucket, doc_id) — the
@@ -158,8 +172,15 @@ object StreamingNearDedup {
     // numBands× through two exchanges); they are re-derived narrow and
     // joined back per side below, with both shuffles hashing on the id
     // so the exchange is reused between the two join builds
+    // hot-bucket guard (Dedup.DefaultMaxBucket): a degenerate bucket's
+    // pair volume is |bucket|² — drop buckets above the cap before the
+    // self-join. Window count over the bucket key shares the join's
+    // hash partitioning, so the guard adds no extra shuffle.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val keys = bandedSigs(renamed, "doc_id", "__text", Nil,
       numBands, rowsPerBand).select(col("bucket"), col("doc_id"))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     val pairs = keys.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(keys.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))

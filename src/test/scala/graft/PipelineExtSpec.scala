@@ -119,6 +119,42 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("hot-bucket cap bounds a degenerate all-identical corpus; normal buckets untouched") {
+    // 50 identical docs: every band key is shared by all 50 — the
+    // boilerplate shape whose Σ|bucket|² term explodes at 100 TB
+    val boiler = (1L to 50L).map(i =>
+      (i, "the same boilerplate footer text repeated on every page"))
+      .toDF("doc_id", "text")
+    // bucket of 50 > cap 10: the whole bucket is dropped pre-join —
+    // zero candidate pairs (exact-hash dedup still catches these docs)
+    assert(Dedup.minhashPairs(boiler, "doc_id", "text",
+      numBands = 4, rowsPerBand = 3, threshold = 0.3,
+      maxBucket = 10).count() == 0)
+    // cap above the bucket size: all C(50,2) identical pairs survive
+    assert(Dedup.minhashPairs(boiler, "doc_id", "text",
+      numBands = 4, rowsPerBand = 3, threshold = 0.3,
+      maxBucket = 100).count() == 50L * 49 / 2)
+    // per-bucket guard: a normal corpus is bit-identical under the cap
+    val default = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == default)
+  }
+
+  test("minhashPairs with a precomputed signatures frame matches the self-derived path") {
+    val sig = Dedup.signatures(docs, "doc_id", "text", 12).localCheckpoint()
+    val self = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fed = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3, sigs = Some(sig))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fed == self)
+  }
+
   test("minhashPairsBetween yields only cross-batch pairs, never base-base") {
     val base = docs
     val batch = docs.withColumn("doc_id", col("doc_id") + 100)

@@ -308,6 +308,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("near-dup hot-bucket guard: scan drops saturated buckets; stream stops enrolling") {
+    val boiler = "the same boilerplate footer text repeated on every page"
+    val many = (1L to 5L).map(i =>
+      DocEvent(i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), boiler)).toDF()
+    // batch scan: bucket of 5 > cap 3 -> dropped before the self-join
+    assert(graft.streaming.StreamingNearDedup
+      .nearDupPairsScan(many, "doc_id", "text", maxBucket = 3).count() == 0)
+    // cap at the bucket size: all C(5,2) pairs band
+    assert(graft.streaming.StreamingNearDedup
+      .nearDupPairsScan(many, "doc_id", "text", maxBucket = 5).count() == 10)
+
+    // stream: residents cap 2 -> docs 1,2 enroll and pair; 3..5 arrive
+    // into a saturated bucket and neither pair nor grow state
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = graft.streaming.StreamingNearDedup
+      .nearDupPairs(input.toDF(), "doc_id", "text", "ts", maxBucket = 2)
+      .writeStream.format("memory").queryName("ndcap").outputMode("append").start()
+    try {
+      input.addData((1L to 5L).map(i =>
+        DocEvent(i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), boiler)))
+      q.processAllAvailable()
+      val got = spark.table("ndcap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 2L, 1.0)))
+    } finally q.stop()
+  }
+
   test("stageAdvancesScan: batch twin replays the funnel stream's advances") {
     import graft.streaming.StreamingFunnel
     import graft.streaming.StreamingFunnel.IdEv
