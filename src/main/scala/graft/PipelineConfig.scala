@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Dedup
+
+/** S1 — typed pipeline configuration, the Spark-side analogue of the
+  * reference's YAML config + loader (config.yaml:1-13,
+  * src/core/config.py:13-33): the reference threads a parsed dict of
+  * {stocks, output_dir, date_range.start/end, news.lookback_window_hours}
+  * through its pipeline; here the same parameters (plus the
+  * graft-native curation knobs that were previously literal-repeated
+  * across SparkEntry) live in ONE immutable case class, so a parameter
+  * exists exactly once and every query and its DuckDB oracle
+  * interpolate the same value by construction.
+  *
+  * Driver-side only by design: config values become plan LITERALS
+  * (constant-folded, partition-prunable) — never a joined table or a
+  * per-row lookup. `PipelineConfig.Default` carries the values every
+  * oracle row is pinned to; tests may construct variants freely.
+  */
+final case class PipelineConfig(
+    // date_range.start/end (config.yaml:8-10) — the trading-calendar
+    // bounds G1 generates
+    calendarStart: String = "2024-01-01",
+    calendarEnd: String = "2024-03-31",
+    // the one-month universe window G2 crosses with the key universe
+    universeEnd: String = "2024-01-31",
+    // the pipeline run's as-of instant (the reference resolves "now"
+    // once per run; engine.py's selection is relative to it)
+    asOf: String = "2024-01-15 00:00:00",
+    // T8's independently parameterized recency probe
+    recencyAsOf: String = "2024-01-08 00:00:00",
+    // the flagship pipeline's market-join calendar window
+    marketStart: String = "2024-01-08",
+    marketEnd: String = "2024-01-26",
+    // the provenance-attach query's shorter calendar window
+    provenanceEnd: String = "2024-01-19",
+    // news.lookback_window_hours (config.yaml:13)
+    lookbackHours: Int = 72,
+    // history floor for the pct-change backfill (the 10-day buffer N6)
+    historyStart: String = "2024-01-02",
+    // near-dup banding budget + verify threshold + hot-bucket guard
+    numBands: Int = 4,
+    rowsPerBand: Int = 3,
+    nearDupThreshold: Double = 0.8,
+    maxBucket: Int = Dedup.DefaultMaxBucket,
+    // curation quality gate (e3/e5) and token-length keep-range
+    qualityMin: Double = 0.2,
+    minWsTokens: Int = 5,
+    maxWsTokens: Int = 200,
+    // context-window chunking layout (ta_chunk)
+    chunkTokens: Int = 32,
+    chunkStride: Int = 24,
+    // fixed-budget shard packing layout (ta_shard_pack)
+    shardBudget: Long = 20000L,
+    shardBucketSize: Long = 100L) {
+  /** Number of minhash signature values the banding consumes. */
+  def nSig: Int = numBands * rowsPerBand
+  /** The as-of instant as a SQL literal for oracle interpolation. */
+  def asOfSql: String = s"TIMESTAMP '$asOf'"
+  def recencyAsOfSql: String = s"TIMESTAMP '$recencyAsOf'"
+}
+
+object PipelineConfig {
+  /** The canonical run configuration every oracle is pinned to. */
+  val Default: PipelineConfig = PipelineConfig()
+}

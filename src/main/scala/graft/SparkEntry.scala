@@ -16,6 +16,14 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** S1 — the run's typed configuration (config.yaml:1-13 analogue):
+    * every parameterized constant below (as-of instants, lookback,
+    * calendar bounds, banding budget, curation gates, layout budgets)
+    * is defined ONCE here and interpolated into both the Spark plan
+    * and its DuckDB oracle, so the two sides agree by construction.
+    */
+  private val Cfg = PipelineConfig.Default
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e1_pipeline")(spark, "/root/testdata/sf0.001")
@@ -41,7 +49,7 @@ object SparkEntry {
   def selectedHeadlines(s: SparkSession, dir: String, asOf: String): DataFrame = {
     // window pushed to the raw-nanos scan (see Tables.eventsInWindow) —
     // semantically Recency.recencyWindow, physically partition-prunable
-    val inWindow = Tables.eventsInWindow(s, dir, asOf, 72)
+    val inWindow = Tables.eventsInWindow(s, dir, asOf, Cfg.lookbackHours)
     val unparseable = minute(col("ts")) % 10 === 0
     val relevant = col("event_id") % 5 === 0
     val google = inWindow.filter(col("event_type").isin("click", "view"))
@@ -71,7 +79,7 @@ object SparkEntry {
   def debugCandidates(s: SparkSession, dir: String, asOf: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val inWindow =
-      col("ts") >= to_timestamp(lit(asOf)) - expr("INTERVAL 72 HOURS") &&
+      col("ts") >= to_timestamp(lit(asOf)) - expr(s"INTERVAL ${Cfg.lookbackHours} HOURS") &&
         col("ts") <= to_timestamp(lit(asOf))
     val google = ev.filter(col("event_type").isin("click", "view"))
     val newsd = ev.filter(col("event_type").isin("purchase", "signup"))
@@ -133,14 +141,14 @@ object SparkEntry {
   private def e1Pipeline(s: SparkSession, dir: String,
       newsFail: org.apache.spark.sql.Column,
       sentFail: org.apache.spark.sql.Column): DataFrame = {
-    val asOf = "2024-01-15 00:00:00"
+    val asOf = Cfg.asOf
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("date"))
       .agg(sum(col("value")).as("close"), count(lit(1)).as("volume"))
     val withPct = PctChange.withPctChange(
       daily, Seq("user_id"), Seq(col("date")), "close")
     val market = Calendar.universe(
-        Calendar.tradingDates(s, "2024-01-08", "2024-01-26"),
+        Calendar.tradingDates(s, Cfg.marketStart, Cfg.marketEnd),
         Tables.events(s, dir).select(col("user_id")).distinct())
       .join(withPct, Seq("user_id", "date"), "inner")
       .filter(col("pct_change").isNotNull)
@@ -192,13 +200,13 @@ object SparkEntry {
     // G1 — trading-calendar generation (engine.py:248-263): sequence +
     // explode + weekday filter; rows generated inside the engine.
     "g1_trading_calendar" -> ((s, _) =>
-      Calendar.tradingDates(s, "2024-01-01", "2024-03-31")),
+      Calendar.tradingDates(s, Cfg.calendarStart, Cfg.calendarEnd)),
 
     // G2 — calendar × key-universe cross product (engine.py:98-105);
     // tiny calendar side broadcast.
     "g2_cross_universe" -> ((s, dir) =>
       Calendar.universe(
-        Calendar.tradingDates(s, "2024-01-01", "2024-01-31"),
+        Calendar.tradingDates(s, Cfg.calendarStart, Cfg.universeEnd),
         Tables.events(s, dir).select(col("user_id")).distinct())),
 
     // T3+T1/T2/T4/T5 — lag/pct-change over full history, range-filter
@@ -209,7 +217,7 @@ object SparkEntry {
         col("value").cast(DoubleType).as("value"))
       PctChange.withPctChange(
           ev, Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
-        .filter(col("ts") >= to_timestamp(lit("2024-01-02")))
+        .filter(col("ts") >= to_timestamp(lit(Cfg.historyStart)))
         .select("user_id", "event_id", "ts", "value", "pct_change")
     }),
 
@@ -237,7 +245,7 @@ object SparkEntry {
     // raw-column pushdown form; Recency.recencyWindow is the same
     // predicate for already-typed timestamp columns (and streaming).
     "t8_recency_window" -> ((s, dir) =>
-      Tables.eventsInWindow(s, dir, "2024-01-08 00:00:00", 72)
+      Tables.eventsInWindow(s, dir, Cfg.recencyAsOf, Cfg.lookbackHours)
         .select("event_id", "user_id", "ts", "event_type")),
 
     // J1 — calendar×keys INNER join the fact: missing (key,date) rows are
@@ -248,7 +256,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("total_value"))
       Calendar.universe(
-          Calendar.tradingDates(s, "2024-01-01", "2024-01-31"),
+          Calendar.tradingDates(s, Cfg.calendarStart, Cfg.universeEnd),
           Tables.events(s, dir).select(col("user_id")).distinct())
         .join(daily, Seq("date", "user_id"), "inner")
     }),
@@ -416,7 +424,7 @@ object SparkEntry {
     // (news.py:344-397): google name ≻ google ticker ≻ newsdata name ≻
     // newsdata ticker, most-recent within the winning source.
     "a4_fallback_chain" -> ((s, dir) =>
-      selectedHeadlines(s, dir, "2024-01-15 00:00:00")),
+      selectedHeadlines(s, dir, Cfg.asOf)),
 
     // J5 + T14/N2 — attach the per-key selected headline to every date of
     // the calendar universe (left + default-fill, engine.py:149-162) and
@@ -427,9 +435,9 @@ object SparkEntry {
     // instead of OOMing the driver (ExplainAuditSpec pins the runtime
     // broadcast).
     "j5_attach_provenance" -> ((s, dir) => {
-      val selected = selectedHeadlines(s, dir, "2024-01-15 00:00:00")
+      val selected = selectedHeadlines(s, dir, Cfg.asOf)
       Calendar.universe(
-          Calendar.tradingDates(s, "2024-01-08", "2024-01-19"),
+          Calendar.tradingDates(s, Cfg.marketStart, Cfg.provenanceEnd),
           Tables.events(s, dir).select(col("user_id")).distinct())
         .join(selected, Seq("user_id"), "left")
         .select(col("date"), col("user_id"),
@@ -476,12 +484,12 @@ object SparkEntry {
     // T10 — annotated candidate dump: the debug/explain view of the news
     // selection (flags, no filtering; dump_news_debug.py:83-136).
     "t10_debug_annotations" -> ((s, dir) =>
-      debugCandidates(s, dir, "2024-01-15 00:00:00")),
+      debugCandidates(s, dir, Cfg.asOf)),
 
     // A3 — per-(key, query) counting aggregates over the debug frame
     // (dump_news_debug.py:149-157).
     "a3_debug_counts" -> ((s, dir) =>
-      debugCandidates(s, dir, "2024-01-15 00:00:00")
+      debugCandidates(s, dir, Cfg.asOf)
         .groupBy(col("user_id"), col("src"))
         .agg(count(lit(1)).as("total_fetched"),
           sum(when(col("relevant_title") && col("in_72hr_window") &&
@@ -600,7 +608,7 @@ object SparkEntry {
     "st5_neardedup_scan" -> ((s, dir) =>
       graft.streaming.StreamingNearDedup.nearDupPairsScan(
         recrawl(s, dir), "doc_id", "text",
-        numBands = 4, rowsPerBand = 3, minEstJaccard = 0.5)),
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, minEstJaccard = 0.5)),
 
     // ST6 — batch shadow of StreamingFunnel.stageAdvances: one advance
     // row per (user, stage) via the secondary-sort scan, oracle-checked
@@ -732,7 +740,7 @@ object SparkEntry {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
       Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
-        numBands = 4, rowsPerBand = 3, threshold = 0.8)
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
     }),
 
     // Decontamination: flag corpus docs sharing word-3-gram shingles with
@@ -760,7 +768,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
         .select(col("doc_a"), col("doc_b"))
       Dedup.duplicateClusters(corpus.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -824,7 +832,7 @@ object SparkEntry {
     // collisions (never all-pairs).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
-        numBands = 4, rowsPerBand = 3, threshold = 0.8)),
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)),
 
     // SimHash 32-bit fingerprints per document, in the explode + codegen
     // hash-aggregate form (identical bits to the fold-over-array form;
@@ -1039,8 +1047,8 @@ object SparkEntry {
           q("avg_token_len").as("avg_token_len"),
           q("quality").as("quality"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"))
-        .filter(col("quality") >= 0.2 &&
-          col("ws_tokens").between(5, 200))
+        .filter(col("quality") >= Cfg.qualityMin &&
+          col("ws_tokens").between(Cfg.minWsTokens, Cfg.maxWsTokens))
     }),
 
     // E4 — the FULL LLM-curation pipeline as one DAG: near-dup pair
@@ -1056,7 +1064,7 @@ object SparkEntry {
     "e4_curation_full" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
         .select(col("doc_a"), col("doc_b"))
       val clusters = Dedup.duplicateClusters(
         corpus.select(col("doc_id").as("id")), pairs)
@@ -1081,7 +1089,7 @@ object SparkEntry {
         .filter(Sampling.deterministicKeep(col("doc_id"), 50))
         .select(col("doc_id"), col("lang"), q("quality").as("quality"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"))
-        .filter(col("quality") >= 0.2)
+        .filter(col("quality") >= Cfg.qualityMin)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ws_tokens")).cast("long").as("total_tokens"))
@@ -1125,7 +1133,7 @@ object SparkEntry {
     // travels as an md5, never as token arrays.
     "ta_chunk" -> ((s, dir) =>
       Packing.chunk(Tables.documents(s, dir), "doc_id", col("text"),
-        chunkTokens = 32, stride = 24)),
+        chunkTokens = Cfg.chunkTokens, stride = Cfg.chunkStride)),
 
     // Fixed-budget shard packing — 20k-char output shards per language,
     // docs laid out in doc_id order, shard = offset div budget. The
@@ -1138,7 +1146,7 @@ object SparkEntry {
       Packing.packShards(
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
         part = "lang", orderCol = "doc_id", weight = col("n_chars"),
-        budget = 20000L, bucketSize = 100L)),
+        budget = Cfg.shardBudget, bucketSize = Cfg.shardBucketSize)),
 
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
@@ -1346,22 +1354,22 @@ object SparkEntry {
       // pipeline would run 3× (it was this query's whole cost). The
       // checkpointed frame is |docs| rows × 12 longs — at 100 TB this
       // is exactly the signature table an ingest job persists anyway.
-      val sig = Dedup.signatures(corpus, "doc_id", "text", 12)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
         .localCheckpoint()
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8,
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
           sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_a" else s"a_$c"): _*)
       val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_b" else s"b_$c"): _*)
-      val matches = (0 until 12).map(k =>
+      val matches = (0 until Cfg.nSig).map(k =>
         when(col(s"a_sig_$k") === col(s"b_sig_$k"), 1).otherwise(0))
         .reduce(_ + _)
       pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .withColumn("est_jaccard",
-          Rounding.stable(matches.cast("double") / lit(12.0), 4))
+          Rounding.stable(matches.cast("double") / lit(Cfg.nSig.toDouble), 4))
         .withColumn("abs_err",
           Rounding.stable(abs(col("est_jaccard") - col("jaccard")), 4))
         .select("doc_a", "doc_b", "jaccard", "est_jaccard", "abs_err")
@@ -1453,14 +1461,14 @@ object SparkEntry {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
       val cross = Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
         .select(col("doc_new").as("new_id"), col("doc_base").as("base_id"))
       // cap disabled: this query's oracle states base+batch banding
       // JOINTLY (one CTE chain), where a per-side hot-bucket count
       // cannot be mirrored; at scale the cap lives in the precomputed
       // banded table both sides read (Dedup.minhashPairsBetween doc)
       val inner = Dedup.minhashPairs(batch, "doc_id", "text",
-          numBands = 4, rowsPerBand = 3, threshold = 0.8,
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
           maxBucket = Int.MaxValue)
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(
@@ -1483,7 +1491,7 @@ object SparkEntry {
       val q = TextAnalysis.qualityColumns(col("text")).toMap
       val gated = docs
         .select(col("doc_id"), col("lang"), q("quality").as("quality"))
-        .filter(col("quality") >= 0.2)
+        .filter(col("quality") >= Cfg.qualityMin)
       val kw = TextAnalysis.tfidf(docs, "doc_id", "text", 1)
         .select(col("doc_id"), col("token").as("keyword"),
           col("tfidf").as("keyword_tfidf"))
@@ -1708,7 +1716,7 @@ object SparkEntry {
     * fallback winner (sel), both at asOf 2024-01-15.
     */
   private val DebugCte =
-    """tagged AS (
+    s"""tagged AS (
       |  SELECT user_id, event_id, ts, 'google' AS src, true AS tfa FROM events WHERE event_type IN ('click','view')
       |  UNION ALL SELECT user_id, event_id, ts, 'google_ticker', false FROM events WHERE event_type IN ('click','view')
       |  UNION ALL SELECT user_id, event_id, ts, 'newsdata', true FROM events WHERE event_type IN ('purchase','signup')
@@ -1716,16 +1724,16 @@ object SparkEntry {
       |ann AS (
       |  SELECT user_id, src, event_id,
       |         (event_id % 5 = 0) AS relevant_title,
-      |         (ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-      |          AND ts <= TIMESTAMP '2024-01-15 00:00:00') AS in_72hr_window,
+      |         (ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+      |          AND ts <= ${Cfg.asOfSql}) AS in_72hr_window,
       |         tfa AS title_filter_applied,
       |         (minute(ts) % 10 != 0) AS parseable_date
       |  FROM tagged),
       |wev AS (
       |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, (minute(ts) % 10 = 0) AS unp
       |  FROM events
-      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-      |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+      |  WHERE ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+      |    AND ts <= ${Cfg.asOfSql}),
       |wgoogle AS (SELECT * FROM wev WHERE event_type IN ('click','view')),
       |wnewsd  AS (SELECT * FROM wev WHERE event_type IN ('purchase','signup') AND NOT unp),
       |wcands AS (
@@ -1969,7 +1977,7 @@ object SparkEntry {
         |  FROM daily),
         |cal AS (
         |  SELECT d::DATE AS date
-        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-26', INTERVAL 1 day) t(d)
+        |  FROM generate_series(DATE '${Cfg.marketStart}', DATE '${Cfg.marketEnd}', INTERVAL 1 day) t(d)
         |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
         |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
         |market AS (
@@ -1980,8 +1988,8 @@ object SparkEntry {
         |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |         (minute(ts) % 10 = 0) AS unp
         |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |  WHERE ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+        |    AND ts <= ${Cfg.asOfSql}),
         |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
         |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
         |cands AS (
@@ -2298,14 +2306,14 @@ object SparkEntry {
          |FROM r GROUP BY 1""".stripMargin,
 
     "st5_neardedup_scan" ->
-      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+      (s"WITH ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
         Some(Dedup.DefaultMaxBucket))},\n" +
         s"""est AS (
            |  SELECT p.doc_a, p.doc_b,
            |         ${Rounding.stableSql(
-                        "(" + (0 until 12).map(k =>
+                        "(" + (0 until Cfg.nSig).map(k =>
                           s"(CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END)")
-                          .mkString(" + ") + ")::DOUBLE / 12.0", 4)} AS est_jaccard
+                          .mkString(" + ") + s")::DOUBLE / ${Cfg.nSig}.0", 4)} AS est_jaccard
            |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b)
            |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin),
 
@@ -2402,17 +2410,17 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS dup_count
          |FROM corpus GROUP BY 1""".stripMargin,
 
-    "dedup_minhash" -> minhashOracle(numBands = 4, rowsPerBand = 3, threshold = 0.8,
+    "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Dedup.DefaultMaxBucket)),
 
     // incremental: candidates restricted to base (< 1e6) × batch (>= 1e6)
-    "dedup_incremental" -> minhashOracle(numBands = 4, rowsPerBand = 3,
-      threshold = 0.8,
+    "dedup_incremental" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+      threshold = Cfg.nearDupThreshold,
       pairPred = "a.doc_id < 1000000 AND b.doc_id >= 1000000",
       aName = "doc_base", bName = "doc_new"),
 
-    "dedup_clusters" -> clustersOracle(numBands = 4, rowsPerBand = 3,
-      threshold = 0.8),
+    "dedup_clusters" -> clustersOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+      threshold = Cfg.nearDupThreshold),
 
     "ta_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -2433,7 +2441,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "dedup_minhash_est" ->
-      (s"WITH ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+      (s"WITH ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
         Some(Dedup.DefaultMaxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b, $MinhashJaccardSql AS jaccard
@@ -2442,9 +2450,9 @@ object SparkEntry {
            |est AS (
            |  SELECT v.doc_a, v.doc_b, v.jaccard,
            |         ${Rounding.stableSql(
-                        "(" + (0 until 12).map(k =>
+                        "(" + (0 until Cfg.nSig).map(k =>
                           s"(CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END)")
-                          .mkString(" + ") + ")::DOUBLE / 12.0", 4)} AS est_jaccard
+                          .mkString(" + ") + s")::DOUBLE / ${Cfg.nSig}.0", 4)} AS est_jaccard
            |  FROM verified v JOIN sig a ON a.doc_id = v.doc_a JOIN sig b ON b.doc_id = v.doc_b)
            |SELECT doc_a, doc_b, jaccard, est_jaccard,
            |       ${Rounding.stableSql("abs(est_jaccard - jaccard)", 4)} AS abs_err
@@ -2505,7 +2513,7 @@ object SparkEntry {
     // side of a cross pair), then the walk propagates seeds over
     // batch-internal edges only — base labels are frozen.
     "dedup_clusters_incremental" ->
-      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
+      (s"WITH RECURSIVE ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b")},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
@@ -2745,11 +2753,11 @@ object SparkEntry {
 
     "ta_chunk" ->
       graft.operators.Packing.chunkSql("documents", "doc_id", "text",
-        chunkTokens = 32, stride = 24),
+        chunkTokens = Cfg.chunkTokens, stride = Cfg.chunkStride),
 
     "ta_shard_pack" ->
       graft.operators.Packing.packShardsSql("documents", "lang", "doc_id",
-        "n_chars", budget = 20000L, selectCols = "doc_id, lang, n_chars"),
+        "n_chars", budget = Cfg.shardBudget, selectCols = "doc_id, lang, n_chars"),
 
     "ta_token_topk" ->
       """WITH c AS (
@@ -2773,10 +2781,10 @@ object SparkEntry {
         s"       $QualitySql AS quality,\n" +
         s"       $WsTokensSql AS ws_tokens\n" +
         "FROM t JOIN canon ON md5(t.text) = canon.h AND t.doc_id = canon.cid\n" +
-        s"WHERE $QualitySql >= 0.2 AND $WsTokensSql BETWEEN 5 AND 200"),
+        s"WHERE $QualitySql >= ${Cfg.qualityMin} AND $WsTokensSql BETWEEN ${Cfg.minWsTokens} AND ${Cfg.maxWsTokens}"),
 
     "e4_curation_full" ->
-      (s"WITH RECURSIVE ${minhashCtes(4, 3, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+      (s"WITH RECURSIVE ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
         Some(Dedup.DefaultMaxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b
@@ -2810,7 +2818,7 @@ object SparkEntry {
            |  FROM ql t JOIN (SELECT doc_id AS orig_id, lang FROM documents) d
            |    ON d.orig_id = t.doc_id % 1000000
            |  WHERE ${graft.operators.Sampling.keepSql("t.doc_id", 50)}
-           |    AND $QualitySql >= 0.2)
+           |    AND $QualitySql >= ${Cfg.qualityMin})
            |GROUP BY lang""".stripMargin),
 
     "ta_fingerprint" ->
@@ -2843,22 +2851,22 @@ object SparkEntry {
         |FROM hv""".stripMargin,
 
     "g1_trading_calendar" ->
-      """SELECT d::DATE AS date
-        |FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 day) t(d)
+      s"""SELECT d::DATE AS date
+        |FROM generate_series(DATE '${Cfg.calendarStart}', DATE '${Cfg.calendarEnd}', INTERVAL 1 day) t(d)
         |WHERE isodow(d::DATE) BETWEEN 1 AND 5""".stripMargin,
 
     "g2_cross_universe" ->
-      """SELECT d::DATE AS date, u.user_id
-        |FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 day) t(d),
+      s"""SELECT d::DATE AS date, u.user_id
+        |FROM generate_series(DATE '${Cfg.calendarStart}', DATE '${Cfg.universeEnd}', INTERVAL 1 day) t(d),
         |     (SELECT DISTINCT user_id FROM events) u
         |WHERE isodow(d::DATE) BETWEEN 1 AND 5""".stripMargin,
 
     "t3_pct_change" ->
-      """SELECT * FROM (
+      s"""SELECT * FROM (
         |  SELECT user_id, event_id, ts, value,
         |         round((value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 100, 4) AS pct_change
         |  FROM events)
-        |WHERE ts >= TIMESTAMP '2024-01-02'""".stripMargin,
+        |WHERE ts >= TIMESTAMP '${Cfg.historyStart}'""".stripMargin,
 
     "a1_top1_recency" ->
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
@@ -2873,14 +2881,14 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
 
     "t8_recency_window" ->
-      """SELECT event_id, user_id, ts, event_type FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 72 HOURS
-        |  AND ts <= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+      s"""SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE ts >= ${Cfg.recencyAsOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+        |  AND ts <= ${Cfg.recencyAsOfSql}""".stripMargin,
 
     "j1_calendar_inner_join" ->
-      """WITH cal AS (
+      s"""WITH cal AS (
         |  SELECT d::DATE AS date
-        |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 day) t(d)
+        |  FROM generate_series(DATE '${Cfg.calendarStart}', DATE '${Cfg.universeEnd}', INTERVAL 1 day) t(d)
         |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
         |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u),
         |daily AS (
@@ -2998,12 +3006,12 @@ object SparkEntry {
     "m1_sentiment_batched" -> M1OracleSql,
 
     "a4_fallback_chain" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |         (minute(ts) % 10 = 0) AS unp
         |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |  WHERE ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+        |    AND ts <= ${Cfg.asOfSql}),
         |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
         |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
         |cands AS (
@@ -3020,12 +3028,12 @@ object SparkEntry {
         |FROM r WHERE rn = 1""".stripMargin,
 
     "j5_attach_provenance" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |         (minute(ts) % 10 = 0) AS unp
         |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
-        |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |  WHERE ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+        |    AND ts <= ${Cfg.asOfSql}),
         |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
         |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
         |cands AS (
@@ -3043,7 +3051,7 @@ object SparkEntry {
         |  WHERE rn = 1),
         |cal AS (
         |  SELECT d::DATE AS date
-        |  FROM generate_series(DATE '2024-01-08', DATE '2024-01-19', INTERVAL 1 day) t(d)
+        |  FROM generate_series(DATE '${Cfg.marketStart}', DATE '${Cfg.provenanceEnd}', INTERVAL 1 day) t(d)
         |  WHERE isodow(d::DATE) BETWEEN 1 AND 5),
         |uni AS (SELECT cal.date, u.user_id FROM cal, (SELECT DISTINCT user_id FROM events) u)
         |SELECT uni.date, uni.user_id,
@@ -3346,7 +3354,7 @@ object SparkEntry {
       (s"""WITH t AS (
          |${qualityCteSql("documents")}),
          |q AS (SELECT doc_id, $QualitySql AS quality FROM t
-         |      WHERE $QualitySql >= 0.2),
+         |      WHERE $QualitySql >= ${Cfg.qualityMin}),
          |""".stripMargin +
         s"${tokenCountCtes("documents")},\n$BigramCtes,\n" +
         s"""rep AS (

@@ -567,3 +567,23 @@ class CalendarSpec extends SparkSpec {
     assert(n == 15) // 5 weekdays x 3 keys — the reference's 15-row contract
   }
 }
+
+/** S1 — the typed run configuration (config.yaml:1-13,
+  * src/core/config.py:13-33): plain invariants; the real proof that the
+  * threading changed nothing is the unchanged 100/100 oracle gate.
+  */
+class PipelineConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("defaults carry the canonical run parameters every oracle is pinned to") {
+    val c = PipelineConfig.Default
+    assert(c.asOf == "2024-01-15 00:00:00" && c.lookbackHours == 72)
+    assert(c.nSig == c.numBands * c.rowsPerBand && c.nSig == 12)
+    assert(c.asOfSql == s"TIMESTAMP '${c.asOf}'")
+    assert(c.maxBucket == graft.operators.Dedup.DefaultMaxBucket)
+  }
+
+  test("variants are plain copies — no hidden global state") {
+    val c = PipelineConfig.Default.copy(numBands = 8, rowsPerBand = 2)
+    assert(c.nSig == 16 && PipelineConfig.Default.nSig == 12)
+  }
+}
