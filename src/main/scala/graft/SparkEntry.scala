@@ -481,6 +481,35 @@ object SparkEntry {
         newsFail = pmod(col("user_id"), lit(11)) === 3,
         sentFail = pmod(col("user_id"), lit(11)) === 7)),
 
+    // K6 — the structured-log reason taxonomy (README.md:191,
+    // news.py:131,274,400-405): one row per key in the degraded run's
+    // universe classifying its headline outcome —
+    //   INFRA_FAILURE: the provider call itself failed (the injected
+    //     outage, same `% 11 = 3` branch as e1_pipeline_degraded;
+    //     news.py's requests/feedparser exception paths);
+    //   COVERAGE_GAP: providers ran but no candidate survived the
+    //     filters (no selection row → default headline, news.py:404);
+    //   SOURCE_ISSUE: a candidate was selected but its content is
+    //     malformed (winner carries the unparseable-date '' pub_str —
+    //     the RSS bozo/parse-warning shape);
+    //   OK: healthy selection (the reference logs no reason code).
+    // Scale shape: universe ⟕ one-row-per-key selection (AQE runtime
+    // broadcast, same as j5) + a constant-folded CASE — no new shuffle.
+    "k6_reason_codes" -> ((s, dir) => {
+      val newsFail = pmod(col("user_id"), lit(11)) === 3
+      val sel = selectedHeadlines(s, dir, Cfg.asOf)
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .join(sel, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(newsFail, lit("error"))
+            .otherwise(coalesce(col("headline_source"), lit("default")))
+            .as("headline_source"),
+          when(newsFail, lit("INFRA_FAILURE"))
+            .when(col("picked_event_id").isNull, lit("COVERAGE_GAP"))
+            .when(col("pub_str") === "", lit("SOURCE_ISSUE"))
+            .otherwise(lit("OK")).as("reason"))
+    }),
+
     // T10 — annotated candidate dump: the debug/explain view of the news
     // selection (flags, no filtering; dump_news_debug.py:83-136).
     "t10_debug_annotations" -> ((s, dir) =>
@@ -3065,6 +3094,40 @@ object SparkEntry {
 
     "e1_pipeline_degraded" ->
       e1OracleSqlWith("m.user_id % 11 = 3", "m.user_id % 11 = 7"),
+
+    // K6 — same selection CTE chain as a4_fallback_chain, classified
+    // into the structured reason vocabulary.
+    "k6_reason_codes" ->
+      s"""WITH ev AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |         (minute(ts) % 10 = 0) AS unp
+        |  FROM events
+        |  WHERE ts >= ${Cfg.asOfSql} - INTERVAL ${Cfg.lookbackHours} HOURS
+        |    AND ts <= ${Cfg.asOfSql}),
+        |google AS (SELECT * FROM ev WHERE event_type IN ('click','view')),
+        |newsd  AS (SELECT * FROM ev WHERE event_type IN ('purchase','signup') AND NOT unp),
+        |cands AS (
+        |  SELECT user_id, event_id, unp, ts_str, 'google' AS src, 0 AS prec FROM google WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'google_ticker', 1 FROM google
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata', 2 FROM newsd WHERE event_id % 5 = 0
+        |  UNION ALL SELECT user_id, event_id, unp, ts_str, 'newsdata_ticker', 3 FROM newsd),
+        |w AS (
+        |  SELECT user_id, src, event_id,
+        |         CASE WHEN src LIKE 'google%' AND unp THEN '' ELSE ts_str END AS pub_str, prec
+        |  FROM cands),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY prec ASC, pub_str DESC, event_id DESC) AS rn FROM w),
+        |sel AS (
+        |  SELECT user_id, src AS headline_source, event_id AS picked_event_id, pub_str
+        |  FROM r WHERE rn = 1),
+        |uni AS (SELECT DISTINCT user_id FROM events)
+        |SELECT uni.user_id,
+        |       CASE WHEN uni.user_id % 11 = 3 THEN 'error'
+        |            ELSE coalesce(sel.headline_source, 'default') END AS headline_source,
+        |       CASE WHEN uni.user_id % 11 = 3 THEN 'INFRA_FAILURE'
+        |            WHEN sel.picked_event_id IS NULL THEN 'COVERAGE_GAP'
+        |            WHEN sel.pub_str = '' THEN 'SOURCE_ISSUE'
+        |            ELSE 'OK' END AS reason
+        |FROM uni LEFT JOIN sel ON uni.user_id = sel.user_id""".stripMargin,
 
     // (ts DESC, headline DESC) ordering mirrors windowedLatestAgg's
     // deterministic (ts, headline) max_by tie-break for equal-ts rows

@@ -35,6 +35,11 @@ object Packing {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkTokens >= stride,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    // null text yields no chunks, by explicit filter: Spark's non-ANSI
+    // size(null) = -1 would otherwise emit one chunk_tokens=-1 row
+    // while the SQL mirror's UNNEST(generate_series(0, NULL)) emits
+    // none — the engines must agree by construction, not dataset luck
+    val nonNull = df.filter(text.isNotNull)
     val tv = split(text, " ")
     // integer ceil via `div` (SQL integer division — Spark's `/` is
     // double division, which floors correctly only below 2^53; keep
@@ -42,7 +47,7 @@ object Packing {
     // n - C + (S-1) ≡ n - (C - S + 1).
     val nc = when(col("_n") <= chunkTokens, lit(1)).otherwise(
       expr(s"(_n - ${chunkTokens - stride + 1}) div $stride") + 1)
-    val sliced = df
+    val sliced = nonNull
       .select(col(docId), tv.as("_tv"), size(tv).as("_n"))
       .select(col(docId), col("_tv"),
         explode(sequence(lit(0), nc.cast("int") - 1)).as("_i"))
@@ -59,7 +64,8 @@ object Packing {
   def chunkSql(table: String, docId: String, textExpr: String,
       chunkTokens: Int, stride: Int): String =
     s"""WITH t AS (
-       |  SELECT $docId, string_split($textExpr, ' ') AS tv FROM $table),
+       |  SELECT $docId, string_split($textExpr, ' ') AS tv FROM $table
+       |  WHERE $textExpr IS NOT NULL),
        |n AS (
        |  SELECT $docId, tv,
        |         CASE WHEN len(tv) <= $chunkTokens THEN 1

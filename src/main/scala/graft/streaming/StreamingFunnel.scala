@@ -22,13 +22,36 @@ object StreamingFunnel {
       ts: java.sql.Timestamp)
   /** STATE FORMAT v2: the long holds MICROseconds since epoch. v1
     * (pre-µs-precision builds) stored milliseconds in the same slot —
-    * the encoded schema is identical, so a v1 checkpoint would be
-    * silently misread as µs (every stored ts ≈ 1970) rather than
-    * rejected. Restarting across that upgrade requires discarding the
-    * checkpoint and replaying; same-version restarts round-trip
-    * losslessly (covered by the StreamingSpec restart test).
+    * the encoded schema is identical, so a v1 checkpoint would restore
+    * without a schema error. [[checkStateVersion]] ENFORCES the
+    * upgrade: every state read passes a plausibility floor, so a v1
+    * checkpoint fails fast with a discard-and-replay message instead
+    * of silently reading every stored ts as ≈ 1970. Same-version
+    * restarts round-trip losslessly (StreamingSpec restart test).
     */
   case class FunnelState(stage: Int, tsMicros: Long)
+
+  /** Lowest epoch-µs a real v2 advance can hold (≈ 1973-03 as µs): any
+    * v1 MILLISECOND value for a modern date (≈ 1.7e12) falls far below
+    * it, and any µs value after 1973 sits far above — the two encodings
+    * are separable by 3 orders of magnitude for every plausible event
+    * time, which is what makes the guard deterministic.
+    */
+  private[graft] val MinPlausibleMicros = 100000000000000L
+
+  /** Fail fast on a v1 (millisecond) checkpoint restored into this
+    * µs-precision build. stage 0 carries the Long.MinValue init
+    * sentinel in both versions and passes untouched.
+    */
+  private[graft] def checkStateVersion(uid: Long, st: FunnelState): FunnelState = {
+    if (st.stage > 0 && st.tsMicros < MinPlausibleMicros)
+      throw new IllegalStateException(
+        s"FunnelState for user $uid holds tsMicros=${st.tsMicros}, below the " +
+          s"v2 plausibility floor $MinPlausibleMicros: this is a v1 " +
+          "(millisecond) funnel checkpoint restored into a microsecond-" +
+          "precision build — discard the checkpoint and replay the stream")
+    st
+  }
 
   /** Full Spark-timestamp precision (µs): getTime alone is millisecond-
     * truncated, so two events in the same millisecond would compare
@@ -63,7 +86,9 @@ object StreamingFunnel {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var st = state.getOption
+              .map(checkStateVersion(uid, _))
+              .getOrElse(FunnelState(0, Long.MinValue))
             val out = Seq.newBuilder[StageAdvance]
             var newestMillis = Long.MinValue
             for (e <- evs.toSeq.sortBy(e => micros(e.ts))) {

@@ -54,6 +54,15 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunk: null text yields zero chunks (matches the SQL mirror's UNNEST-of-NULL)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a b c")), (2L, None)).toDF("doc_id", "text")
+    val out = Packing.chunk(df, "doc_id", col("text"), chunkTokens = 2, stride = 2)
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L))     // doc 2 emits nothing
+    assert(out.forall(_.getLong(2) >= 0L))     // never the size(null) = -1 row
+  }
+
   test("packShards: two-phase prefix sum equals the one-window cumsum spec") {
     import org.apache.spark.sql.expressions.Window
     // 3 buckets per part at bucketSize=2; weights force shard straddles;

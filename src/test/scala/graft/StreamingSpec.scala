@@ -336,6 +336,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state guard: a v1 millisecond checkpoint fails fast; v2 states pass") {
+    import graft.streaming.StreamingFunnel
+    val v2 = StreamingFunnel.FunnelState(2,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000)
+    assert(StreamingFunnel.checkStateVersion(1L, v2) eq v2)
+    // stage 0 carries the init sentinel in both versions — passes
+    val init = StreamingFunnel.FunnelState(0, Long.MinValue)
+    assert(StreamingFunnel.checkStateVersion(1L, init) eq init)
+    // a v1 state stored MILLISECONDS in the same slot — must throw
+    val v1 = StreamingFunnel.FunnelState(2,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)
+    val e = intercept[IllegalStateException] {
+      StreamingFunnel.checkStateVersion(7L, v1)
+    }
+    assert(e.getMessage.contains("discard the checkpoint"))
+  }
+
   test("stageAdvancesScan: batch twin replays the funnel stream's advances") {
     import graft.streaming.StreamingFunnel
     import graft.streaming.StreamingFunnel.IdEv
