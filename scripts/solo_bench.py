@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Per-query SOLO benchmark: one fresh JVM per query (the full-suite
+bench carries 2-4x context noise between queries; VERDICT r9 #7 asks
+for a solo-vs-solo baseline so future rounds can flag TRUE regressions).
+
+Runs graft.Bench with SPARK_GRAFT_ONLY=<name> per query and merges the
+per-run detail files into BENCH_SOLO.json (slowest first), alongside
+BENCH_DETAIL.json.
+
+Usage: python3 scripts/solo_bench.py [sf_dir] [out_json] [name ...]
+Defaults: /root/testdata/sf0.1  BENCH_SOLO.json  all queries.
+Invokes java directly on the sbt-compiled classes (run `sbt compile`
+first) with the same module options build.sbt passes to forked runs.
+"""
+import json, os, subprocess, sys, glob, tempfile
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SOLO.json"
+only = sys.argv[3:]
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+cp = "target/scala-2.13/classes:" + ":".join(sorted(glob.glob("/opt/spark/jars/*.jar")))
+base_cmd = ["java"]
+for p in ADD_OPENS:
+    base_cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+base_cmd += ["-Xmx8g", "-Dspark.ui.enabled=false",
+             "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Bench"]
+
+def run_one(name):
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        detail = f.name
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_ONLY=name, SPARK_GRAFT_DETAIL=detail)
+    r = subprocess.run(base_cmd, env=env, capture_output=True, text=True)
+    try:
+        d = json.load(open(detail))
+        os.unlink(detail)
+        return d["queries_ms"].get(name, -1.0), None
+    except Exception as e:
+        return -1.0, f"{e}: {r.stdout[-200:]} {r.stderr[-200:]}"
+
+if only:
+    names = only
+else:
+    # enumerate from the committed full-bench detail
+    if not os.path.exists("BENCH_DETAIL.json"):
+        print("no BENCH_DETAIL.json to enumerate queries from", file=sys.stderr)
+        sys.exit(2)
+    names = sorted(json.load(open("BENCH_DETAIL.json"))["queries_ms"])
+
+res, errs = {}, {}
+for i, n in enumerate(names):
+    ms, err = run_one(n)
+    res[n] = ms
+    if err:
+        errs[n] = err
+    print(f"[{i+1}/{len(names)}] {n}: {ms:.1f} ms" + (f" ERR {err}" if err else ""),
+          flush=True)
+
+sf_name = [p for p in sf_dir.split("/") if p][-1]
+body = {
+    "sf": sf_name, "unit": "ms", "mode": "solo (one JVM per query)",
+    "queries_ms": dict(sorted(res.items(), key=lambda kv: -kv[1])),
+}
+if errs:
+    body["errors"] = errs
+json.dump(body, open(out_json, "w"), indent=1)
+print(f"wrote {out_json}: {len(res)} queries, {len(errs)} errors")
+sys.exit(1 if errs else 0)

@@ -194,9 +194,11 @@ object Dedup {
 
   /** Drop every row of any (band_id, band_key) bucket holding more than
     * `maxBucket` docs. A window count over the bucket key — the same
-    * hash partitioning the downstream bucket self-join requires, so the
-    * exchange is shared and the guard adds no extra shuffle of the
-    * banded rows.
+    * hash partitioning AND sort the downstream sort-merge bucket join
+    * requires, so in the shuffle-join regime (any corpus too big to
+    * broadcast — i.e. whenever the guard matters) the capped plan is
+    * shuffle-for-shuffle and sort-for-sort identical to the uncapped
+    * one (pinned in ExplainAuditSpec).
     */
   private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -174,8 +174,8 @@ object StreamingNearDedup {
     // so the exchange is reused between the two join builds
     // hot-bucket guard (Dedup.DefaultMaxBucket): a degenerate bucket's
     // pair volume is |bucket|² — drop buckets above the cap before the
-    // self-join. Window count over the bucket key shares the join's
-    // hash partitioning, so the guard adds no extra shuffle.
+    // self-join. Window count over the bucket key shares the shuffle
+    // join's hash partitioning and sort (see Dedup.dropHotBuckets).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val keys = bandedSigs(renamed, "doc_id", "__text", Nil,
       numBands, rowsPerBand).select(col("bucket"), col("doc_id"))

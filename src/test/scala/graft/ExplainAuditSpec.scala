@@ -307,4 +307,29 @@ class ExplainAuditSpec extends SparkSpec {
     val p = plan("st2_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("hot-bucket guard rides the band join's partitioning — no extra exchange or sort") {
+    // In the shuffle-join regime (the 100 TB shape — bucket sides too
+    // big to broadcast), the guard's window partitions by the same
+    // (band_id, band_key) the bucket self-join hashes and sorts on, so
+    // EnsureRequirements reuses ONE exchange+sort per side for both
+    // operators: capped and uncapped plans must be shuffle-identical.
+    // (Under a broadcast band join — tiny corpora only — the window
+    // does add the hash exchange the broadcast had elided; irrelevant
+    // at any scale where the guard matters.)
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 40L).map(i => (i, s"token$i repeated words here and there $i"))
+        .toDF("doc_id", "text")
+      def shape(maxBucket: Int): (Int, Int) = {
+        val p = operators.Dedup.minhashPairs(docs, "doc_id", "text",
+          numBands = 4, rowsPerBand = 3, threshold = 0.3, maxBucket = maxBucket)
+          .queryExecution.executedPlan.toString
+        ("Exchange hashpartitioning".r.findAllMatchIn(p).size,
+          "Sort \\[".r.findAllMatchIn(p).size)
+      }
+      assert(shape(10) == shape(Int.MaxValue))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
