@@ -42,11 +42,21 @@ def run_one(name):
                SPARK_GRAFT_ONLY=name, SPARK_GRAFT_DETAIL=detail)
     r = subprocess.run(base_cmd, env=env, capture_output=True, text=True)
     try:
-        d = json.load(open(detail))
-        os.unlink(detail)
-        return d["queries_ms"].get(name, -1.0), None
-    except Exception as e:
-        return -1.0, f"{e}: {r.stdout[-200:]} {r.stderr[-200:]}"
+        try:
+            ms = json.load(open(detail))["queries_ms"].get(name, -1.0)
+        except Exception as e:
+            return -1.0, f"{e}: {r.stdout[-200:]} {r.stderr[-200:]}"
+        # Bench records a failing query as -1 AND exits non-zero; a clean
+        # baseline must not round-trip either as a timing
+        if r.returncode != 0 or ms < 0:
+            return -1.0, (f"bench rc={r.returncode} ms={ms}: "
+                          f"{r.stdout[-200:]} {r.stderr[-200:]}")
+        return ms, None
+    finally:
+        try:
+            os.unlink(detail)
+        except OSError:
+            pass
 
 if only:
     names = only

@@ -637,7 +637,8 @@ object SparkEntry {
     "st5_neardedup_scan" -> ((s, dir) =>
       graft.streaming.StreamingNearDedup.nearDupPairsScan(
         recrawl(s, dir), "doc_id", "text",
-        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, minEstJaccard = 0.5)),
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, minEstJaccard = 0.5,
+        maxBucket = Cfg.maxBucket)),
 
     // ST6 — batch shadow of StreamingFunnel.stageAdvances: one advance
     // row per (user, stage) via the secondary-sort scan, oracle-checked
@@ -797,7 +798,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket)
         .select(col("doc_a"), col("doc_b"))
       Dedup.duplicateClusters(corpus.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -861,7 +863,8 @@ object SparkEntry {
     // collisions (never all-pairs).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
-        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)),
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+        maxBucket = Cfg.maxBucket)),
 
     // SimHash 32-bit fingerprints per document, in the explode + codegen
     // hash-aggregate form (identical bits to the fold-over-array form;
@@ -1093,7 +1096,8 @@ object SparkEntry {
     "e4_curation_full" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket)
         .select(col("doc_a"), col("doc_b"))
       val clusters = Dedup.duplicateClusters(
         corpus.select(col("doc_id").as("id")), pairs)
@@ -1379,15 +1383,20 @@ object SparkEntry {
       val corpus = recrawl(s, dir)
       // ONE signature computation feeds banding AND both estimate
       // sides: Spark recomputes a shared unpersisted subtree once per
-      // consumer, so without the localCheckpoint the tokenize+md5+agg
-      // pipeline would run 3× (it was this query's whole cost). The
-      // checkpointed frame is |docs| rows × 12 longs — at 100 TB this
-      // is exactly the signature table an ingest job persists anyway.
+      // consumer, so without the checkpoint the tokenize+md5+agg
+      // pipeline would run 3× (it was this query's whole cost). LAZY
+      // (eager = false): the checkpoint converts the frame to one
+      // shared RDD that materializes on the query's FIRST job — an
+      // eager one would run a full Spark job at DataFrame-CONSTRUCTION
+      // time, making plan-only consumers (graft.Explain) pay the whole
+      // computation just to print a plan. The checkpointed frame is
+      // |docs| rows × 12 longs — at 100 TB exactly the signature table
+      // an ingest job persists anyway.
       val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-          sigs = Some(sig))
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
         if (c == "id") "doc_a" else s"a_$c"): _*)
@@ -1945,7 +1954,7 @@ object SparkEntry {
     */
   private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
     s"WITH RECURSIVE ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
-      Some(Dedup.DefaultMaxBucket))},\n" +
+      Some(Cfg.maxBucket))},\n" +
       s"""verified AS (
          |  SELECT doc_a, doc_b
          |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
@@ -2336,7 +2345,7 @@ object SparkEntry {
 
     "st5_neardedup_scan" ->
       (s"WITH ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
-        Some(Dedup.DefaultMaxBucket))},\n" +
+        Some(Cfg.maxBucket))},\n" +
         s"""est AS (
            |  SELECT p.doc_a, p.doc_b,
            |         ${Rounding.stableSql(
@@ -2440,7 +2449,7 @@ object SparkEntry {
          |FROM corpus GROUP BY 1""".stripMargin,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-      maxBucket = Some(Dedup.DefaultMaxBucket)),
+      maxBucket = Some(Cfg.maxBucket)),
 
     // incremental: candidates restricted to base (< 1e6) × batch (>= 1e6)
     "dedup_incremental" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
@@ -2471,7 +2480,7 @@ object SparkEntry {
 
     "dedup_minhash_est" ->
       (s"WITH ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
-        Some(Dedup.DefaultMaxBucket))},\n" +
+        Some(Cfg.maxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b, $MinhashJaccardSql AS jaccard
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
@@ -2814,7 +2823,7 @@ object SparkEntry {
 
     "e4_curation_full" ->
       (s"WITH RECURSIVE ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
-        Some(Dedup.DefaultMaxBucket))},\n" +
+        Some(Cfg.maxBucket))},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b

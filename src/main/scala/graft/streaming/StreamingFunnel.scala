@@ -31,25 +31,33 @@ object StreamingFunnel {
     */
   case class FunnelState(stage: Int, tsMicros: Long)
 
-  /** Lowest epoch-µs a real v2 advance can hold (≈ 1973-03 as µs): any
-    * v1 MILLISECOND value for a modern date (≈ 1.7e12) falls far below
-    * it, and any µs value after 1973 sits far above — the two encodings
-    * are separable by 3 orders of magnitude for every plausible event
-    * time, which is what makes the guard deterministic.
+  /** The stored-long interval that can only be a v1 MILLISECOND value:
+    * [1e11, 1e14) reads as the years 1973–5138 in ms (every plausible
+    * v1 event time) but as 1970-01-02 – 1973-03 in µs (no plausible v2
+    * event time). Below the window sits the corrupt-zero-timestamp
+    * family (an upstream producer's 1970-01-01 default — genuine v2
+    * state, must NOT trip the guard); above it, real µs values
+    * (2024 ≈ 1.7e15). The encodings are separated by 3 orders of
+    * magnitude for every realistic event time, which is what makes the
+    * guard deterministic.
     */
-  private[graft] val MinPlausibleMicros = 100000000000000L
+  private[graft] val MsEraMinMicros = 100000000000L        // 1970-01-02 as µs
+  private[graft] val MinPlausibleMicros = 100000000000000L // 1973-03 as µs
 
   /** Fail fast on a v1 (millisecond) checkpoint restored into this
     * µs-precision build. stage 0 carries the Long.MinValue init
-    * sentinel in both versions and passes untouched.
+    * sentinel in both versions and passes untouched, as do
+    * corrupt-but-genuine near-epoch v2 timestamps below [[MsEraMinMicros]].
     */
   private[graft] def checkStateVersion(uid: Long, st: FunnelState): FunnelState = {
-    if (st.stage > 0 && st.tsMicros < MinPlausibleMicros)
+    if (st.stage > 0 && st.tsMicros >= MsEraMinMicros &&
+        st.tsMicros < MinPlausibleMicros)
       throw new IllegalStateException(
-        s"FunnelState for user $uid holds tsMicros=${st.tsMicros}, below the " +
-          s"v2 plausibility floor $MinPlausibleMicros: this is a v1 " +
-          "(millisecond) funnel checkpoint restored into a microsecond-" +
-          "precision build — discard the checkpoint and replay the stream")
+        s"FunnelState for user $uid holds tsMicros=${st.tsMicros}, inside the " +
+          s"millisecond-era window [$MsEraMinMicros, $MinPlausibleMicros): " +
+          "this is a v1 (millisecond) funnel checkpoint restored into a " +
+          "microsecond-precision build — discard the checkpoint and replay " +
+          "the stream")
     st
   }
 

@@ -137,8 +137,15 @@ object StreamingNearDedup {
                       math.max(pid, d.doc_id),
                       graft.operators.Rounding.stableVal(est, 4))
                 }
-                residents = (d.doc_id, d.sigs) :: residents
-                nResidents += 1
+                // enroll each doc_id once: an at-least-once source
+                // re-delivering one doc must not eat the bucket budget
+                // (1000 re-deliveries would saturate the cap and
+                // suppress real pairs); the scan is O(|bucket|), same
+                // as the pairing loop above
+                if (!residents.exists(_._1 == d.doc_id)) {
+                  residents = (d.doc_id, d.sigs) :: residents
+                  nResidents += 1
+                }
               }
             }
             state.update(BucketState(residents))

@@ -334,6 +334,26 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == Set((1L, 2L, 1.0)))
     } finally q.stop()
+
+    // at-least-once re-delivery must not eat the bucket budget: doc 1
+    // arrives twice (cap 2), then doc 2 — with duplicate enrollment the
+    // bucket would read saturated and the real pair would be lost
+    val input2 = MemoryStream[DocEvent]
+    val q2 = graft.streaming.StreamingNearDedup
+      .nearDupPairs(input2.toDF(), "doc_id", "text", "ts", maxBucket = 2)
+      .writeStream.format("memory").queryName("ndredeliver")
+      .outputMode("append").start()
+    try {
+      def d1 = DocEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), boiler)
+      input2.addData(d1); q2.processAllAvailable()
+      input2.addData(d1); q2.processAllAvailable()   // re-delivery
+      input2.addData(DocEvent(2,
+        java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), boiler))
+      q2.processAllAvailable()
+      val got = spark.table("ndredeliver").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 2L, 1.0)))
+    } finally q2.stop()
   }
 
   test("funnel state guard: a v1 millisecond checkpoint fails fast; v2 states pass") {
@@ -344,6 +364,10 @@ class StreamingSpec extends SparkSpec {
     // stage 0 carries the init sentinel in both versions — passes
     val init = StreamingFunnel.FunnelState(0, Long.MinValue)
     assert(StreamingFunnel.checkStateVersion(1L, init) eq init)
+    // a corrupt-zero upstream timestamp (1970-01-01) is genuine v2
+    // state below the ms-era window — must NOT trip the guard
+    val epochy = StreamingFunnel.FunnelState(1, 0L)
+    assert(StreamingFunnel.checkStateVersion(1L, epochy) eq epochy)
     // a v1 state stored MILLISECONDS in the same slot — must throw
     val v1 = StreamingFunnel.FunnelState(2,
       java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)
