@@ -797,9 +797,14 @@ object SparkEntry {
     // pair generation (a≈b≈c groups a,c even when (a,c) never banded).
     "dedup_clusters" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
+      // lazily-checkpointed signatures: the band self-join's two sides
+      // otherwise each re-run the tokenize+md5+agg pipeline (see
+      // dedup_minhash_est, where the same sharing carried a 3x win)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-          maxBucket = Cfg.maxBucket)
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"))
       Dedup.duplicateClusters(corpus.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -861,10 +866,15 @@ object SparkEntry {
     // MinHash+LSH near-dup: shingle → 12-seed minhash → 4 bands → bucket
     // join → exact-Jaccard verify ≥0.8. Candidates come ONLY from band
     // collisions (never all-pairs).
-    "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(recrawl(s, dir), "doc_id", "text",
+    "dedup_minhash" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      // lazily-checkpointed signatures shared by both band-join sides
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
+      Dedup.minhashPairs(corpus, "doc_id", "text",
         numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-        maxBucket = Cfg.maxBucket)),
+        maxBucket = Cfg.maxBucket, sigs = Some(sig))
+    }),
 
     // SimHash 32-bit fingerprints per document, in the explode + codegen
     // hash-aggregate form (identical bits to the fold-over-array form;
@@ -1095,9 +1105,13 @@ object SparkEntry {
     // reference pipeline).
     "e4_curation_full" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
+      // lazily-checkpointed signatures shared by both band-join sides
+      // (same sharing as dedup_minhash_est / dedup_clusters)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-          maxBucket = Cfg.maxBucket)
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"))
       val clusters = Dedup.duplicateClusters(
         corpus.select(col("doc_id").as("id")), pairs)
@@ -1505,9 +1519,11 @@ object SparkEntry {
       // JOINTLY (one CTE chain), where a per-side hot-bucket count
       // cannot be mirrored; at scale the cap lives in the precomputed
       // banded table both sides read (Dedup.minhashPairsBetween doc)
+      val innerSig = Dedup.signatures(batch, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
       val inner = Dedup.minhashPairs(batch, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-          maxBucket = Int.MaxValue)
+          maxBucket = Int.MaxValue, sigs = Some(innerSig))
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(
           base.select(col("doc_id").as("id"), col("doc_id").as("label")),

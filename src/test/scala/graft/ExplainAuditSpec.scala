@@ -60,9 +60,15 @@ class ExplainAuditSpec extends SparkSpec {
   }
 
   test("minhash banding partial-aggregates the exploded shingles before the id exchange") {
-    val p = plan("dedup_minhash")
+    // audited at the operator level: the dedup queries now feed banding
+    // from a lazily-checkpointed signatures frame, which hides the
+    // aggregate behind an RDD boundary in the QUERY plan — the partial
+    // aggregation lives in Dedup.signatures, so pin it there
+    val p = operators.Dedup
+      .signatures(Tables.documents(spark, sf), "doc_id", "text", 12)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_min"), s"banding lost map-side combine:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    assert(!plan("dedup_minhash").contains("CartesianProduct"))
   }
 
   test("centroid scoring broadcasts the k-row centroid side; assignment is one hash aggregate") {
