@@ -936,6 +936,9 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           array_sort(array_distinct(col("tv"))).as("tok"),
           Dedup.sortedShingleValuesFromTokens(col("tv")).as("sh"))
+        // lazily checkpointed: both sides of the bucket self-join read
+        // this frame — one tokenize+md5+sort pass instead of two
+        .localCheckpoint(false)
       val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         col("tok").as("tok_a"), col("sh").as("sh_a"))
       val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),

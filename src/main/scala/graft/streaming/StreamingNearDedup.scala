@@ -63,10 +63,18 @@ object StreamingNearDedup {
     * (bucket, doc_id [, passthrough cols], sigs).
     */
   def bandedSigs(df: DataFrame, idCol: String, textCol: String,
-      passthrough: Seq[String], numBands: Int, rowsPerBand: Int): DataFrame = {
+      passthrough: Seq[String], numBands: Int, rowsPerBand: Int): DataFrame =
+    bandedSigsFromStaged(
+      sigArray(df, idCol, textCol, passthrough, numBands * rowsPerBand),
+      passthrough, numBands, rowsPerBand)
+
+  /** Banding over an already-staged [[sigArray]] frame — lets a plan
+    * that uses the signatures several times (the scan twin reads them
+    * on four subtrees) compute them ONCE behind a lazy checkpoint.
+    */
+  def bandedSigsFromStaged(staged: DataFrame, passthrough: Seq[String],
+      numBands: Int, rowsPerBand: Int): DataFrame = {
     val pass = passthrough.map(col)
-    val staged = sigArray(df, idCol, textCol, passthrough,
-      numBands * rowsPerBand)
     staged
       .select(col("doc_id") +: pass :+ col("sigs") :+
         posexplode(array((0 until numBands).map { b =>
@@ -173,18 +181,24 @@ object StreamingNearDedup {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nSig = numBands * rowsPerBand
     val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // the staged signatures feed FOUR subtrees (both banding sides of
+    // the bucket self-join + both estimate sides) — one lazily-
+    // checkpointed computation instead of four tokenize+md5+agg runs
+    // (the same sharing as the batch dedup queries)
+    val withSigs = sigArray(renamed, "doc_id", "__text", Nil, nSig)
+      .localCheckpoint(false)
     // candidate generation shuffles ONLY (bucket, doc_id) — the
     // signature arrays must never ride the explode+self-join (the same
     // discipline as Dedup.minhashPairs: at scale they would serialize
-    // numBands× through two exchanges); they are re-derived narrow and
-    // joined back per side below, with both shuffles hashing on the id
-    // so the exchange is reused between the two join builds
+    // numBands× through two exchanges); they are joined back per side
+    // below, with both shuffles hashing on the id so the exchange is
+    // reused between the two join builds.
     // hot-bucket guard (Dedup.DefaultMaxBucket): a degenerate bucket's
     // pair volume is |bucket|² — drop buckets above the cap before the
     // self-join. Window count over the bucket key shares the shuffle
     // join's hash partitioning and sort (see Dedup.dropHotBuckets).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val keys = bandedSigs(renamed, "doc_id", "__text", Nil,
+    val keys = bandedSigsFromStaged(withSigs, Nil,
       numBands, rowsPerBand).select(col("bucket"), col("doc_id"))
       .withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") <= maxBucket).drop("__bn")
@@ -193,7 +207,6 @@ object StreamingNearDedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val withSigs = sigArray(renamed, "doc_id", "__text", Nil, nSig)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
