@@ -435,9 +435,10 @@ object Dedup {
     * batch's banded keys and the base's — the join output is
     * Σ_bucket |new_b|·|base_b|, proportional to the BATCH size, not the
     * corpus: the property that keeps day-N dedup cost flat at 100 TB of
-    * history. At scale the base side's banded keys are a precomputed,
-    * bucketed table (written once per ingest) — the hot-bucket cap
-    * (see [[DefaultMaxBucket]]) is applied THERE at write time, which is
+    * history. At scale the base side's banded keys are a precomputed
+    * table written once per ingest ([[writeNearDupIndex]], consumed by
+    * [[minhashPairsBetweenIndexed]]) — the hot-bucket cap (see
+    * [[DefaultMaxBucket]]) is applied THERE at write time, which is
     * why this operator carries none inline: its oracle states base and
     * batch jointly, and a per-side inline cap could not be mirrored
     * exactly in that joint form.
@@ -467,6 +468,76 @@ object Dedup {
     pairs
       .join(prep(newDocs).select(col("id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
       .join(prep(baseDocs).select(col("id").as("doc_base"), col("sh").as("sh_b")), Seq("doc_base"))
+      .filter(least(size(col("sh_n")), size(col("sh_b"))).cast("double") /
+        greatest(size(col("sh_n")), size(col("sh_b"))) >= threshold - 1e-4)
+      .withColumn("__i", size(array_intersect(col("sh_n"), col("sh_b"))))
+      .withColumn("jaccard", Rounding.stable(
+        col("__i").cast("double") /
+          (size(col("sh_n")) + size(col("sh_b")) - col("__i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_new", "doc_base", "jaccard")
+  }
+
+  /** Write the precomputed near-dup index of a base corpus — the
+    * at-scale artifact [[minhashPairsBetween]]'s scaladoc refers to:
+    * day-N incremental dedup joins the new batch against an index
+    * written ONCE per ingest instead of re-deriving signatures over
+    * 100 TB of history every day. Two parquet tables under `dir`:
+    *
+    *  - `banded/` — (id, band_id, band_key), with the hot-bucket cap
+    *    applied AT WRITE TIME (a degenerate boilerplate bucket is
+    *    dropped once here, not re-discovered by every ingest);
+    *  - `shingles/` — (id, sh), the shingle sets the verify stage
+    *    joins for exact Jaccard.
+    */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, numBands: Int = 4, rowsPerBand: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): Unit = {
+    val sig = signatures(docs, idCol, textCol, numBands * rowsPerBand)
+      .localCheckpoint(false)
+    dropHotBuckets(bandedKeysFromSignatures(sig, numBands, rowsPerBand), maxBucket)
+      .write.mode("overwrite").parquet(s"$dir/banded")
+    docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Incremental MinHash-LSH dedup against a PRECOMPUTED base index
+    * (see [[writeNearDupIndex]]): identical pair semantics to
+    * [[minhashPairsBetween]] when no base bucket exceeded the write
+    * cap, but the base side costs two parquet scans — signatures are
+    * never re-derived from base text. Only the (small) new batch runs
+    * the tokenize+md5+agg pipeline, so day-N cost tracks the batch
+    * against any history size.
+    *
+    * @param baseBanded   the index's `banded/` table (id, band_id, band_key)
+    * @param baseShingles the index's `shingles/` table (id, sh)
+    * @return (doc_new, doc_base, jaccard)
+    */
+  def minhashPairsBetweenIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      baseBanded: DataFrame,
+      baseShingles: DataFrame,
+      numBands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val newPrep = newDocs
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
+      .localCheckpoint(false)
+    val newBanded = bandedKeys(newDocs, idCol, textCol, numBands, rowsPerBand)
+    val pairs = newBanded
+      .select(col("id").as("doc_new"), col("band_id"), col("band_key"))
+      .join(baseBanded
+        .select(col("id").as("doc_base"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select("doc_new", "doc_base")
+      .dropDuplicates("doc_new", "doc_base")
+    pairs
+      .join(newPrep.select(col("id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(baseShingles.select(col("id").as("doc_base"), col("sh").as("sh_b")), Seq("doc_base"))
       .filter(least(size(col("sh_n")), size(col("sh_b"))).cast("double") /
         greatest(size(col("sh_n")), size(col("sh_b"))) >= threshold - 1e-4)
       .withColumn("__i", size(array_intersect(col("sh_n"), col("sh_b"))))

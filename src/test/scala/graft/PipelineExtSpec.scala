@@ -155,6 +155,37 @@ class DedupSpec extends SparkSpec {
     assert(fed == self)
   }
 
+  test("precomputed near-dup index: indexed incremental pairs equal the direct form; cap applies at write") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-index").toString
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", dir,
+      numBands = 6, rowsPerBand = 2)
+    val banded = spark.read.parquet(s"$dir/banded")
+    val shingles = spark.read.parquet(s"$dir/shingles")
+    val batch = docs.withColumn("doc_id", col("doc_id") + 100)
+    val direct = Dedup.minhashPairsBetween(batch, docs, "doc_id", "text",
+        numBands = 6, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Dedup.minhashPairsBetweenIndexed(batch, "doc_id", "text",
+        banded, shingles, numBands = 6, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == direct && indexed.nonEmpty)
+
+    // a degenerate base: the boilerplate bucket is dropped ONCE at
+    // write time, so no ingest ever pairs against it
+    val boilerDir = java.nio.file.Files.createTempDirectory("neardup-hot").toString
+    val boiler = (1L to 20L).map(i => (i, "same boilerplate page footer everywhere"))
+      .toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(boiler, "doc_id", "text", boilerDir,
+      numBands = 6, rowsPerBand = 2, maxBucket = 10)
+    assert(spark.read.parquet(s"$boilerDir/banded").count() == 0)
+    val crossHot = Dedup.minhashPairsBetweenIndexed(
+      boiler.withColumn("doc_id", col("doc_id") + 100), "doc_id", "text",
+      spark.read.parquet(s"$boilerDir/banded"),
+      spark.read.parquet(s"$boilerDir/shingles"),
+      numBands = 6, rowsPerBand = 2, threshold = 0.5)
+    assert(crossHot.count() == 0)
+  }
+
   test("minhashPairsBetween yields only cross-batch pairs, never base-base") {
     val base = docs
     val batch = docs.withColumn("doc_id", col("doc_id") + 100)
