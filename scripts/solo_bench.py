@@ -70,7 +70,7 @@ else:
 # across-JVM variance is the dominant noise source (a cold JIT can cost
 # 2x); SOLO_RUNS>1 takes the min over that many fresh JVMs per query
 runs = max(1, int(os.environ.get("SOLO_RUNS", "1")))
-res, errs = {}, {}
+res, errs, flaky = {}, {}, {}
 for i, n in enumerate(names):
     best, err = None, None
     for _ in range(runs):
@@ -80,18 +80,26 @@ for i, n in enumerate(names):
         elif best is None or ms < best:
             best = ms
     res[n] = -1.0 if best is None else best
-    if best is None and err:
-        errs[n] = err
+    if err:
+        # every failure counts: a run that failed while another
+        # succeeded is a FLAKY query (recorded, exit stays 0); all runs
+        # failing is an error (exit 1)
+        (errs if best is None else flaky)[n] = err
     print(f"[{i+1}/{len(names)}] {n}: {res[n]:.1f} ms" +
-          (f" ERR {err}" if best is None and err else ""), flush=True)
+          (f" ERR {err}" if best is None and err else "") +
+          (f" FLAKY {err}" if best is not None and err else ""), flush=True)
 
 sf_name = [p for p in sf_dir.split("/") if p][-1]
 body = {
-    "sf": sf_name, "unit": "ms", "mode": "solo (one JVM per query)",
+    "sf": sf_name, "unit": "ms",
+    "mode": f"solo (one JVM per query, min over {runs} run(s))",
     "queries_ms": dict(sorted(res.items(), key=lambda kv: -kv[1])),
 }
 if errs:
     body["errors"] = errs
+if flaky:
+    body["flaky"] = flaky
 json.dump(body, open(out_json, "w"), indent=1)
-print(f"wrote {out_json}: {len(res)} queries, {len(errs)} errors")
+print(f"wrote {out_json}: {len(res)} queries, "
+      f"{len(errs)} errors, {len(flaky)} flaky")
 sys.exit(1 if errs else 0)

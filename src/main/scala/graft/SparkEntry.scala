@@ -769,8 +769,12 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
+      // per side, ONE lazily-checkpointed tokenize+md5 pass shared by
+      // banding and the verify join
       Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
-        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
+        numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+        newSh = Some(Dedup.shingleFrame(batch, "doc_id", "text").localCheckpoint(false)),
+        baseSh = Some(Dedup.shingleFrame(base, "doc_id", "text").localCheckpoint(false)))
     }),
 
     // Decontamination: flag corpus docs sharing word-3-gram shingles with
@@ -1515,18 +1519,25 @@ object SparkEntry {
     "dedup_clusters_incremental" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = base.withColumn("doc_id", col("doc_id") + 1000000)
+      // ONE lazily-checkpointed shingle pass per corpus side, shared by
+      // the cross pairs (banding + verify) AND the batch-internal pairs
+      // (whose signatures derive from the same batch frame)
+      val batchSh = Dedup.shingleFrame(batch, "doc_id", "text")
+        .localCheckpoint(false)
+      val baseSh = Dedup.shingleFrame(base, "doc_id", "text")
+        .localCheckpoint(false)
       val cross = Dedup.minhashPairsBetween(batch, base, "doc_id", "text",
-          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold)
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+          newSh = Some(batchSh), baseSh = Some(baseSh))
         .select(col("doc_new").as("new_id"), col("doc_base").as("base_id"))
       // cap disabled: this query's oracle states base+batch banding
       // JOINTLY (one CTE chain), where a per-side hot-bucket count
       // cannot be mirrored; at scale the cap lives in the precomputed
       // banded table both sides read (Dedup.minhashPairsBetween doc)
-      val innerSig = Dedup.signatures(batch, "doc_id", "text", Cfg.nSig)
-        .localCheckpoint(eager = false)
       val inner = Dedup.minhashPairs(batch, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
-          maxBucket = Int.MaxValue, sigs = Some(innerSig))
+          maxBucket = Int.MaxValue,
+          sigs = Some(Dedup.signaturesFromShingles(batchSh, Cfg.nSig)))
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(
           base.select(col("doc_id").as("id"), col("doc_id").as("label")),

@@ -150,10 +150,24 @@ object Dedup {
     * estimate-quality query (sig agreement fraction ≈ Jaccard).
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      nSig: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
-      .select(col("id"), explode(shingleValuesFromTokens(col("tv"))).as("__v"))
+      nSig: Int): DataFrame =
+    signaturesFromShingles(shingleFrame(docs, idCol, textCol), nSig)
+
+  /** The (id, sh) shingle-set frame every minhash consumer starts from
+    * — staged explicitly so a plan with several consumers (banding +
+    * verify joins + a shingles sink) can lazily checkpoint ONE
+    * tokenize+md5 pass and derive everything else from it.
+    */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
+
+  /** Minhash signatures over an (id, sh) [[shingleFrame]]: explode →
+    * ONE codegen'd hash aggregate of all nSig affine minima (partial
+    * aggregation collapses the explode before the id exchange).
+    */
+  def signaturesFromShingles(shingles: DataFrame, nSig: Int): DataFrame = {
+    val exploded = shingles.select(col("id"), explode(col("sh")).as("__v"))
     val sigCols = (0 until nSig).map { k =>
       min((pmod(col("__v"), lit(MinhashP)) * minhashA(k) + minhashB(k)) % MinhashP)
         .as(s"sig_$k")
@@ -443,6 +457,11 @@ object Dedup {
     * batch jointly, and a per-side inline cap could not be mirrored
     * exactly in that joint form.
     *
+    * @param newSh  optionally, a precomputed (ideally lazily-
+    *               checkpointed) [[shingleFrame]] of `newDocs` — banding
+    *               and the verify join both derive from it instead of
+    *               re-tokenizing per consumer
+    * @param baseSh same for `baseDocs`
     * @return (doc_new, doc_base, jaccard) — one row per near-dup pair.
     */
   def minhashPairsBetween(
@@ -452,22 +471,23 @@ object Dedup {
       textCol: String,
       numBands: Int = 4,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
-      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
-    def banded(df: DataFrame) =
-      bandedKeys(df, idCol, textCol, numBands, rowsPerBand)
-    val pairs = banded(newDocs)
+      threshold: Double = 0.5,
+      newSh: Option[DataFrame] = None,
+      baseSh: Option[DataFrame] = None): DataFrame = {
+    val nSh = newSh.getOrElse(shingleFrame(newDocs, idCol, textCol))
+    val bSh = baseSh.getOrElse(shingleFrame(baseDocs, idCol, textCol))
+    def banded(sh: DataFrame) = bandedKeysFromSignatures(
+      signaturesFromShingles(sh, numBands * rowsPerBand), numBands, rowsPerBand)
+    val pairs = banded(nSh)
       .select(col("id").as("doc_new"), col("band_id"), col("band_key"))
-      .join(banded(baseDocs)
+      .join(banded(bSh)
         .select(col("id").as("doc_base"), col("band_id"), col("band_key")),
         Seq("band_id", "band_key"))
       .select("doc_new", "doc_base")
       .dropDuplicates("doc_new", "doc_base")
     pairs
-      .join(prep(newDocs).select(col("id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
-      .join(prep(baseDocs).select(col("id").as("doc_base"), col("sh").as("sh_b")), Seq("doc_base"))
+      .join(nSh.select(col("id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(bSh.select(col("id").as("doc_base"), col("sh").as("sh_b")), Seq("doc_base"))
       .filter(least(size(col("sh_n")), size(col("sh_b"))).cast("double") /
         greatest(size(col("sh_n")), size(col("sh_b"))) >= threshold - 1e-4)
       .withColumn("__i", size(array_intersect(col("sh_n"), col("sh_b"))))
@@ -493,13 +513,18 @@ object Dedup {
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, numBands: Int = 4, rowsPerBand: Int = 3,
       maxBucket: Int = DefaultMaxBucket): Unit = {
-    val sig = signatures(docs, idCol, textCol, numBands * rowsPerBand)
-      .localCheckpoint(false)
-    dropHotBuckets(bandedKeysFromSignatures(sig, numBands, rowsPerBand), maxBucket)
+    // ONE tokenize+md5 pass, lazily checkpointed, feeds BOTH writes:
+    // the shingles table directly and the banded table via the
+    // signature minima — the dominant hashing cost of indexing a
+    // 100 TB base must not run twice
+    val sh = shingleFrame(docs, idCol, textCol).localCheckpoint(false)
+    dropHotBuckets(
+      bandedKeysFromSignatures(
+        signaturesFromShingles(sh, numBands * rowsPerBand),
+        numBands, rowsPerBand),
+      maxBucket)
       .write.mode("overwrite").parquet(s"$dir/banded")
-    docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
-      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
   /** Incremental MinHash-LSH dedup against a PRECOMPUTED base index
@@ -523,11 +548,12 @@ object Dedup {
       numBands: Int = 4,
       rowsPerBand: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val newPrep = newDocs
-      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
-      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
-      .localCheckpoint(false)
-    val newBanded = bandedKeys(newDocs, idCol, textCol, numBands, rowsPerBand)
+    // one tokenize+md5 pass over the batch, shared by banding AND the
+    // verify join via the lazy checkpoint
+    val newPrep = shingleFrame(newDocs, idCol, textCol).localCheckpoint(false)
+    val newBanded = bandedKeysFromSignatures(
+      signaturesFromShingles(newPrep, numBands * rowsPerBand),
+      numBands, rowsPerBand)
     val pairs = newBanded
       .select(col("id").as("doc_new"), col("band_id"), col("band_key"))
       .join(baseBanded
