@@ -801,9 +801,8 @@ object SparkEntry {
     // pair generation (a≈b≈c groups a,c even when (a,c) never banded).
     "dedup_clusters" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
-      // lazily-checkpointed signatures: the band self-join's two sides
-      // otherwise each re-run the tokenize+md5+agg pipeline (see
-      // dedup_minhash_est, where the same sharing carried a 3x win)
+      // lazily-checkpointed signatures shared by both band-join sides
+      // (sigs, not the fatter shingleFrame — see dedup_minhash)
       val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
         .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
@@ -872,7 +871,11 @@ object SparkEntry {
     // collisions (never all-pairs).
     "dedup_minhash" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
-      // lazily-checkpointed signatures shared by both band-join sides
+      // lazily-checkpointed signatures shared by both band-join sides.
+      // Deliberately NOT the fatter shingleFrame checkpoint: the 12
+      // narrow minima store and rescan cheaply, while checkpointing the
+      // full shingle arrays measured slower than the two narrow verify
+      // re-derivations it would replace.
       val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
         .localCheckpoint(eager = false)
       Dedup.minhashPairs(corpus, "doc_id", "text",
@@ -1113,7 +1116,9 @@ object SparkEntry {
     "e4_curation_full" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
       // lazily-checkpointed signatures shared by both band-join sides
-      // (same sharing as dedup_minhash_est / dedup_clusters)
+      // (sigs, not the fatter shingleFrame — the full shingle arrays
+      // measured slower to checkpoint and rescan than the narrow
+      // re-derivations below; see dedup_minhash)
       val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
         .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
@@ -1405,14 +1410,14 @@ object SparkEntry {
       // ONE signature computation feeds banding AND both estimate
       // sides: Spark recomputes a shared unpersisted subtree once per
       // consumer, so without the checkpoint the tokenize+md5+agg
-      // pipeline would run 3× (it was this query's whole cost). LAZY
-      // (eager = false): the checkpoint converts the frame to one
-      // shared RDD that materializes on the query's FIRST job — an
-      // eager one would run a full Spark job at DataFrame-CONSTRUCTION
-      // time, making plan-only consumers (graft.Explain) pay the whole
-      // computation just to print a plan. The checkpointed frame is
-      // |docs| rows × 12 longs — at 100 TB exactly the signature table
-      // an ingest job persists anyway.
+      // pipeline would run 3× (it was this query's whole cost — 6.0 s
+      // → 1.7 s solo). LAZY (eager = false): the checkpoint converts
+      // the frame to one shared RDD that materializes on the query's
+      // FIRST job — an eager one would run a full Spark job at
+      // DataFrame-CONSTRUCTION time, making plan-only consumers
+      // (graft.Explain) pay the whole computation just to print a
+      // plan. The checkpointed frame is |docs| rows × 12 longs — at
+      // 100 TB exactly the signature table an ingest job persists.
       val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
         .localCheckpoint(eager = false)
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",

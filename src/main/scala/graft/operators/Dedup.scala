@@ -243,6 +243,10 @@ object Dedup {
     *             minima — banding derives from it instead of re-running
     *             the tokenize+md5+agg pipeline (Spark recomputes a
     *             shared unpersisted subtree once per consumer).
+    * @param sh   optionally, a precomputed (ideally lazily-checkpointed)
+    *             [[shingleFrame]] — the verify joins read it instead of
+    *             re-tokenizing the corpus per side, and (absent `sigs`)
+    *             banding derives from it too
     * @param maxBucket hot-bucket cap; `Int.MaxValue` disables (only for
     *                  call sites whose oracle states base+batch jointly)
     * @return (doc_a, doc_b, jaccard) — one row per near-dup pair.
@@ -255,22 +259,23 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      sigs: Option[DataFrame] = None): DataFrame = {
+      sigs: Option[DataFrame] = None,
+      sh: Option[DataFrame] = None): DataFrame = {
     // Token-hash shingling: md5 once per TOKEN, shingle values combined
-    // arithmetically (see shingleValuesFromTokens). The two-step select
-    // keeps each expensive higher-order transform in its own projection
-    // (multi-referenced lambdas are interpreted, not codegen'd, so
-    // CollapseProject merging them would re-run the md5 transform per
-    // reference).
-    val withShingles = docs
-      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
-      .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
+    // arithmetically (see shingleValuesFromTokens; the staging in
+    // shingleFrame keeps each expensive higher-order transform in its
+    // own projection — multi-referenced lambdas are interpreted, not
+    // codegen'd, so CollapseProject merging them would re-run the md5
+    // transform per reference).
+    val withShingles = sh.getOrElse(shingleFrame(docs, idCol, textCol))
     // Candidate generation shuffles ONLY (id, band_id, band_key) — the
     // shingle arrays must never ride through the explode+self-join (at
     // scale that would serialize every array numBands× through two
     // exchanges). They are re-joined below for candidates only.
     val rawBanded = sigs
       .map(bandedKeysFromSignatures(_, numBands, rowsPerBand))
+      .orElse(sh.map(f => bandedKeysFromSignatures(
+        signaturesFromShingles(f, numBands * rowsPerBand), numBands, rowsPerBand)))
       .getOrElse(bandedKeys(docs, idCol, textCol, numBands, rowsPerBand))
     val banded =
       if (maxBucket == Int.MaxValue) rawBanded
@@ -281,14 +286,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    // Verify joins re-derive shingles from the corpus rather than
+    // Verify joins read the shingle frame per side (the caller-provided
+    // checkpointed one, or two narrow re-derivations) rather than
     // semi-join-pruning on a broadcast candidate-id set: deriving the id
     // set from `pairs` would force the whole banding subtree to compute
     // a second time for the broadcast (benchmarked 2× slower) — Spark
     // does not share results between a broadcast subplan and the main
-    // plan. The two shingle re-derivations are narrow map work over the
-    // corpus scan, and both shuffles hash on `id`, so the exchange is
-    // reused between the two join builds.
+    // plan. Both shuffles hash on `id`, so the exchange is reused
+    // between the two join builds.
     val verified = pairs
       .join(withShingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withShingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
