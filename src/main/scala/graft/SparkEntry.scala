@@ -784,9 +784,8 @@ object SparkEntry {
     // an explode + map-side join + partial-agg count, no corpus shuffle
     // beyond the per-doc counts.
     "ta_decontam" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.tokenValues(col("text")).as("tv"))
-        .select(col("doc_id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      val sh = Dedup.shingleFrame(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
       val bench = sh.filter(col("doc_id") < 20)
         .select(explode(col("sh")).as("g")).distinct()
       sh.filter(col("doc_id") >= 20)
@@ -1539,10 +1538,16 @@ object SparkEntry {
       // JOINTLY (one CTE chain), where a per-side hot-bucket count
       // cannot be mirrored; at scale the cap lives in the precomputed
       // banded table both sides read (Dedup.minhashPairsBetween doc)
+      // the batch frame is already checkpointed for the cross path, so
+      // the inner pairs read it for BOTH banding (via a checkpointed
+      // 12-minima aggregate — the band self-join reads it twice) and
+      // the verify joins, instead of re-tokenizing the batch
       val inner = Dedup.minhashPairs(batch, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
           maxBucket = Int.MaxValue,
-          sigs = Some(Dedup.signaturesFromShingles(batchSh, Cfg.nSig)))
+          sigs = Some(Dedup.signaturesFromShingles(batchSh, Cfg.nSig)
+            .localCheckpoint(false)),
+          sh = Some(batchSh))
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(
           base.select(col("doc_id").as("id"), col("doc_id").as("label")),

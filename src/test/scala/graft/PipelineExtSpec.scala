@@ -144,15 +144,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == default)
   }
 
-  test("minhashPairs with a precomputed signatures frame matches the self-derived path") {
-    val sig = Dedup.signatures(docs, "doc_id", "text", 12).localCheckpoint()
+  test("minhashPairs with precomputed signatures or shingle frames matches the self-derived path") {
     val self = Dedup.minhashPairs(docs, "doc_id", "text",
       numBands = 6, rowsPerBand = 2, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val fed = Dedup.minhashPairs(docs, "doc_id", "text",
+    val sig = Dedup.signatures(docs, "doc_id", "text", 12).localCheckpoint()
+    val fedSigs = Dedup.minhashPairs(docs, "doc_id", "text",
       numBands = 6, rowsPerBand = 2, threshold = 0.3, sigs = Some(sig))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(fed == self)
+    assert(fedSigs == self)
+    // sh alone: banding derives from it too (the orElse branch)
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text").localCheckpoint()
+    val fedSh = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3, sh = Some(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fedSh == self)
+    // both at once (the incremental query's shape)
+    val fedBoth = Dedup.minhashPairs(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 2, threshold = 0.3,
+      sigs = Some(sig), sh = Some(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fedBoth == self)
   }
 
   test("precomputed near-dup index: indexed incremental pairs equal the direct form; cap applies at write") {
