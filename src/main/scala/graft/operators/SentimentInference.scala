@@ -94,16 +94,38 @@ object SentimentInference {
     * the full analyze() row. Contract identical to
     * [[Sentiment.withAnalysis]] — same short-circuit, label map, signed
     * 4-dp score — so the two forms share one DuckDB oracle.
+    *
+    * M2/M3 wiring (the boundary the reference decorates —
+    * sentiment/news provider calls, retry.py:11-44 + news.py:128):
+    * `retry` wraps each `scoreBatch` call in
+    * [[graft.sources.Resilience.withRetry]]; `minCallIntervalMillis`
+    * paces calls per partition through a
+    * [[graft.sources.Resilience.RateLimiter]]. Defaults (None / 0) are
+    * exact no-ops — the lexicon stub never fails and needs no pacing,
+    * so the shipped queries' plans and oracle hashes are untouched; a
+    * real remote-backed model passes the reference policy
+    * (`RetryPolicy()`, 1000 ms).
     */
   def withBatchedAnalysis(df: DataFrame, idCol: String, headlineCol: String,
       modelFactory: () => SentimentModel,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64,
+      retry: Option[graft.sources.Resilience.RetryPolicy] = None,
+      minCallIntervalMillis: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(headlineCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val model = modelFactory() // once per partition, like the lazy pipeline load
+        // one limiter per PARTITION: task-local pacing, no cross-task lock
+        val limiter = new graft.sources.Resilience.RateLimiter(minCallIntervalMillis)
+        def callModel(live: Seq[String]): Seq[(String, Double)] = {
+          limiter.acquire()
+          retry match {
+            case Some(p) => graft.sources.Resilience.withRetry(p)(model.scoreBatch(live))
+            case None => model.scoreBatch(live)
+          }
+        }
         // close-with-partition: the output iterator is lazy, so the only
         // correct hook is task completion (runs after the iterator is
         // drained OR the task dies — either way the native handle frees)
@@ -117,7 +139,7 @@ object SentimentInference {
           val flagged = batch.map { case (id, h) => (id, h, isDefault(h)) }
           val live = flagged.collect { case (_, h, false) => h }
           val raw =
-            (if (live.isEmpty) Nil else model.scoreBatch(live)).iterator
+            (if (live.isEmpty) Nil else callModel(live)).iterator
           flagged.map {
             case (id, h, true) =>
               ScoredHeadline(id, h, "neutral", 0.0, "Neutral", 0.0)
