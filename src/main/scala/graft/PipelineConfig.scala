@@ -52,7 +52,9 @@ final case class PipelineConfig(
     chunkStride: Int = 24,
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
-    shardBucketSize: Long = 100L) {
+    shardBucketSize: Long = 100L,
+    // unigram-LM fluency reference slice: docs with doc_id % mod == 0
+    lmRefMod: Int = 10) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

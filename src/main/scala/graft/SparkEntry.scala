@@ -1341,6 +1341,16 @@ object SparkEntry {
     "ta_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text", 3)),
 
+    // Unigram-LM fluency scoring (the CCNet-style perplexity filter):
+    // per-language LM trained on the doc_id % lmRefMod == 0 reference
+    // slice, every doc scored by mean per-token surprisal. Per-token
+    // log-probs are integer bit lengths (length(bin(count))-1), so the
+    // per-doc sum is exact and the one final division hashes
+    // cross-engine — see TextAnalysis.lmSurprisal.
+    "ta_lm_fluency" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "lang",
+        "text", pmod(col("doc_id"), lit(Cfg.lmRefMod.toLong)) === 0L)),
+
     // Nearest-centroid classification over embeddings: fixed-point
     // (order-independent) per-label centroids, broadcast to a partition-
     // local scoring scan, argmax via one map-side-combinable max_by
@@ -3438,6 +3448,26 @@ object SparkEntry {
         """SELECT doc_id, w AS token, tfidf, CAST(rnk AS INT) AS rnk
           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk FROM tfsc)
           |WHERE rnk <= 3""".stripMargin),
+
+    // Mirrors TextAnalysis.lmSurprisal: integer bit-length weights
+    // (length(bin(count))-1 — a string-length op, exact in both
+    // engines), one final IEEE division, 4-dp round.
+    "ta_lm_fluency" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |r AS (SELECT lang, token FROM t WHERE doc_id % ${Cfg.lmRefMod} = 0),
+         |lm AS (SELECT lang, token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS w
+         |       FROM r GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(length(bin(count(*))) - 1 AS BIGINT) AS tbits
+         |        FROM r GROUP BY 1),
+         |d AS (
+         |  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(COALESCE(lm.w, 0)) AS BIGINT) AS bits
+         |  FROM t LEFT JOIN lm USING (lang, token) GROUP BY 1, 2)
+         |SELECT d.doc_id, d.lang, d.n_tokens,
+         |       ROUND(tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE), 4) AS nll_bits
+         |FROM d JOIN tot USING (lang)""".stripMargin,
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the

@@ -187,6 +187,54 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tfidf"), col("rnk"))
   }
 
+  /** Unigram language-model surprisal — the CCNet-style fluency /
+    * perplexity filter: train a per-language unigram LM on a reference
+    * slice of the corpus (`refPred`), then score every document by its
+    * mean per-token negative log-likelihood. Low `nll_bits` = built from
+    * tokens common in the reference (fluent); high = rare/unseen tokens
+    * (boilerplate, noise, wrong-language) — the signal real curation
+    * pipelines threshold on before training.
+    *
+    * Cross-engine exactness: true NLL sums `ln(total/count)` doubles,
+    * whose value depends on summation order — unhashable across engines.
+    * Instead each token's log-prob is quantized to the INTEGER bit
+    * length `floor(log2 count) = length(bin(count)) - 1` (exact in both
+    * engines: a string-length op, no libm), so the per-doc sum is exact
+    * integer arithmetic and the ONLY floating point is one final
+    * IEEE-determined division `tbits - bits/n`, rounded 4-dp. Same
+    * precedent as tfidf's rational idf: order-isomorphic to the real
+    * quantity at 1-bit resolution.
+    *
+    * Scale shape: the LM is a (lang, token) dim of |vocab| rows built
+    * from the reference slice with map-side combine — tiny next to the
+    * exploded corpus, so AQE broadcasts the scoring join and the only
+    * full-size shuffle is the per-doc aggregation; per-language totals
+    * are a |langs|-row broadcast. Unseen tokens score weight 0 (maximal
+    * surprise); languages with no reference docs are dropped — there is
+    * no LM to score them against.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, refPred: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol), col(langCol), col(textCol), refPred.as("__ref"))
+      .select(col(idCol), col(langCol),
+        explode(split(col(textCol), " ")).as("token"), col("__ref"))
+    val ref = toks.filter(col("__ref")).select(col(langCol), col("token"))
+    val lm = ref.groupBy(col(langCol), col("token"))
+      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("w"))
+    val tot = ref.groupBy(col(langCol))
+      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("tbits"))
+    toks.join(lm, Seq(langCol, "token"), "left")
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w"), lit(0L))).cast("long").as("bits"))
+      .join(broadcast(tot), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        Rounding.stable(
+          col("tbits") - col("bits").cast("double") / col("n_tokens"), 4)
+          .as("nll_bits"))
+  }
+
   /** Positional rolling fingerprint: Σ_i i·v(token_i) mod 1e9+7, where
     * v(t) packs the first two hex chars of md5(t). Order-sensitive (a
     * permuted doc fingerprints differently), md5-stable across engines.

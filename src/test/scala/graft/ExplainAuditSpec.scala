@@ -90,6 +90,14 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"corpus count not broadcast:\n$p")
   }
 
+  test("lm fluency broadcasts the per-language totals; no cartesian") {
+    val p = plan("ta_lm_fluency")
+    // the |langs|-row totals join is hinted broadcast; the |vocab|-row LM
+    // scoring join may be left to AQE (it carries a corpus-derived side)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("grouping-sets profile is a single Expand pass, not three scans") {
     val p = plan("ta_grouping_sets")
     assert("Expand".r.findAllMatchIn(p).size == 1, p)

@@ -370,6 +370,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 9)
   }
 
+  test("lm surprisal: bit-length weights, unseen=0, no-LM languages dropped") {
+    val docs = Seq(
+      (0L, "en", "a a a b"), // ref slice (id%2==0): a→count 3 (w=1), b→1 (w=0); total 4 (tbits=2)
+      (1L, "en", "a b c"),   // scored only: c unseen → weight 0
+      (3L, "de", "x y")      // no de docs in the ref slice → unscorable
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lmSurprisal(docs, "doc_id", "lang", "text",
+        pmod(col("doc_id"), lit(2L)) === 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(
+      (0L, "en", 4L, 1.25),    // 2 - (1+1+1+0)/4
+      (1L, "en", 3L, 1.6667))) // 2 - (1+0+0)/3
+  }
+
   test("fingerprint: order-sensitive, prefix stable under suffix edits") {
     val df = Seq(
       ("a b c d e f g h i j k l m n o p q r", 1),
