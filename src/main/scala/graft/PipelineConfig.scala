@@ -54,7 +54,11 @@ final case class PipelineConfig(
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,
     // unigram-LM fluency reference slice: docs with doc_id % mod == 0
-    lmRefMod: Int = 10) {
+    lmRefMod: Int = 10,
+    // embedding k-means (sim_kmeans); the oracle SQL unrolls exactly
+    // kmeansIters assignment passes — keep them in sync
+    kmeansK: Int = 4,
+    kmeansIters: Int = 2) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

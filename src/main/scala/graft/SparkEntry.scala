@@ -1361,6 +1361,16 @@ object SparkEntry {
       Similarity.centroidAssign(emb, "vec_id", "label", "embedding", cents)
     }),
 
+    // Distributed k-means (Lloyd) — the semantic-clustering primitive
+    // for diversity sampling / semantic dedup / IVF training: k
+    // lowest-id seeds, per-iteration broadcast-centroid assignment
+    // (argmax on the 6-dp cosine, lower cid wins ties) and fixed-point
+    // integer centroid updates, so the whole iterative FP computation
+    // hashes exactly against the unrolled oracle CTEs.
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = Cfg.kmeansK, iters = Cfg.kmeansIters)),
+
     // Frame sampling with keyframe selection: the mapPartitions decoder
     // FANS OUT one row per (doc, frame) — no shuffle until the per-doc
     // keyframe rank, whose window partition is the doc's own nFrames
@@ -3491,6 +3501,35 @@ object SparkEntry {
          |      FROM scored) p
          |JOIN scored o ON o.vec_id = p.vec_id AND o.clabel = o.label
          |WHERE p.rn = 1""".stripMargin,
+
+    // Mirrors Similarity.kmeans with Cfg.kmeansIters (= 2) assignment
+    // passes unrolled: init = k lowest-id vectors, argmax on the 6-dp
+    // cosine with lower cid on ties, fixed-point integer centroid sums
+    // (the sim_centroids trick) between passes.
+    "sim_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |init AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${Cfg.kmeansK})),
+         |a10 AS (
+         |  SELECT e.vec_id, init.cid, e.v,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "init.cv")} DESC, init.cid ASC) AS rn
+         |  FROM e CROSS JOIN init),
+         |a1 AS (SELECT vec_id, cid, v FROM a10 WHERE rn = 1),
+         |c1c AS (
+         |  SELECT cid, unnest(range(1, len(v) + 1)) AS i,
+         |         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
+         |  FROM a1),
+         |c1s AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+         |        FROM c1c GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
+         |       FROM c1s GROUP BY 1),
+         |a20 AS (
+         |  SELECT e.vec_id, c1.cid, ${sqlCos("e.v", "c1.cv")} AS cos,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
+         |  FROM e CROSS JOIN c1)
+         |SELECT vec_id, CAST(cid AS INT) AS cluster_id, cos
+         |FROM a20 WHERE rn = 1""".stripMargin,
 
     "e5_quality_gate" ->
       (s"""WITH t AS (

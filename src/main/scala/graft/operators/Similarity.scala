@@ -157,6 +157,75 @@ object Similarity {
       .withColumn("correct", col(labelCol) === col("pred_label"))
   }
 
+  /** Distributed k-means over embeddings (Lloyd's algorithm) — the
+    * semantic-clustering primitive behind diversity sampling, semantic
+    * dedup, and IVF list training. `iters` assignment passes with a
+    * centroid update between each pair.
+    *
+    * Determinism (what makes an iterative FP algorithm oracle-hashable):
+    *  - init = the k lowest-id vectors (the IVF convention here), so
+    *    both engines start identically;
+    *  - assignment argmax on the 6-dp ROUNDED cosine with lower
+    *    cluster id winning ties — `max_by` over (cos, −cid), map-side
+    *    combinable, no window sort;
+    *  - centroid update via [[labelCentroids]]' fixed-point trick:
+    *    components quantized to `round(x·10^6)` so per-(cid, i) sums are
+    *    exact integer aggregates (order-independent), and the final
+    *    divide is one double op on identical operands.
+    * A cluster that loses every member simply disappears from the next
+    * round (both engines agree — its cid has no rows to aggregate).
+    *
+    * Scale shape: per iteration, one broadcast of k·dim doubles against
+    * a partition-local corpus scan (no shuffle of the big side), one
+    * per-vector hash aggregate, and one component-sum aggregate of
+    * k·dim rows. The corpus is scanned once per iteration — inherent to
+    * Lloyd — so callers bound `iters` small and feed a sampled corpus
+    * for LM-scale clustering. The vector rides through the argmax
+    * struct to spare a rejoin; at dim=64 that is 512 B/row through one
+    * exchange.
+    *
+    * Output: (vec_id, cluster_id, cos) — final-round assignment and its
+    * rounded cosine.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    // TakeOrderedAndProject for the k seed rows; the numbering window
+    // then runs over k rows in one partition, never the corpus
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("v").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v"), col("cos")),
+          struct(col("cos").as("c"), (lit(0) - col("cid")).as("t"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid"), col("b.v").as("v"),
+          col("b.cos").as("cos"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .select(col("cid"), col("i"), round(col("x") * scale).cast("long").as("q"))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("i"),
+          (col("sq").cast("double") / (col("n") * scale.toDouble)).as("x"))))
+          .as("arr"))
+        .select(col("cid"), transform(col("arr"), s => s.getField("x")).as("cv"))
+
+    var assigned = assign(init)
+    for (_ <- 2 to iters) assigned = assign(update(assigned))
+    assigned.select(col("vec_id"), col("cid").as("cluster_id"), col("cos"))
+  }
+
   /** Scalar (int8-style) quantization: components scaled by
     * `127 / max|x|`, rounded to integers and CLAMPED to [-127, 127]
     * (saturating, like a real int8 cast — required because the scale is

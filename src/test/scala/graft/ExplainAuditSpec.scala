@@ -90,6 +90,15 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"corpus count not broadcast:\n$p")
   }
 
+  test("kmeans broadcasts centroids every pass; corpus never shuffles to score") {
+    val p = plan("sim_kmeans")
+    // both Lloyd passes broadcast their k-row centroid side against a
+    // partition-local corpus scan — a non-broadcast cross product here
+    // would shuffle the corpus per iteration
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lm fluency broadcasts the per-language totals; no cartesian") {
     val p = plan("ta_lm_fluency")
     // the |langs|-row totals join is hinted broadcast; the |vocab|-row LM

@@ -297,6 +297,23 @@ class SimilaritySpec extends SparkSpec {
       !out(3L).getAs[Boolean]("correct"))
   }
 
+  test("kmeans: lowest-id seeds, reassignment across Lloyd iterations") {
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),  // seed cluster 0
+      (1L, 0, Array(4.0f, 1.0f)),  // seed cluster 1; flips to 0 in pass 2
+      (2L, 1, Array(0.0f, 1.0f)),
+      (3L, 1, Array(1.0f, 4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // pass 1 against seeds (1,0)/(4,1): v1 stays on its own seed and
+    // v2, v3 join it, pulling centroid 1 to (5/3, 2); pass 2 then moves
+    // v1 back to cluster 0 (cos 0.970143 vs 0.807), while v2, v3 remain
+    assert(out.view.mapValues(_._1).toMap == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+    assert(out(0L)._2 == 1.0)
+    assert(out(1L)._2 == 0.970143) // round(4/sqrt(17), 6) — exact seed-0 cosine
+  }
+
   test("scalar quantization: exact integer dots, max component maps to ±127") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f)),       // max|x| = 1.0 -> scale 127
