@@ -58,7 +58,9 @@ final case class PipelineConfig(
     // embedding k-means (sim_kmeans); the oracle SQL unrolls exactly
     // kmeansIters assignment passes — keep them in sync
     kmeansK: Int = 4,
-    kmeansIters: Int = 2) {
+    kmeansIters: Int = 2,
+    // per-cluster row target for diversity sampling (sim_diversity_sample)
+    diversityTarget: Int = 50) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

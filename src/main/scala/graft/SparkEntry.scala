@@ -1371,6 +1371,29 @@ object SparkEntry {
       Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = Cfg.kmeansK, iters = Cfg.kmeansIters)),
 
+    // Semantic diversity sampling: k-means clusters → per-cluster
+    // inverse-size keep rates (min(100, 100·target div n)) over the
+    // stable content-keyed hash — dominant clusters downsampled toward
+    // the target, tail clusters kept whole. Cluster sizes are a k-row
+    // broadcast; the keep filter is narrow map work; only integer
+    // counts are output, so nothing order-dependent reaches the hash.
+    "sim_diversity_sample" -> ((s, dir) => {
+      // lazily-checkpointed: the 2-pass Lloyd subtree feeds the size
+      // aggregate AND the keep scan — without staging it would run twice
+      val asg = Similarity.kmeans(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+        .localCheckpoint(eager = false)
+      val sizes = asg.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_total"))
+      val kept = asg.join(broadcast(sizes), Seq("cluster_id"))
+        .filter(Sampling.deterministicKeepAt(col("vec_id"),
+          least(lit(100L), expr(s"(100 * ${Cfg.diversityTarget}) div n_total"))))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_kept"))
+      sizes.join(kept, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // Frame sampling with keyframe selection: the mapPartitions decoder
     // FANS OUT one row per (doc, frame) — no shuffle until the per-doc
     // keyframe rank, whose window partition is the doc's own nFrames
@@ -2045,6 +2068,33 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
   private def sqlCos(a: String, b: String) =
     s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+
+  /** Similarity.kmeans unrolled for Cfg.kmeansIters = 2: seeds → assign
+    * (a1) → fixed-point centroid update (c1) → final assign (a20; filter
+    * rn = 1 to consume). Shared by sim_kmeans and sim_diversity_sample.
+    */
+  private lazy val KmeansCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${Cfg.kmeansK})),
+       |a10 AS (
+       |  SELECT e.vec_id, init.cid, e.v,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "init.cv")} DESC, init.cid ASC) AS rn
+       |  FROM e CROSS JOIN init),
+       |a1 AS (SELECT vec_id, cid, v FROM a10 WHERE rn = 1),
+       |c1c AS (
+       |  SELECT cid, unnest(range(1, len(v) + 1)) AS i,
+       |         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
+       |  FROM a1),
+       |c1s AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+       |        FROM c1c GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
+       |       FROM c1s GROUP BY 1),
+       |a20 AS (
+       |  SELECT e.vec_id, c1.cid, ${sqlCos("e.v", "c1.cv")} AS cos,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
+       |  FROM e CROSS JOIN c1)""".stripMargin
 
   private def lshBucketSql(v: String, numPlanes: Int, dim: Int): String =
     Similarity.hyperplanes(numPlanes, dim).map { w =>
@@ -3507,29 +3557,27 @@ object SparkEntry {
     // cosine with lower cid on ties, fixed-point integer centroid sums
     // (the sim_centroids trick) between passes.
     "sim_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-         |init AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${Cfg.kmeansK})),
-         |a10 AS (
-         |  SELECT e.vec_id, init.cid, e.v,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "init.cv")} DESC, init.cid ASC) AS rn
-         |  FROM e CROSS JOIN init),
-         |a1 AS (SELECT vec_id, cid, v FROM a10 WHERE rn = 1),
-         |c1c AS (
-         |  SELECT cid, unnest(range(1, len(v) + 1)) AS i,
-         |         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
-         |  FROM a1),
-         |c1s AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
-         |        FROM c1c GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
-         |       FROM c1s GROUP BY 1),
-         |a20 AS (
-         |  SELECT e.vec_id, c1.cid, ${sqlCos("e.v", "c1.cv")} AS cos,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
-         |  FROM e CROSS JOIN c1)
+      s"""WITH $KmeansCtes
          |SELECT vec_id, CAST(cid AS INT) AS cluster_id, cos
          |FROM a20 WHERE rn = 1""".stripMargin,
+
+    // K-means assignment (shared CTEs above) → per-cluster inverse-size
+    // keep rates (min(100, 100·target div n)) over the stable md5 hash
+    // — dominant semantic clusters downsampled toward `target` rows,
+    // tail clusters kept whole. Integer div both sides; counts only in
+    // the output, so nothing order-dependent is hashed.
+    "sim_diversity_sample" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (SELECT vec_id, cid FROM a20 WHERE rn = 1),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_total FROM asg GROUP BY 1),
+         |kept AS (
+         |  SELECT asg.cid FROM asg JOIN sz USING (cid)
+         |  WHERE ${graft.operators.Sampling.keepAtSql("asg.vec_id",
+             s"CAST(LEAST(100, (100 * ${Cfg.diversityTarget}) // sz.n_total) AS BIGINT)")}),
+         |kc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+         |SELECT CAST(sz.cid AS INT) AS cluster_id, sz.n_total,
+         |       COALESCE(kc.n_kept, 0) AS n_kept
+         |FROM sz LEFT JOIN kc USING (cid)""".stripMargin,
 
     "e5_quality_gate" ->
       (s"""WITH t AS (

@@ -26,6 +26,19 @@ object Sampling {
   def keepSql(keyExpr: String, pct: Int): String =
     s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 < $pct"
 
+  /** [[deterministicKeep]] with a COMPUTED per-row keep rate (a column,
+    * e.g. inverse cluster size) over the same stable hash assignment —
+    * rates stay independent knobs: changing one row's rate never
+    * reshuffles which hash slots any other row occupies.
+    */
+  def deterministicKeepAt(key: Column, pctCol: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long") % 100 < pctCol
+
+  /** SQL mirror of [[deterministicKeepAt]]. */
+  def keepAtSql(keyExpr: String, pctExpr: String): String =
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 < ($pctExpr)"
+
   /** Stratified deterministic sampling: a per-stratum keep rate (the
     * curation move that downsamples dominant languages/sources while
     * keeping the tail intact), same content-keyed hash as

@@ -229,6 +229,22 @@ class SamplingSpec extends SparkSpec {
     assert(en20.subsetOf(en50) && en20.size < en50.size) // cutoff moves, assignment stable
     assert(kept(20, "fr") == kept(50, "fr"))             // other strata unaffected
   }
+
+  test("computed keep rate: literal-rate equivalence and monotone cutoff") {
+    val docs = (1 to 300).map(_.toLong).toDF("doc_id")
+    def keptAt(pct: org.apache.spark.sql.Column): Set[Long] = docs
+      .filter(Sampling.deterministicKeepAt(col("doc_id"), pct))
+      .collect().map(_.getLong(0)).toSet
+    // a constant computed rate IS the literal-rate sample
+    assert(keptAt(lit(25)) ==
+      docs.filter(Sampling.deterministicKeep(col("doc_id"), 25))
+        .collect().map(_.getLong(0)).toSet)
+    // row-dependent rates move each row's cutoff over ONE stable hash:
+    // rows under the lower rate survive any raise
+    val mixed = keptAt(when(col("doc_id") % 2 === 0, 10).otherwise(60))
+    assert(keptAt(lit(10)).filter(_ % 2 == 0).forall(mixed.contains))
+    assert(mixed.subsetOf(keptAt(lit(60))))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
