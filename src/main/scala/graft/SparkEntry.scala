@@ -1371,6 +1371,21 @@ object SparkEntry {
       Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = Cfg.kmeansK, iters = Cfg.kmeansIters)),
 
+    // Cluster-quality gate for k-means (the recall-gate counterpart for
+    // clustering): per-cluster size, mean cosine-to-centroid, and the
+    // worst member. A double sum of cosines is summation-order-dependent
+    // and unhashable — instead the 6-dp cosines are exact integers
+    // ×10^6, summed as longs (order-free), with ONE final division.
+    "sim_kmeans_quality" -> ((s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          Rounding.stable(
+            sum(round(col("cos") * 1000000).cast("long")).cast("double") /
+              (count(lit(1)) * lit(1000000.0)), 6).as("mean_cos"),
+          min(col("cos")).as("min_cos"))),
+
     // Semantic diversity sampling: k-means clusters → per-cluster
     // inverse-size keep rates (min(100, 100·target div n)) over the
     // stable content-keyed hash — dominant clusters downsampled toward
@@ -3560,6 +3575,17 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT vec_id, CAST(cid AS INT) AS cluster_id, cos
          |FROM a20 WHERE rn = 1""".stripMargin,
+
+    // Quantized-integer cosine sums (order-free) + one final division —
+    // see the Spark-side comment on sim_kmeans_quality.
+    "sim_kmeans_quality" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (SELECT vec_id, cid, cos FROM a20 WHERE rn = 1)
+         |SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |       ROUND(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+         |             / (count(*) * 1000000.0), 6) AS mean_cos,
+         |       min(cos) AS min_cos
+         |FROM asg GROUP BY 1""".stripMargin,
 
     // K-means assignment (shared CTEs above) → per-cluster inverse-size
     // keep rates (min(100, 100·target div n)) over the stable md5 hash
