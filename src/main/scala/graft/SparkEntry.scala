@@ -2086,9 +2086,13 @@ object SparkEntry {
 
   /** Similarity.kmeans unrolled for Cfg.kmeansIters = 2: seeds → assign
     * (a1) → fixed-point centroid update (c1) → final assign (a20; filter
-    * rn = 1 to consume). Shared by sim_kmeans and sim_diversity_sample.
+    * rn = 1 to consume). Shared by sim_kmeans, sim_kmeans_quality, and
+    * sim_diversity_sample. The require turns a Cfg.kmeansIters bump into
+    * a loud failure instead of three opaque hash mismatches.
     */
-  private lazy val KmeansCtes: String =
+  private lazy val KmeansCtes: String = {
+    require(Cfg.kmeansIters == 2,
+      s"KmeansCtes unrolls exactly 2 Lloyd passes; Cfg.kmeansIters=${Cfg.kmeansIters}")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
@@ -2110,6 +2114,7 @@ object SparkEntry {
        |  SELECT e.vec_id, c1.cid, ${sqlCos("e.v", "c1.cv")} AS cos,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
        |  FROM e CROSS JOIN c1)""".stripMargin
+  }
 
   private def lshBucketSql(v: String, numPlanes: Int, dim: Int): String =
     Similarity.hyperplanes(numPlanes, dim).map { w =>
@@ -3541,7 +3546,8 @@ object SparkEntry {
          |         CAST(sum(COALESCE(lm.w, 0)) AS BIGINT) AS bits
          |  FROM t LEFT JOIN lm USING (lang, token) GROUP BY 1, 2)
          |SELECT d.doc_id, d.lang, d.n_tokens,
-         |       ROUND(tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE), 4) AS nll_bits
+         |       ${Rounding.stableSql(
+               "tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE)", 4)} AS nll_bits
          |FROM d JOIN tot USING (lang)""".stripMargin,
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
@@ -3582,8 +3588,9 @@ object SparkEntry {
       s"""WITH $KmeansCtes,
          |asg AS (SELECT vec_id, cid, cos FROM a20 WHERE rn = 1)
          |SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n,
-         |       ROUND(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
-         |             / (count(*) * 1000000.0), 6) AS mean_cos,
+         |       ${Rounding.stableSql(
+               "CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)" +
+                 " / (count(*) * 1000000.0)", 6)} AS mean_cos,
          |       min(cos) AS min_cos
          |FROM asg GROUP BY 1""".stripMargin,
 

@@ -15,21 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** True for ~`pct`% of rows, keyed on the md5 of `key`'s string form —
-    * the first 12 hex chars parsed as a 48-bit integer, mod 100.
-    */
-  def deterministicKeep(key: Column, pct: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
-      .cast("long") % 100 < pct
-
-  /** SQL mirror of [[deterministicKeep]]. */
-  def keepSql(keyExpr: String, pct: Int): String =
-    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 < $pct"
-
   /** [[deterministicKeep]] with a COMPUTED per-row keep rate (a column,
     * e.g. inverse cluster size) over the same stable hash assignment —
     * rates stay independent knobs: changing one row's rate never
-    * reshuffles which hash slots any other row occupies.
+    * reshuffles which hash slots any other row occupies. This is THE
+    * definition of the keep hash (first 12 hex chars of md5 of the
+    * key's string form, as a 48-bit integer, mod 100); every other keep
+    * form delegates here so the scheme lives in one Scala + one SQL
+    * place.
     */
   def deterministicKeepAt(key: Column, pctCol: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
@@ -38,6 +31,16 @@ object Sampling {
   /** SQL mirror of [[deterministicKeepAt]]. */
   def keepAtSql(keyExpr: String, pctExpr: String): String =
     s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 < ($pctExpr)"
+
+  /** True for ~`pct`% of rows — the literal-rate form of
+    * [[deterministicKeepAt]].
+    */
+  def deterministicKeep(key: Column, pct: Int): Column =
+    deterministicKeepAt(key, lit(pct))
+
+  /** SQL mirror of [[deterministicKeep]]. */
+  def keepSql(keyExpr: String, pct: Int): String =
+    keepAtSql(keyExpr, pct.toString)
 
   /** Stratified deterministic sampling: a per-stratum keep rate (the
     * curation move that downsamples dominant languages/sources while
@@ -51,15 +54,13 @@ object Sampling {
     val cutoff = pcts.foldLeft(when(lit(false), defaultPct)) {
       case (acc, (s, p)) => acc.when(stratum === s, p)
     }.otherwise(defaultPct)
-    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
-      .cast("long") % 100 < cutoff
+    deterministicKeepAt(key, cutoff)
   }
 
   /** SQL mirror of [[stratifiedKeep]]. */
   def stratifiedKeepSql(keyExpr: String, stratumExpr: String,
       pcts: Map[String, Int], defaultPct: Int): String = {
     val cases = pcts.map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
-    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100 " +
-      s"< (CASE $stratumExpr $cases ELSE $defaultPct END)"
+    keepAtSql(keyExpr, s"CASE $stratumExpr $cases ELSE $defaultPct END")
   }
 }

@@ -119,13 +119,19 @@ object SentimentInference {
         val model = modelFactory() // once per partition, like the lazy pipeline load
         // one limiter per PARTITION: task-local pacing, no cross-task lock
         val limiter = new graft.sources.Resilience.RateLimiter(minCallIntervalMillis)
-        def callModel(live: Seq[String]): Seq[(String, Double)] = {
+        // acquire INSIDE the retried thunk: every attempt — not just the
+        // first — is paced, and the limiter's slot advances across a
+        // retry storm (news.py:128's sleep sits inside the decorated
+        // call, so the reference paces per attempt too)
+        def attempt(live: Seq[String]): Seq[(String, Double)] = {
           limiter.acquire()
-          retry match {
-            case Some(p) => graft.sources.Resilience.withRetry(p)(model.scoreBatch(live))
-            case None => model.scoreBatch(live)
-          }
+          model.scoreBatch(live)
         }
+        def callModel(live: Seq[String]): Seq[(String, Double)] =
+          retry match {
+            case Some(p) => graft.sources.Resilience.withRetry(p)(attempt(live))
+            case None => attempt(live)
+          }
         // close-with-partition: the output iterator is lazy, so the only
         // correct hook is task completion (runs after the iterator is
         // drained OR the task dies — either way the native handle frees)

@@ -209,17 +209,11 @@ object Similarity {
         .select(col("vec_id"), col("b.cid").as("cid"), col("b.v").as("v"),
           col("b.cos").as("cos"))
 
+    // the M step IS labelCentroids with the assignment as the label —
+    // one copy of the fixed-point trick to keep in sync
     def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-        .select(col("cid"), col("i"), round(col("x") * scale).cast("long").as("q"))
-        .groupBy(col("cid"), col("i"))
-        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("i"),
-          (col("sq").cast("double") / (col("n") * scale.toDouble)).as("x"))))
-          .as("arr"))
-        .select(col("cid"), transform(col("arr"), s => s.getField("x")).as("cv"))
+      labelCentroids(assigned, "cid", "v", scale)
+        .select(col("clabel").as("cid"), col("cv"))
 
     var assigned = assign(init)
     for (_ <- 2 to iters) assigned = assign(update(assigned))

@@ -219,11 +219,16 @@ object TextAnalysis {
       .select(col(idCol), col(langCol), col(textCol), refPred.as("__ref"))
       .select(col(idCol), col(langCol),
         explode(split(col(textCol), " ")).as("token"), col("__ref"))
-    val ref = toks.filter(col("__ref")).select(col(langCol), col("token"))
-    val lm = ref.groupBy(col(langCol), col("token"))
-      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("w"))
-    val tot = ref.groupBy(col(langCol))
-      .agg((length(bin(count(lit(1)))) - 1).cast("long").as("tbits"))
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    // one reference-slice pass: the (lang, token) counts are staged
+    // (lazily) and feed BOTH the per-token weights and — summed per
+    // language over |vocab| rows — the total-token bit lengths, instead
+    // of re-exploding the reference slice for each
+    val lmCounts = toks.filter(col("__ref"))
+      .groupBy(col(langCol), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val lm = lmCounts.select(col(langCol), col("token"), bits(col("c")).as("w"))
+    val tot = lmCounts.groupBy(col(langCol)).agg(bits(sum(col("c"))).as("tbits"))
     toks.join(lm, Seq(langCol, "token"), "left")
       .groupBy(col(idCol), col(langCol))
       .agg(count(lit(1)).as("n_tokens"),
