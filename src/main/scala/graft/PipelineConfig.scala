@@ -55,6 +55,11 @@ final case class PipelineConfig(
     shardBucketSize: Long = 100L,
     // unigram-LM fluency reference slice: docs with doc_id % mod == 0
     lmRefMod: Int = 10,
+    // CCNet-style perplexity buckets: head < fluencyHead <= middle <
+    // fluencyMid <= tail (fixed thresholds — exact comparisons, no
+    // percentile interpolation in the hash)
+    fluencyHead: Double = 4.8,
+    fluencyMid: Double = 5.2,
     // embedding k-means (sim_kmeans); the oracle SQL unrolls exactly
     // kmeansIters assignment passes — keep them in sync
     kmeansK: Int = 4,

@@ -1351,6 +1351,22 @@ object SparkEntry {
       TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "lang",
         "text", pmod(col("doc_id"), lit(Cfg.lmRefMod.toLong)) === 0L)),
 
+    // CCNet's selection step on those scores: head/middle/tail buckets
+    // at fixed surprisal thresholds, sized in docs and tokens per
+    // language — the report a curation run uses to pick how much of
+    // each bucket to keep. Exact comparisons on the stable-rounded
+    // score; one extra hash aggregate over the scored frame.
+    "ta_lm_buckets" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(Tables.documents(s, dir), "doc_id", "lang",
+          "text", pmod(col("doc_id"), lit(Cfg.lmRefMod.toLong)) === 0L)
+        .withColumn("bucket",
+          when(col("nll_bits") < Cfg.fluencyHead, "head")
+            .when(col("nll_bits") < Cfg.fluencyMid, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))),
+
     // Nearest-centroid classification over embeddings: fixed-point
     // (order-independent) per-label centroids, broadcast to a partition-
     // local scoring scan, argmax via one map-side-combinable max_by
@@ -2083,6 +2099,29 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
   private def sqlCos(a: String, b: String) =
     s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+
+  /** TextAnalysis.lmSurprisal as CTEs ending in
+    * `fl(doc_id, lang, n_tokens, nll_bits)` — shared by ta_lm_fluency
+    * and ta_lm_buckets.
+    */
+  private lazy val LmFluencyCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |r AS (SELECT lang, token FROM t WHERE doc_id % ${Cfg.lmRefMod} = 0),
+       |lm AS (SELECT lang, token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS w
+       |       FROM r GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(length(bin(count(*))) - 1 AS BIGINT) AS tbits
+       |        FROM r GROUP BY 1),
+       |d AS (
+       |  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(COALESCE(lm.w, 0)) AS BIGINT) AS bits
+       |  FROM t LEFT JOIN lm USING (lang, token) GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT d.doc_id, d.lang, d.n_tokens,
+       |         ${Rounding.stableSql(
+             "tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE)", 4)} AS nll_bits
+       |  FROM d JOIN tot USING (lang))""".stripMargin
 
   /** Similarity.kmeans unrolled for Cfg.kmeansIters = 2: seeds → assign
     * (a1) → fixed-point centroid update (c1) → final assign (a20; filter
@@ -3533,22 +3572,21 @@ object SparkEntry {
     // (length(bin(count))-1 — a string-length op, exact in both
     // engines), one final IEEE division, 4-dp round.
     "ta_lm_fluency" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |r AS (SELECT lang, token FROM t WHERE doc_id % ${Cfg.lmRefMod} = 0),
-         |lm AS (SELECT lang, token, CAST(length(bin(count(*))) - 1 AS BIGINT) AS w
-         |       FROM r GROUP BY 1, 2),
-         |tot AS (SELECT lang, CAST(length(bin(count(*))) - 1 AS BIGINT) AS tbits
-         |        FROM r GROUP BY 1),
-         |d AS (
-         |  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
-         |         CAST(sum(COALESCE(lm.w, 0)) AS BIGINT) AS bits
-         |  FROM t LEFT JOIN lm USING (lang, token) GROUP BY 1, 2)
-         |SELECT d.doc_id, d.lang, d.n_tokens,
-         |       ${Rounding.stableSql(
-               "tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE)", 4)} AS nll_bits
-         |FROM d JOIN tot USING (lang)""".stripMargin,
+      s"""WITH $LmFluencyCtes
+         |SELECT doc_id, lang, n_tokens, nll_bits FROM fl""".stripMargin,
+
+    // Fluency scores (shared CTEs) → fixed head/middle/tail thresholds:
+    // exact double comparisons on the stable-rounded score, so no
+    // percentile-interpolation drift can enter the hash.
+    "ta_lm_buckets" ->
+      s"""WITH $LmFluencyCtes
+         |SELECT lang,
+         |       CASE WHEN nll_bits < ${Cfg.fluencyHead} THEN 'head'
+         |            WHEN nll_bits < ${Cfg.fluencyMid} THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM fl GROUP BY 1, 2""".stripMargin,
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the
