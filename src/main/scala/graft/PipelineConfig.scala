@@ -65,7 +65,10 @@ final case class PipelineConfig(
     kmeansK: Int = 4,
     kmeansIters: Int = 2,
     // per-cluster row target for diversity sampling (sim_diversity_sample)
-    diversityTarget: Int = 50) {
+    diversityTarget: Int = 50,
+    // blocked record linkage (j6_fuzzy_join): inclusive edit-distance
+    // threshold for the banded levenshtein
+    fuzzyMaxDist: Int = 3) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

@@ -48,6 +48,19 @@ class ExplainAuditSpec extends SparkSpec {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j6_fuzzy_join: distinct-collapse feeds an EQUI-join on the block key, never all-pairs") {
+    val p = plan("j6_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"fuzzy linkage went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"fuzzy linkage plans a BNLJ:\n$p")
+    // the name<name / length / levenshtein predicates stay post-join
+    // filters on an equi-join keyed by the block — visible as a join
+    // whose key set includes `block`
+    assert(p.contains("block"), s"block key missing from the join:\n$p")
+    // the quadratic stage runs over the DISTINCT name domain: both join
+    // inputs aggregate before joining
+    assert("HashAggregate".r.findAllMatchIn(p).nonEmpty)
+  }
+
   test("ANN top-k ranks via a partial-aggregated ObjectHashAggregate, not a window sort") {
     for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_sq_ann", "sim_pq_ann")) {
       val p = plan(q)

@@ -296,6 +296,54 @@ class SessionsSpec extends SparkSpec {
   }
 }
 
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val names = Seq(
+    ("cold anvil", 30L), ("old anvil", 30L), ("red anvil", 31L),
+    ("blue anvil", 26L), ("red bear", 7L))
+    .toDF("name", "n_parts")
+
+  test("linkage finds within-block pairs up to maxDist, each once, name_a < name_b") {
+    val out = Fuzzy.linkage(names, "name", Seq("n_parts"), maxDist = 3)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(out(("cold anvil", "old anvil")) == 1L)   // one deletion
+    assert(out(("old anvil", "red anvil")) == 2L)
+    assert(out(("blue anvil", "old anvil")) == 3L)
+    assert(out.keys.forall { case (a, b) => a < b })          // canonical order
+    assert(!out.keys.exists { case (a, b) => a == b })        // no self-pairs
+  }
+
+  test("blocking is recall-bounding by design: cross-block near-names never pair") {
+    // "red anvil" vs "red bear": distance 4 > 3 anyway, but also different
+    // blocks — and a hypothetical 1-edit final-token pair would be missed
+    // too. The oracle blocks identically, so the miss is cross-engine.
+    val out = Fuzzy.linkage(names, "name", Seq("n_parts"), maxDist = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(!out.exists { case (a, b) => a.endsWith("bear") || b.endsWith("bear") })
+  }
+
+  test("length prefilter and banded levenshtein are pure pruning vs the brute form") {
+    val brute = names.as("a").join(names.as("b"),
+        Fuzzy.lastTokenBlock(col("a.name")) === Fuzzy.lastTokenBlock(col("b.name")) &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name"), col("b.name"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val linked = Fuzzy.linkage(names, "name", Seq("n_parts"), maxDist = 3)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(linked == brute)
+  }
+
+  test("payload columns ride along per side") {
+    val row = Fuzzy.linkage(names, "name", Seq("n_parts"), maxDist = 3)
+      .filter(col("name_a") === "cold anvil" && col("name_b") === "old anvil")
+      .collect().head
+    assert(row.getLong(4) == 30L && row.getLong(5) == 30L)
+  }
+}
+
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
