@@ -317,6 +317,64 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: C(a→b) = |Sh(a)∩Sh(b)| / |Sh(a)|
+    * over distinct word-3-gram shingle sets — the quote/boilerplate
+    * detector. Symmetric-Jaccard dedup structurally MISSES these pairs
+    * (a short excerpt inside a long doc has J = |a|/|b| ≈ 0, so no band
+    * collides), and minhash cannot estimate containment at all: the
+    * signature-agreement probability IS the symmetric Jaccard. Candidate
+    * generation therefore runs on an INVERTED SHINGLE INDEX instead:
+    * docs sharing any indexed shingle are candidates, then exact
+    * containment verifies — an excerpt shares ALL its shingles with its
+    * source, so true containments always surface (subject only to the
+    * df cap below, which the oracle mirrors).
+    *
+    * Scale shape: the posting list is |doc|×|shingles-per-doc| rows of
+    * (id, 48-bit shingle) — narrow, explode-only. Its self-join fans out
+    * df² pairs per shingle, so ubiquitous shingles (boilerplate, empty-ish
+    * docs) are dropped from the INDEX when their document frequency
+    * exceeds `dfCap` — the same quadratic guard as the LSH hot-bucket cap,
+    * implemented as the same window count that rides the join's own
+    * hash-partitioning on `g` (no extra exchange; plan-asserted). The
+    * verify stage re-joins the checkpointed shingle frame per side and
+    * intersects SORTED arrays (candidate volume here is posting-join
+    * sized, where the native merge pays — see
+    * [[sortedShingleValuesFromTokens]]).
+    *
+    * @param dfCap drop shingles appearing in more than this many docs
+    *              from candidate generation (their pairs can still
+    *              surface via rarer shared shingles)
+    * @return (doc_a, doc_b, containment) — doc_a's shingles covered by
+    *         doc_b at ratio >= threshold, both directions reported
+    *         independently (containment is not symmetric).
+    */
+  def containmentPairs(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      dfCap: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one tokenize+md5+sort pass, read by the posting explode and both
+    // verify sides
+    val d = docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+      .select(col("id"), sortedShingleValuesFromTokens(col("tv")).as("sh"))
+      .localCheckpoint(eager = false)
+    val post = d.select(col("id"), explode(col("sh")).as("g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__df") <= dfCap).drop("__df")
+    val cand = post.select(col("id").as("doc_a"), col("g"))
+      .join(post.select(col("id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(d.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("containment", Rounding.stable(
+        intersectCount(spark, col("sh_a"), col("sh_b")).cast("double") /
+          size(col("sh_a")), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation — the canonicalization step a real
     * curation pipeline runs after pair generation (pairs say "a≈b";
