@@ -67,8 +67,10 @@ final case class PipelineConfig(
     // per-cluster row target for diversity sampling (sim_diversity_sample)
     diversityTarget: Int = 50,
     // blocked record linkage (j6_fuzzy_join): inclusive edit-distance
-    // threshold for the banded levenshtein
-    fuzzyMaxDist: Int = 3) {
+    // threshold for the banded levenshtein, plus the hot-block guard
+    // (blocks above this size are dropped from pair generation)
+    fuzzyMaxDist: Int = 3,
+    fuzzyMaxBlock: Int = graft.operators.Fuzzy.DefaultMaxBlock) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

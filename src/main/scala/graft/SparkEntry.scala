@@ -1276,15 +1276,17 @@ object SparkEntry {
     // order: collapse the fact stream to DISTINCT names first (the
     // quadratic term then depends on the name domain, not the table),
     // block on the last token (equi-join, hash-partitioned — never
-    // all-pairs), length-prefilter (pure pruning: every edit moves
-    // length by ≤ 1), and compare with the BANDED 3-arg levenshtein
-    // (O(maxDist·n) per pair). Payload: per-name part counts, so the
-    // linkage is actionable as a merge plan.
+    // all-pairs) with the hot-block cap dropping degenerate shared-
+    // final-token blocks before the quadratic stage, length-prefilter
+    // (pure pruning: every edit moves length by ≤ 1), and compare with
+    // the BANDED 3-arg levenshtein (O(maxDist·n) per pair). Payload:
+    // per-name part counts, so the linkage is actionable as a merge plan.
     "j6_fuzzy_join" -> ((s, dir) => {
       val names = Tables.part(s, dir)
         .groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_parts"))
-      Fuzzy.linkage(names, "name", Seq("n_parts"), Cfg.fuzzyMaxDist)
+      Fuzzy.linkage(names, "name", Seq("n_parts"), Cfg.fuzzyMaxDist,
+        Cfg.fuzzyMaxBlock)
     }),
 
     // The SQL surface — temp views + spark.sql with a CORRELATED scalar
@@ -3569,14 +3571,19 @@ object SparkEntry {
         |       coalesce(n_without_orders, 0) AS n_without_orders
         |FROM with_o FULL OUTER JOIN without_o USING (c_nationkey)""".stripMargin,
 
-    // Same blocking as the plan (string_split(...)[-1]); no length
-    // prefilter — it is pure pruning on the Spark side.
+    // Same blocking as the plan (string_split(...)[-1]) and the same
+    // hot-block cap (blocks above fuzzyMaxBlock drop before pairing);
+    // no length prefilter — it is pure pruning on the Spark side.
     "j6_fuzzy_join" ->
       s"""WITH names AS (
          |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
          |  FROM part GROUP BY 1),
          |blocked AS (
-         |  SELECT string_split(name, ' ')[-1] AS block, name, n_parts FROM names)
+         |  SELECT block, name, n_parts FROM (
+         |    SELECT string_split(name, ' ')[-1] AS block, name, n_parts,
+         |           count(*) OVER (PARTITION BY string_split(name, ' ')[-1]) AS bn
+         |    FROM names)
+         |  WHERE bn <= ${Cfg.fuzzyMaxBlock})
          |SELECT a.block, a.name AS name_a, b.name AS name_b,
          |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
          |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance record linkage (graft-native extension).
@@ -39,6 +40,16 @@ object Fuzzy {
   def lastTokenBlock(name: Column): Column =
     element_at(split(name, " "), -1)
 
+  /** Hot-block guard (same failure mode as [[Dedup.DefaultMaxBucket]]):
+    * pair volume within a block is |block|², so one degenerate blocking
+    * key — exactly the shared-final-token "Ltd"/"Inc" family T6 strips —
+    * turns one task quadratic. Blocks larger than this are dropped from
+    * linkage entirely (their members surface nothing; the recall gate
+    * `j6_fuzzy_recall` measures the miss, and the constant is mirrored
+    * literally in the DuckDB oracle so the hash check stays exact).
+    */
+  val DefaultMaxBlock = 1000
+
   /** Distinct-value linkage over a pre-collapsed entity frame.
     *
     * @param entities one row per DISTINCT entity value (callers collapse
@@ -47,14 +58,25 @@ object Fuzzy {
     * @param nameCol  the string column to link on
     * @param payload  payload column names, emitted as `<c>_a` / `<c>_b`
     * @param maxDist  inclusive levenshtein threshold
+    * @param maxBlock drop blocks holding more than this many distinct
+    *                 values (the quadratic guard — see [[DefaultMaxBlock]])
     * @param blockFn  blocking function (edit-invariant region → key)
     * @return (block, name_a, name_b, dist, payload_a..., payload_b...)
     *         with `name_a < name_b` — each linked pair once.
     */
   def linkage(entities: DataFrame, nameCol: String, payload: Seq[String],
-      maxDist: Int, blockFn: Column => Column = lastTokenBlock): DataFrame = {
-    def side(tag: String) = entities.select(
-      blockFn(col(nameCol)).as("block") +:
+      maxDist: Int, maxBlock: Int = DefaultMaxBlock,
+      blockFn: Column => Column = lastTokenBlock): DataFrame = {
+    // the cap's window count hash-partitions on the block key — the
+    // same partitioning the self-join below needs, so in the
+    // shuffle-join regime (any name domain too big to broadcast, i.e.
+    // whenever the guard matters) the cap rides the join's own exchange
+    val blocked = entities
+      .withColumn("block", blockFn(col(nameCol)))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("block"))))
+      .filter(col("__bn") <= maxBlock)
+    def side(tag: String) = blocked.select(
+      col("block") +:
         col(nameCol).as(s"name_$tag") +:
         payload.map(c => col(c).as(s"${c}_$tag")): _*)
     val a = side("a")

@@ -56,9 +56,17 @@ class ExplainAuditSpec extends SparkSpec {
     // filters on an equi-join keyed by the block — visible as a join
     // whose key set includes `block`
     assert(p.contains("block"), s"block key missing from the join:\n$p")
-    // the quadratic stage runs over the DISTINCT name domain: both join
-    // inputs aggregate before joining
-    assert("HashAggregate".r.findAllMatchIn(p).nonEmpty)
+    // the quadratic stage runs over the DISTINCT name domain: EACH join
+    // subtree carries its own partial+final distinct-collapse pair
+    // (4 HashAggregates total — the subtrees don't exchange-reuse here
+    // because the build side materializes through a BroadcastExchange),
+    // so a collapse pushed after the join or dropped on one side fails
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 4,
+      s"distinct-collapse missing from a join subtree:\n$p")
+    // the hot-block cap rides each subtree as a window count over the
+    // block key — the join's own partitioning, no extra quadratic stage
+    assert("Window".r.findAllMatchIn(p).size >= 2,
+      s"hot-block cap window missing from a join subtree:\n$p")
   }
 
   test("ANN top-k ranks via a partial-aggregated ObjectHashAggregate, not a window sort") {

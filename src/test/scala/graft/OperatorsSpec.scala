@@ -342,6 +342,28 @@ class FuzzySpec extends SparkSpec {
       .collect().head
     assert(row.getLong(4) == 30L && row.getLong(5) == 30L)
   }
+
+  test("hot-block cap: a degenerate all-same-last-token block drops whole") {
+    // the exact failure the cap exists for: every name shares the final
+    // token (the "Ltd"/"Inc" family), so one block holds the whole
+    // domain and the pair stage would be |domain|² in a single task
+    val corp = (0 until 10).map(i => (s"name $i corp", 1L))
+    val mixed = spark.createDataFrame(
+      names.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ++ corp)
+      .toDF("name", "n_parts")
+    val capped = Fuzzy.linkage(mixed, "name", Seq("n_parts"),
+      maxDist = 3, maxBlock = 5)
+    // the 10-resident corp block exceeds the cap → contributes nothing
+    assert(capped.filter(col("block") === "corp").count() == 0)
+    // blocks under the cap are untouched: identical to the uncapped run
+    val expect = Fuzzy.linkage(names, "name", Seq("n_parts"), maxDist = 3)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(capped.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet == expect)
+    // a cap wide enough for everything = no cap at all
+    assert(Fuzzy.linkage(mixed, "name", Seq("n_parts"), maxDist = 3,
+      maxBlock = 100).filter(col("block") === "corp").count() > 0)
+  }
 }
 
 class TextSpec extends SparkSpec {
@@ -628,6 +650,7 @@ class PipelineConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c.nSig == c.numBands * c.rowsPerBand && c.nSig == 12)
     assert(c.asOfSql == s"TIMESTAMP '${c.asOf}'")
     assert(c.maxBucket == graft.operators.Dedup.DefaultMaxBucket)
+    assert(c.fuzzyMaxBlock == graft.operators.Fuzzy.DefaultMaxBlock)
   }
 
   test("variants are plain copies — no hidden global state") {
