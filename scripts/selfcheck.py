@@ -18,7 +18,13 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+onames = [p for p in (f"{out_dir}/oracle_sql.json",
+                      f"{out_dir}/oracle_sql.partial.json") if os.path.exists(p)]
+if not onames:
+    sys.exit(f"no oracle_sql[.partial].json under {out_dir}")
+if onames[0].endswith("partial.json"):
+    print("NOTE: checking a PARTIAL (SPARK_GRAFT_ONLY) dump")
+oracle = json.load(open(onames[0]))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)

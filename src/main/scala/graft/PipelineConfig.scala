@@ -43,6 +43,11 @@ final case class PipelineConfig(
     rowsPerBand: Int = 3,
     nearDupThreshold: Double = 0.8,
     maxBucket: Int = Dedup.DefaultMaxBucket,
+    // asymmetric containment dedup (dedup_containment): shingles above
+    // this document frequency leave the inverted index (the quadratic
+    // guard), and pairs keep at this containment ratio
+    containmentDfCap: Int = 100,
+    containmentThreshold: Double = 0.8,
     // curation quality gate (e3/e5) and token-length keep-range
     qualityMin: Double = 0.2,
     minWsTokens: Int = 5,

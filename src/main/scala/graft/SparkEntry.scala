@@ -974,6 +974,17 @@ object SparkEntry {
           col("jaccard_1gram"), col("jaccard_3gram"))
     }),
 
+    // Asymmetric containment near-dup over an inverted shingle index —
+    // the quote/boilerplate detector symmetric Jaccard structurally
+    // misses (an excerpt inside a long doc has J ≈ |a|/|b| ≈ 0, so no
+    // band ever collides). Candidates are docs sharing any indexed
+    // shingle, with ubiquitous shingles df-capped OUT of the index (the
+    // same quadratic guard as the LSH hot-bucket cap); exact containment
+    // then verifies on sorted-array intersects.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(s, Tables.documents(s, dir), "doc_id", "text",
+        Cfg.containmentDfCap, Cfg.containmentThreshold)),
+
     // Brute-force cosine top-k over embeddings (the ANN baseline): query
     // side broadcast, corpus scan partition-local, dot products in
     // codegen'd array expressions.
@@ -2804,6 +2815,29 @@ object SparkEntry {
         |       round((len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))) * 10000) / 10000 AS jaccard_3gram
         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE round((len(list_intersect(a.tok, b.tok))::DOUBLE / len(list_distinct(a.tok || b.tok))) * 10000) / 10000 >= 0.5""".stripMargin,
+
+    // Same shingle construction as the plan; the df cap filters the
+    // posting list identically (count over the shingle key), and the
+    // containment ratio divides by the A side's shingle count only —
+    // the relation is asymmetric and both directions report.
+    "dedup_containment" ->
+      s"""WITH tvals AS (
+         |  SELECT doc_id, $TokenValsSql AS tv FROM documents),
+         |d AS (
+         |  SELECT doc_id, $ShingleValsSql AS sh FROM tvals),
+         |post AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+         |    FROM (SELECT doc_id, unnest(sh) AS g FROM d) p0)
+         |  WHERE df <= ${Cfg.containmentDfCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id)
+         |SELECT cand.doc_a, cand.doc_b,
+         |       ${Rounding.stableSql("len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh)", 4)} AS containment
+         |FROM cand JOIN d da ON da.doc_id = cand.doc_a
+         |          JOIN d db ON db.doc_id = cand.doc_b
+         |WHERE ${Rounding.stableSql("len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh)", 4)} >= ${Cfg.containmentThreshold}""".stripMargin,
 
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

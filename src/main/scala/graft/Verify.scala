@@ -71,7 +71,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset dump goes to a DISTINCT file: if a stale outDir from a
+    // filtered dev run were later consumed by the full driver gate, a
+    // filtered oracle_sql.json would silently check fewer queries.
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

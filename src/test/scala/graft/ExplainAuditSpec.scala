@@ -38,7 +38,7 @@ class ExplainAuditSpec extends SparkSpec {
   test("banded/bucketed candidate generation never plans a cross product") {
     for (q <- Seq("dedup_minhash", "dedup_incremental", "dedup_ngram_jaccard",
         "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "dedup_exact",
-        "st5_neardedup_scan")) {
+        "dedup_containment", "st5_neardedup_scan")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
@@ -374,6 +374,25 @@ class ExplainAuditSpec extends SparkSpec {
           "Sort \\[".r.findAllMatchIn(p).size)
       }
       assert(shape(10) == shape(Int.MaxValue))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("containment df-cap window rides the posting join's own partitioning on g") {
+    // In the shuffle-join regime the posting self-join needs one
+    // hashpartitioning(g) exchange per side; the df-cap window partitions
+    // by the same g, so EnsureRequirements reuses those — exactly 2
+    // g-exchanges total, and never a cross product (the whole point of
+    // the inverted index over all-pairs).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = operators.Dedup.containmentPairs(spark,
+          Tables.documents(spark, sf), "doc_id", "text",
+          dfCap = 100, threshold = 0.8)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"containment went all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"containment plans a BNLJ:\n$p")
+      assert("Exchange hashpartitioning\\(g#".r.findAllMatchIn(p).size == 2,
+        s"df-cap window stacked an extra g-exchange on the posting join:\n$p")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }

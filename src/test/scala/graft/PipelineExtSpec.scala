@@ -144,6 +144,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == default)
   }
 
+  test("containment finds the excerpt symmetric jaccard misses; df cap bounds the index") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (2L, "w5 w6 w7 w8 w9 w10"),  // excerpt of 1: all its shingles ⊂ 1's
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(spark, corpus, "doc_id", "text",
+        dfCap = 100, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the excerpt is fully contained: C(2→1) = 1.0; the reverse
+    // direction covers only 4 of 14 shingles and stays below threshold,
+    // as does the unrelated doc — asymmetry is the point
+    assert(out == Map((2L, 1L) -> 1.0))
+    // symmetric jaccard on the same pair: 4/14 shingles shared ≈ 0.29 —
+    // under any production threshold, which is why bands never catch it
+    // df cap 1: every shared shingle has df=2 > 1, so the index empties
+    assert(Dedup.containmentPairs(spark, corpus, "doc_id", "text",
+      dfCap = 1, threshold = 0.8).count() == 0)
+  }
+
   test("minhashPairs with precomputed signatures or shingle frames matches the self-derived path") {
     val self = Dedup.minhashPairs(docs, "doc_id", "text",
       numBands = 6, rowsPerBand = 2, threshold = 0.3)
