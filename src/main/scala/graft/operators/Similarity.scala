@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`): exact
@@ -193,12 +192,16 @@ object Similarity {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    // TakeOrderedAndProject for the k seed rows; the numbering window
-    // then runs over k rows in one partition, never the corpus
+    // TakeOrderedAndProject for the k seed rows; numbering is one
+    // k-row aggregate (sorted collect + posexplode) — same cids as a
+    // row_number over vec_id, but no global window (a partition-less
+    // WindowExec moves data to one partition and warns per
+    // construction, flooding bench stderr; constant partition keys get
+    // folded away, so an aggregate is the clean single-partition form)
     val init = e.orderBy(col("vec_id")).limit(k)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cid"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("s"))
+      .select(posexplode(col("s")).as(Seq("cid", "sv")))
+      .select(col("cid").cast("int").as("cid"), col("sv.v").as("cv"))
 
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
