@@ -75,7 +75,11 @@ final case class PipelineConfig(
     // threshold for the banded levenshtein, plus the hot-block guard
     // (blocks above this size are dropped from pair generation)
     fuzzyMaxDist: Int = 3,
-    fuzzyMaxBlock: Int = graft.operators.Fuzzy.DefaultMaxBlock) {
+    fuzzyMaxBlock: Int = graft.operators.Fuzzy.DefaultMaxBlock,
+    // recall gate (j6_fuzzy_recall): the bounded ground-truth slice —
+    // distinct names from parts with p_partkey at or below this, so the
+    // all-pairs truth join stays O(slice²) at ANY corpus scale
+    fuzzyRecallKeys: Long = 500L) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

@@ -1300,6 +1300,43 @@ object SparkEntry {
         Cfg.fuzzyMaxBlock)
     }),
 
+    // Recall gate for the blocked linkage (the sim_lsh_recall pattern):
+    // last-token blocking misses pairs whose edits touch the final token
+    // BY DESIGN — this measures the miss instead of asserting it away.
+    // Ground truth is the unblocked banded-levenshtein join over a
+    // BOUNDED name slice (p_partkey <= fuzzyRecallKeys pushes to the
+    // scan, so the all-pairs truth term is O(slice²) at any corpus
+    // size). missed_cross_block counts truth pairs whose last tokens
+    // differ — hash-equal to missed_pairs exactly when the blocked path
+    // found every same-block pair, so the row cross-checks the linkage
+    // plumbing (length prefilter, banding) as well as measuring recall.
+    "j6_fuzzy_recall" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .filter(col("p_partkey") <= Cfg.fuzzyRecallKeys)
+        .select(col("p_name").as("name")).distinct()
+      val truth = names.select(col("name").as("name_a"))
+        .join(broadcast(names.select(col("name").as("name_b"))),
+          col("name_a") < col("name_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b")))
+          <= Cfg.fuzzyMaxDist)
+        .filter(levenshtein(col("name_a"), col("name_b"), Cfg.fuzzyMaxDist) >= 0)
+        .withColumn("cross_block",
+          (Fuzzy.lastTokenBlock(col("name_a")) =!=
+            Fuzzy.lastTokenBlock(col("name_b"))).cast("long"))
+        .agg(count(lit(1)).as("true_pairs"),
+          coalesce(sum(col("cross_block")), lit(0L)).as("missed_cross_block"))
+      val found = Fuzzy
+        .linkage(names, "name", Seq.empty, Cfg.fuzzyMaxDist, Cfg.fuzzyMaxBlock)
+        .agg(count(lit(1)).as("found_pairs"))
+      truth.crossJoin(found)
+        .withColumn("missed_pairs", col("true_pairs") - col("found_pairs"))
+        .withColumn("recall_pct_floor",
+          when(col("true_pairs") === 0, lit(100L))
+            .otherwise(expr("found_pairs * 100L div true_pairs")))
+        .select("true_pairs", "found_pairs", "missed_pairs",
+          "missed_cross_block", "recall_pct_floor")
+    }),
+
     // The SQL surface — temp views + spark.sql with a CORRELATED scalar
     // subquery (TPC-H Q17 shape): Catalyst decorrelates the per-part
     // average into an aggregate + join (no per-row re-execution, which
@@ -3623,6 +3660,39 @@ object SparkEntry {
          |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
          |FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
          |WHERE levenshtein(a.name, b.name) <= ${Cfg.fuzzyMaxDist}""".stripMargin,
+
+    // Blocking is identical to j6_fuzzy_join's; the truth join is
+    // unblocked over the same bounded slice. Integer counts only.
+    "j6_fuzzy_recall" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT p_name AS name FROM part
+         |  WHERE p_partkey <= ${Cfg.fuzzyRecallKeys}),
+         |truth AS (
+         |  SELECT CASE WHEN string_split(a.name,' ')[-1] <> string_split(b.name,' ')[-1]
+         |              THEN 1 ELSE 0 END AS cb
+         |  FROM names a JOIN names b ON a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= ${Cfg.fuzzyMaxDist}),
+         |blocked AS (
+         |  SELECT name, block FROM (
+         |    SELECT name, string_split(name, ' ')[-1] AS block,
+         |           count(*) OVER (PARTITION BY string_split(name, ' ')[-1]) AS bn
+         |    FROM names)
+         |  WHERE bn <= ${Cfg.fuzzyMaxBlock}),
+         |f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS found_pairs
+         |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <= ${Cfg.fuzzyMaxDist}),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+         |         CAST(coalesce(sum(cb), 0) AS BIGINT) AS missed_cross_block
+         |  FROM truth)
+         |SELECT t.true_pairs, f.found_pairs,
+         |       CAST(t.true_pairs - f.found_pairs AS BIGINT) AS missed_pairs,
+         |       t.missed_cross_block,
+         |       CAST(CASE WHEN t.true_pairs = 0 THEN 100
+         |            ELSE f.found_pairs * 100 // t.true_pairs END AS BIGINT)
+         |         AS recall_pct_floor
+         |FROM t, f""".stripMargin,
 
     "ta_repetition" ->
       (s"WITH ${tokenCountCtes("documents")},\n$BigramCtes\n" +

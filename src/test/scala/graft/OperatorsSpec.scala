@@ -343,6 +343,20 @@ class FuzzySpec extends SparkSpec {
     assert(row.getLong(4) == 30L && row.getLong(5) == 30L)
   }
 
+  test("j6_fuzzy_recall: counts reconcile; misses are EXACTLY the cross-block pairs") {
+    val r = SparkEntry.queries("j6_fuzzy_recall")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (t, f, m, cb, pct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(t == f + m, s"found + missed != truth: $r")
+    // every miss is a final-token edit — i.e. the linkage plumbing
+    // (length prefilter, banding, cap) loses nothing WITHIN a block
+    assert(m == cb, s"in-block pair lost by the linkage plumbing: $r")
+    assert(pct == f * 100 / t)
+    // non-vacuous at sf0.001: both found and missed pairs exist
+    assert(t > 0 && f > 0 && m > 0, s"vacuous recall slice: $r")
+  }
+
   test("hot-block cap: a degenerate all-same-last-token block drops whole") {
     // the exact failure the cap exists for: every name shares the final
     // token (the "Ltd"/"Inc" family), so one block holds the whole
