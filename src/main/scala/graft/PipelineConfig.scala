@@ -69,6 +69,12 @@ final case class PipelineConfig(
     // kmeansIters assignment passes — keep them in sync
     kmeansK: Int = 4,
     kmeansIters: Int = 2,
+    // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
+    // and the deterministic first-component delta that fakes a
+    // "re-embedded paraphrase" of each vector (unit-norm corpus → the
+    // paraphrase lands at cos ≈ 0.98, above the threshold)
+    semanticThreshold: Double = 0.95,
+    semanticDelta: Double = 0.2,
     // per-cluster row target for diversity sampling (sim_diversity_sample)
     diversityTarget: Int = 50,
     // blocked record linkage (j6_fuzzy_join): inclusive edit-distance

@@ -859,6 +859,36 @@ object SparkEntry {
       Similarity.cosineDedupPairs(base.unionByName(reencoded), threshold = 0.99)
     }),
 
+    // SemDeDup: dedup by MEANING — k-means clusters the corpus, cosine
+    // pairs form only within (cluster, LSH bucket), and each vector is
+    // dropped when it pairs with a smaller id (greedy min-id keep: a
+    // doc pairing ONLY with already-dropped docs is still dropped —
+    // cheaper than the transitive closure and the standard SemDeDup
+    // rule; dedup_clusters is the closure when canonical labels are
+    // needed). Corpus = embeddings ∪ deterministic "paraphrases"
+    // (first component + delta, cos ≈ 0.98 on the unit-norm corpus).
+    // The Lloyd subtree is staged once and read by both the pair join
+    // and the final keep flag.
+    "dedup_semantic" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val para = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"),
+          (x, i) => when(i === 0, x + Cfg.semanticDelta).otherwise(x)).as("v"))
+      val corpus = base.unionByName(para)
+      val asg = Similarity.kmeans(corpus, "vec_id", "v",
+          k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+        .select(col("vec_id"), col("cluster_id"))
+        .localCheckpoint(eager = false)
+      val pairs = Similarity.cosineDedupPairs(
+        corpus.select(col("vec_id").as("id"), col("v").as("vecd"))
+          .join(asg.select(col("vec_id").as("id"), col("cluster_id")), Seq("id")),
+        Cfg.semanticThreshold, extraKeys = Seq("cluster_id"))
+      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      asg.join(dropped.select(col("vec_id"), lit(1).as("__d")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"), col("__d").isNull.as("kept"))
+    }),
+
     // Exact dedup: hash-groupBy over a "re-crawled" corpus (documents ∪
     // documents with shifted ids) — every text appears ≥2×, so the
     // operator works against real duplicates, not a vacuous distinct.
@@ -2195,10 +2225,15 @@ object SparkEntry {
     * sim_diversity_sample. The require turns a Cfg.kmeansIters bump into
     * a loud failure instead of three opaque hash mismatches.
     */
-  private lazy val KmeansCtes: String = {
+  /** The unrolled 2-pass Lloyd CTE chain over an injectable corpus body
+    * (`e AS (eBody)`): sim_kmeans and friends cluster the raw embeddings;
+    * dedup_semantic clusters the paraphrase-augmented corpus. One
+    * definition keeps every kmeans oracle in lock-step with the plan.
+    */
+  private def kmeansCtesOver(eBody: String): String = {
     require(Cfg.kmeansIters == 2,
       s"KmeansCtes unrolls exactly 2 Lloyd passes; Cfg.kmeansIters=${Cfg.kmeansIters}")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+    s"""e AS ($eBody),
        |init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${Cfg.kmeansK})),
@@ -2220,6 +2255,21 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
        |  FROM e CROSS JOIN c1)""".stripMargin
   }
+
+  private lazy val KmeansCtes: String = kmeansCtesOver(
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL")
+
+  /** The dedup_semantic corpus: every embedding plus a deterministic
+    * "re-embedded paraphrase" (first component + semanticDelta, id +
+    * 100000) — mirrored literally by [[SparkEntry.queries]].
+    */
+  private lazy val SemanticCorpusSql: String =
+    s"""SELECT vec_id, v FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+       |                       FROM embeddings WHERE embedding IS NOT NULL) b
+       |UNION ALL
+       |SELECT vec_id + 100000, list_concat([v[1] + ${Cfg.semanticDelta}], v[2:])
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+       |      FROM embeddings WHERE embedding IS NOT NULL) b""".stripMargin
 
   private def lshBucketSql(v: String, numPlanes: Int, dim: Int): String =
     Similarity.hyperplanes(numPlanes, dim).map { w =>

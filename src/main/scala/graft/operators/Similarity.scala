@@ -404,13 +404,19 @@ object Similarity {
     * `corpus`: (id, vecd) with vecd already double (see [[asDouble]]).
     */
   def cosineDedupPairs(corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val withBucket = corpus.select(col("id"), col("vecd"),
-      bucketKey(col("vecd"), planes).as("bucket"))
-    withBucket.select(col("id").as("vec_a"), col("vecd").as("va"), col("bucket"))
-      .join(withBucket.select(col("id").as("vec_b"), col("vecd").as("vb"), col("bucket")),
-        Seq("bucket"))
+    // extraKeys scope the candidate join further (SemDeDup passes the
+    // k-means cluster id): the join key becomes (bucket, keys...), so
+    // pair volume is bounded per (bucket ∩ key) cell, never per bucket
+    val withBucket = corpus.select(col("id") +: col("vecd") +:
+      bucketKey(col("vecd"), planes).as("bucket") +: extraKeys.map(col): _*)
+    withBucket.select(col("id").as("vec_a") +: col("vecd").as("va") +:
+        col("bucket") +: extraKeys.map(col): _*)
+      .join(withBucket.select(col("id").as("vec_b") +: col("vecd").as("vb") +:
+          col("bucket") +: extraKeys.map(col): _*),
+        "bucket" +: extraKeys)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
