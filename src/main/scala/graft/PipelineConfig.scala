@@ -75,6 +75,11 @@ final case class PipelineConfig(
     // paraphrase lands at cos ≈ 0.98, above the threshold)
     semanticThreshold: Double = 0.95,
     semanticDelta: Double = 0.2,
+    // cosine-LSH dedup (dedup_embedding / dedup_semantic): sign-bit
+    // hyperplane count and the quadratic hot-cell guard on
+    // (bucket[, cluster]) cells — both mirrored in the oracles
+    cosNumPlanes: Int = graft.operators.Similarity.DefaultNumPlanes,
+    cosMaxCell: Int = graft.operators.Similarity.DefaultMaxCell,
     // per-cluster row target for diversity sampling (sim_diversity_sample)
     diversityTarget: Int = 50,
     // blocked record linkage (j6_fuzzy_join): inclusive edit-distance

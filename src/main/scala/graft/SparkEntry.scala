@@ -856,7 +856,8 @@ object SparkEntry {
         Similarity.asDouble(col("embedding")).as("vecd"))
       val reencoded = base.select((col("id") + 100000).as("id"),
         transform(col("vecd"), x => x * lit(1.5)).as("vecd"))
-      Similarity.cosineDedupPairs(base.unionByName(reencoded), threshold = 0.99)
+      Similarity.cosineDedupPairs(base.unionByName(reencoded), threshold = 0.99,
+        numPlanes = Cfg.cosNumPlanes, maxCell = Cfg.cosMaxCell)
     }),
 
     // SemDeDup: dedup by MEANING — k-means clusters the corpus, cosine
@@ -883,7 +884,8 @@ object SparkEntry {
       val pairs = Similarity.cosineDedupPairs(
         corpus.select(col("vec_id").as("id"), col("v").as("vecd"))
           .join(asg.select(col("vec_id").as("id"), col("cluster_id")), Seq("id")),
-        Cfg.semanticThreshold, extraKeys = Seq("cluster_id"))
+        Cfg.semanticThreshold, numPlanes = Cfg.cosNumPlanes,
+        extraKeys = Seq("cluster_id"), maxCell = Cfg.cosMaxCell)
       val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
       asg.join(dropped.select(col("vec_id"), lit(1).as("__d")), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster_id"), col("__d").isNull.as("kept"))
@@ -3615,11 +3617,41 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |corpus AS (SELECT id, v FROM e
          |           UNION ALL SELECT id + 100000, list_transform(v, x -> x * 1.5) FROM e),
-         |b AS (SELECT id, v, ${lshBucketSql("v", 8, 64)} AS bucket FROM corpus),
+         |b0 AS (SELECT id, v, ${lshBucketSql("v", Cfg.cosNumPlanes, 64)} AS bucket FROM corpus),
+         |b AS (SELECT id, v, bucket FROM (
+         |        SELECT *, count(*) OVER (PARTITION BY bucket) AS cn FROM b0)
+         |      WHERE cn <= ${Cfg.cosMaxCell}),
          |p AS (
          |  SELECT a.id AS vec_a, c.id AS vec_b, round(${sqlCos("a.v", "c.v")}, 6) AS cos
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.99""".stripMargin,
+
+    // SemDeDup mirror: the paraphrase-augmented corpus (SemanticCorpusSql)
+    // through the SAME unrolled 2-pass Lloyd CTEs as sim_kmeans
+    // (kmeansCtesOver keeps them in lock-step), then cosine pairs scoped
+    // to (LSH bucket, cluster) cells — hot-cell cap and plane count both
+    // Cfg-interpolated — and the greedy min-id drop: a vector is dropped
+    // iff it is the LARGER id of any qualifying pair.
+    "dedup_semantic" ->
+      s"""WITH ${kmeansCtesOver(SemanticCorpusSql)},
+         |asg AS (SELECT vec_id, cid FROM a20 WHERE rn = 1),
+         |b0 AS (
+         |  SELECT e.vec_id, e.v, asg.cid,
+         |         ${lshBucketSql("e.v", Cfg.cosNumPlanes, 64)} AS bucket
+         |  FROM e JOIN asg USING (vec_id)),
+         |b AS (SELECT vec_id, v, cid, bucket FROM (
+         |        SELECT *, count(*) OVER (PARTITION BY bucket, cid) AS cn FROM b0)
+         |      WHERE cn <= ${Cfg.cosMaxCell}),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |         round(${sqlCos("a.v", "c.v")}, 6) AS cos
+         |  FROM b a JOIN b c
+         |    ON a.bucket = c.bucket AND a.cid = c.cid AND a.vec_id < c.vec_id),
+         |drp AS (SELECT DISTINCT vec_b AS vec_id FROM p
+         |        WHERE cos >= ${Cfg.semanticThreshold})
+         |SELECT asg.vec_id, CAST(asg.cid AS INT) AS cluster_id,
+         |       (drp.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -394,24 +394,49 @@ object Similarity {
       when(dot(vecDouble, wCol) > 0, "1").otherwise("0")
     }: _*)
 
+  /** Default sign-bit hyperplane count for [[cosineDedupPairs]] — 2^8
+    * buckets; mirrored by every cosine-dedup oracle through
+    * `PipelineConfig.cosNumPlanes`.
+    */
+  val DefaultNumPlanes = 8
+
+  /** Hot-cell guard for cosine-LSH dedup, the [[Dedup.DefaultMaxBucket]]
+    * analogue: candidate volume in a (bucket[, extraKeys]) cell is
+    * |cell|², so one degenerate cell (a zero-ish embedding region, a
+    * template-heavy cluster) turns the self-join quadratic at scale.
+    * Cells above the cap leave candidate generation whole — their
+    * members simply stay `kept` (recall trade, never a blow-up); the
+    * constant is mirrored literally in the DuckDB oracles.
+    */
+  val DefaultMaxCell = 1000
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: self-join the corpus
     * on sign-bit buckets, verify with exact cosine ≥ `threshold`. A
     * scaled/re-encoded copy of a vector lands in the same bucket by
     * construction (sign pattern is scale-invariant), so true duplicates
     * are never missed by the bucketing; only rotated near-dups pay the
-    * LSH recall trade. Never all-pairs.
+    * LSH recall trade. Never all-pairs: cells larger than `maxCell` are
+    * dropped whole before the join (see [[DefaultMaxCell]]); the count
+    * window partitions on the join's own keys, so in the shuffle-join
+    * regime the guard rides the exchange the join needs anyway
+    * (pinned in ExplainAuditSpec).
     *
     * `corpus`: (id, vecd) with vecd already double (see [[asDouble]]).
     */
   def cosineDedupPairs(corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 8, dim: Int = 64,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      numPlanes: Int = DefaultNumPlanes, dim: Int = 64,
+      extraKeys: Seq[String] = Nil,
+      maxCell: Int = DefaultMaxCell): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(numPlanes, dim)
     // extraKeys scope the candidate join further (SemDeDup passes the
     // k-means cluster id): the join key becomes (bucket, keys...), so
     // pair volume is bounded per (bucket ∩ key) cell, never per bucket
+    val cellW = Window.partitionBy(("bucket" +: extraKeys).map(col): _*)
     val withBucket = corpus.select(col("id") +: col("vecd") +:
-      bucketKey(col("vecd"), planes).as("bucket") +: extraKeys.map(col): _*)
+        bucketKey(col("vecd"), planes).as("bucket") +: extraKeys.map(col): _*)
+      .withColumn("__cn", count(lit(1)).over(cellW))
+      .filter(col("__cn") <= maxCell).drop("__cn")
     withBucket.select(col("id").as("vec_a") +: col("vecd").as("va") +:
         col("bucket") +: extraKeys.map(col): _*)
       .join(withBucket.select(col("id").as("vec_b") +: col("vecd").as("vb") +:

@@ -377,6 +377,47 @@ class ExplainAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("cosine hot-cell window rides the bucket join's partitioning — capped and uncapped plans shuffle-identical") {
+    // Same argument as the minhash guard: the cell-count window
+    // partitions by the exact (bucket, cluster_id) keys the pair
+    // self-join hashes and sorts on, so in the shuffle-join regime
+    // EnsureRequirements reuses one exchange+sort per side.
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = (1L to 40L)
+        .map(i => (i, Seq(i.toDouble, 1.0, -1.0, 0.5), (i % 3).toInt))
+        .toDF("id", "vecd", "cluster_id")
+      def shape(maxCell: Int): (Int, Int) = {
+        val p = operators.Similarity.cosineDedupPairs(corpus, threshold = 0.9,
+            numPlanes = 4, dim = 4, extraKeys = Seq("cluster_id"),
+            maxCell = maxCell)
+          .queryExecution.executedPlan.toString
+        ("Exchange hashpartitioning".r.findAllMatchIn(p).size,
+          "Sort \\[".r.findAllMatchIn(p).size)
+      }
+      assert(shape(5) == shape(Int.MaxValue))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("dedup_semantic: pair join keyed on (bucket, cluster_id); Lloyd subtree staged once") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"semantic dedup went all-pairs:\n$p")
+    // candidate generation is an equi-join on BOTH the LSH bucket and
+    // the k-means cluster — pair volume bounded per (bucket ∩ cluster)
+    // cell, and further by the hot-cell cap
+    assert("Join \\[?bucket#\\d+, cluster_id#\\d+".r.findFirstIn(p).isDefined,
+      s"pair join not keyed on (bucket, cluster_id):\n$p")
+    // the 2-pass Lloyd assignment is localCheckpoint-staged: both its
+    // consumers (the pair join and the final keep flag) read the RDD
+    // boundary instead of re-running k-means — no BroadcastNestedLoopJoin
+    // (Lloyd's centroid cross join) may appear in the OUTER plan
+    assert("Scan ExistingRDD".r.findAllMatchIn(p).size >= 2,
+      s"Lloyd subtree not staged for both consumers:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"k-means re-runs inside the outer plan:\n$p")
+  }
+
   test("containment df-cap window rides the posting join's own partitioning on g") {
     // In the shuffle-join regime the posting self-join needs one
     // hashpartitioning(g) exchange per side; the df-cap window partitions

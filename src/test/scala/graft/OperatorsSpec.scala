@@ -12,6 +12,16 @@ import graft.operators._
 class PctChangeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("every registered query has an oracle: queries.keySet == oracleSql.keySet") {
+    // The driver hashes ONLY queries with an oracle row; a query key
+    // without one silently downgrades to an unchecked run (round 11's
+    // dedup_semantic). Drift in either direction must fail loudly.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("T3: first row per key has null pct_change; later rows match the algebra") {
     val df = Seq(("a", 1, 100.0), ("a", 2, 110.0), ("a", 3, 99.0), ("b", 1, 50.0))
       .toDF("k", "t", "close")

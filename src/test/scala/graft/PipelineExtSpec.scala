@@ -144,6 +144,63 @@ class DedupSpec extends SparkSpec {
     assert(capped == default)
   }
 
+  test("semantic dedup semantics: pair scoping by cluster, greedy min-id drop") {
+    // dim-4 corpus through the dedup_semantic composition:
+    // cosineDedupPairs scoped by cluster_id, then drop = distinct vec_b.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(0.999, 0.045, 0.0, 0.0), 0),  // cos(1,2) ≈ 0.999 — paraphrase of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), 0),      // orthogonal — below threshold
+      (4L, Seq(1.0, 0.0, 0.0, 0.0), 1),      // identical to 1, OTHER cluster
+      (5L, Seq(0.985, 0.17, 0.0, 0.0), 0)    // cos(2,5) ≈ 0.992, cos(1,5) ≈ 0.985
+    ).toDF("id", "vecd", "cluster_id")
+    val pairs = Similarity.cosineDedupPairs(corpus, threshold = 0.99,
+        numPlanes = 4, dim = 4, extraKeys = Seq("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-cluster near pair (1,4) must NOT form — SemDeDup pairs are
+    // cluster-scoped; (1,5) stays under the threshold
+    assert(pairs == Set((1L, 2L), (2L, 5L)))
+    val dropped = pairs.map(_._2)
+    // greedy min-id: 5 pairs ONLY with the already-dropped 2 and is
+    // still dropped (cheaper than the closure; dedup_clusters is the
+    // closure when canonical labels are needed)
+    assert(dropped == Set(2L, 5L))
+    assert(Set(1L, 3L, 4L).forall(id => !dropped(id)))
+  }
+
+  test("cosine hot-cell cap drops a degenerate cell whole; normal cells untouched") {
+    // six identical vectors saturate one (bucket, cluster) cell — the
+    // |cell|² blow-up shape; the near pair in the other cluster survives
+    val corpus = (
+      (1L to 6L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0), 0)) ++
+      Seq((10L, Seq(0.0, 1.0, 0.0, 0.0), 1),
+          (11L, Seq(0.0, 1.0, 0.02, 0.0), 1))
+    ).toDF("id", "vecd", "cluster_id")
+    def n(maxCell: Int): Long = Similarity.cosineDedupPairs(corpus,
+      threshold = 0.99, numPlanes = 4, dim = 4,
+      extraKeys = Seq("cluster_id"), maxCell = maxCell).count()
+    assert(n(5) == 1L)                  // hot cell of 6 dropped whole
+    assert(n(Int.MaxValue) == 6L * 5 / 2 + 1)
+  }
+
+  test("dedup_semantic query: paraphrases drop against their source; kept flags partition the corpus") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val base = out.keySet.filter(_ < 100000L)
+    assert(base.nonEmpty && out.size == 2 * base.size)  // corpus = base ∪ paraphrases
+    // the planted paraphrase (id+100000, cos ≈ 0.98 > 0.95) is the
+    // LARGER id of its pair, so whenever it lands in its source's
+    // (bucket, cluster) cell it must drop. The +delta perturbation
+    // shifts every hyperplane dot by ±delta·w0 and nudges the centroid
+    // cosines, so ~half the paraphrases cross a bucket or cluster
+    // boundary (measured 249/500 at sf0.001) — the LSH recall trade.
+    // A collapse below 1/3 would mean the cell scoping broke.
+    val paraDropped = base.count(id => !out(id + 100000L))
+    assert(paraDropped * 3 > base.size,
+      s"only $paraDropped of ${base.size} paraphrases dropped")
+    assert(out.values.exists(identity), "nothing kept")
+  }
+
   test("containment finds the excerpt symmetric jaccard misses; df cap bounds the index") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
