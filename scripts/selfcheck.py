@@ -18,13 +18,19 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+# When both a full and a partial dump exist, trust the most recently
+# written one: a stale full dump must not shadow the fresh SQL of a
+# just-iterated filtered run (and vice versa).
 onames = [p for p in (f"{out_dir}/oracle_sql.json",
                       f"{out_dir}/oracle_sql.partial.json") if os.path.exists(p)]
 if not onames:
     sys.exit(f"no oracle_sql[.partial].json under {out_dir}")
-if onames[0].endswith("partial.json"):
+chosen = max(onames, key=os.path.getmtime)
+if len(onames) == 2:
+    print(f"WARN: both oracle dumps present; using newer {os.path.basename(chosen)}")
+if chosen.endswith("partial.json"):
     print("NOTE: checking a PARTIAL (SPARK_GRAFT_ONLY) dump")
-oracle = json.load(open(onames[0]))
+oracle = json.load(open(chosen))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)

@@ -35,6 +35,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A task finishing AFTER its query execution completed reports its
+    // (now-unregistered) SQL-metric accumulators and DAGScheduler logs
+    // "Failed to update accumulator ... non-existent accumulator" at
+    // ERROR — benign for results (observed only in the full suite,
+    // never solo; exit stays 0), but a multi-line stack in the output
+    // tail can push the JSON line out of the driver's parse window
+    // (VERDICT r11). Genuine job failures still reach the bench loop as
+    // exceptions and are reported via the errors array + exit 1.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -50,6 +61,16 @@ object Bench {
     var errors = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Solo one-JVM-per-query baselines (scripts/solo_bench.py): the
+    // outlier-retry reference. Absence (out-of-repo cwd) degrades to
+    // retry-everything-over-20s=never, i.e. the pre-r12 behavior.
+    val soloMs: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SOLO", "BENCH_SOLO.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "round"
+    } catch { case _: Throwable => Map.empty }
     // per-query times in MILLISECONDS (VERDICT r8 #4: the old 1-s
     // resolution made a 13.6 s total swing unattributable to any query)
     val results = names.map { name =>
@@ -59,10 +80,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e6
       }
       try {
-        // min-of-2 to damp transient machine noise; queries already past
-        // 20 s run once so the second pass never doubles the long tail.
+        // min-of-2 to damp transient machine noise. Queries past 20 s
+        // normally run once (the second pass would double the long
+        // tail) — UNLESS the first pass blew 5× past the query's solo
+        // baseline, the signature of a transient machine stall during
+        // the measurement window (VERDICT r11: one polluted window
+        // fabricated a 2.5× "regression" that a retry would have
+        // caught). A genuine code regression reproduces on the retry
+        // and still reports slow.
         val first = once()
-        name -> (if (first < 20000.0) math.min(first, once()) else first)
+        val stalled = soloMs.get(name).exists(base => first > 5.0 * base)
+        name -> (if (first < 20000.0 || stalled) math.min(first, once()) else first)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         errors ::= name

@@ -76,6 +76,11 @@ object Verify {
     // filtered oracle_sql.json would silently check fewer queries.
     val oracleFile =
       if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    // the sibling dump is stale the moment this one lands — delete it so
+    // a checker can never validate fresh parquet against old SQL
+    val sibling =
+      if (only.isDefined) "oracle_sql.json" else "oracle_sql.partial.json"
+    Files.deleteIfExists(Paths.get(s"$outDir/$sibling"))
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
