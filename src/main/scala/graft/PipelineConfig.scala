@@ -48,6 +48,11 @@ final case class PipelineConfig(
     // guard), and pairs keep at this containment ratio
     containmentDfCap: Int = 100,
     containmentThreshold: Double = 0.8,
+    // e4 curation closure: when true, asymmetric containment pairs join
+    // the minhash pairs as undirected edges in the duplicate-cluster
+    // closure, so excerpt-in-long-doc duplicates collapse into their
+    // source's cluster instead of surviving curation
+    curationContainmentEdges: Boolean = true,
     // curation quality gate (e3/e5) and token-length keep-range
     qualityMin: Double = 0.2,
     minWsTokens: Int = 5,

@@ -1167,8 +1167,30 @@ object SparkEntry {
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
           maxBucket = Cfg.maxBucket, sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"))
+      // excerpt-in-long-doc duplicates have J ≈ |a|/|b| ≈ 0, so no band
+      // ever collides and a minhash-only closure lets them survive
+      // curation — union the asymmetric containment pairs as edges
+      // (duplicateClusters symmetrizes), so the excerpt collapses into
+      // its source's cluster. Containment runs over the EXACT-CANONICAL
+      // text domain only (min doc_id per md5(text)): identical copies
+      // carry identical shingle sets, so a copy-level containment edge
+      // is always implied by a canonical edge plus the minhash J=1
+      // copy edges already in the closure — same components, and the
+      // posting self-join sees |distinct texts|, not the re-crawled
+      // corpus (measured 9.0 s → ~5 s at sf0.1; at 100 TB
+      // exact-dedup-before-containment is the only sane staging).
+      val edges = if (Cfg.curationContainmentEdges) {
+        val canonDocs = corpus.join(
+          corpus.groupBy(md5(col("text")).as("__h"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+          Seq("doc_id"))
+        pairs.unionByName(
+          Dedup.containmentPairs(s, canonDocs, "doc_id", "text",
+            Cfg.containmentDfCap, Cfg.containmentThreshold)
+          .select(col("doc_a"), col("doc_b")))
+      } else pairs
       val clusters = Dedup.duplicateClusters(
-        corpus.select(col("doc_id").as("id")), pairs)
+        corpus.select(col("doc_id").as("id")), edges)
       val canonical = corpus.join(
         clusters.filter(col("id") === col("label"))
           .select(col("id").as("doc_id")), Seq("doc_id"))
@@ -3137,11 +3159,30 @@ object SparkEntry {
         s"""verified AS (
            |  SELECT doc_a, doc_b
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-           |  WHERE $MinhashJaccardSql >= 0.8),
+           |  WHERE $MinhashJaccardSql >= 0.8),${if (Cfg.curationContainmentEdges) s"""
+           |c_canon AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+           |c_sh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN c_canon USING (doc_id)),
+           |c_post AS (
+           |  SELECT doc_id, g FROM (
+           |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+           |    FROM (SELECT doc_id, unnest(sh) AS g FROM c_sh) p0)
+           |  WHERE df <= ${Cfg.containmentDfCap}),
+           |c_cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM c_post a JOIN c_post b ON a.g = b.g AND a.doc_id <> b.doc_id),
+           |c_pairs AS (
+           |  SELECT c_cand.doc_a, c_cand.doc_b
+           |  FROM c_cand JOIN sh da ON da.doc_id = c_cand.doc_a
+           |              JOIN sh db ON db.doc_id = c_cand.doc_b
+           |  WHERE ${Rounding.stableSql(
+               "len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh)", 4)} >= ${Cfg.containmentThreshold}),
+           |alledges AS (SELECT doc_a, doc_b FROM verified
+           |             UNION SELECT doc_a, doc_b FROM c_pairs),""" else """
+           |alledges AS (SELECT doc_a, doc_b FROM verified),"""}
            |nodes AS (SELECT DISTINCT doc_id FROM corpus),
            |edges AS (
-           |  SELECT doc_a AS a, doc_b AS b FROM verified
-           |  UNION ALL SELECT doc_b, doc_a FROM verified),
+           |  SELECT doc_a AS a, doc_b AS b FROM alledges
+           |  UNION ALL SELECT doc_b, doc_a FROM alledges),
            |walk(node, lab) AS (
            |  SELECT doc_id, doc_id FROM nodes
            |  UNION

@@ -221,6 +221,35 @@ class DedupSpec extends SparkSpec {
       dfCap = 1, threshold = 0.8).count() == 0)
   }
 
+  test("containment edges in the closure: the excerpt collapses into its source's cluster") {
+    // doc 2 is an excerpt of doc 1 (containment 1.0, jaccard ≈ 0.29 —
+    // no band collides); doc 3 is a classic near-dup of doc 1. A
+    // minhash-only closure clusters {1,3} and leaves the excerpt alone;
+    // with containment pairs unioned as edges (the e4 wiring) the
+    // excerpt joins the source's cluster.
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      (2L, "w5 w6 w7 w8 w9 w10"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 wXX"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(corpus, "doc_id", "text",
+        numBands = 6, rowsPerBand = 2, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = corpus.select(col("doc_id").as("id"))
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.duplicateClusters(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mhOnly = labels(mh)
+    assert(mhOnly(3L) == 1L && mhOnly(2L) == 2L,  // excerpt survives
+      s"minhash-only closure: $mhOnly")
+    val withCont = labels(mh.unionByName(
+      Dedup.containmentPairs(spark, corpus, "doc_id", "text",
+        dfCap = 100, threshold = 0.8).select(col("doc_a"), col("doc_b"))))
+    assert(withCont == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+      s"containment closure: $withCont")
+  }
+
   test("minhashPairs with precomputed signatures or shingle frames matches the self-derived path") {
     val self = Dedup.minhashPairs(docs, "doc_id", "text",
       numBands = 6, rowsPerBand = 2, threshold = 0.3)
