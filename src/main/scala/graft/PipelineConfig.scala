@@ -80,6 +80,11 @@ final case class PipelineConfig(
     // paraphrase lands at cos ≈ 0.98, above the threshold)
     semanticThreshold: Double = 0.95,
     semanticDelta: Double = 0.2,
+    // dedup_semantic's keep rule over qualifying pairs: "min_id" (greedy
+    // lowest-id keep) or "centroid" (standard SemDeDup — the member
+    // closest to its cluster centroid survives, 6-dp cosine, ties to the
+    // lower id). dedup_semantic_centroid pins the latter regardless.
+    semanticKeep: String = "min_id",
     // cosine-LSH dedup (dedup_embedding / dedup_semantic): sign-bit
     // hyperplane count and the quadratic hot-cell guard on
     // (bucket[, cluster]) cells — both mirrored in the oracles

@@ -109,6 +109,39 @@ object SparkEntry {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** SemDeDup (dedup_semantic / dedup_semantic_centroid): k-means
+    * clusters the paraphrase-augmented corpus, cosine pairs form only
+    * within (LSH bucket, cluster) cells, and `keep` picks the pair
+    * survivor — "min_id" drops the larger id (greedy, arrival-order
+    * keep); "centroid" drops the member FARTHER from its cluster
+    * centroid (standard SemDeDup's representativeness keep; 6-dp
+    * own-centroid cosine from the very Lloyd assignment that scoped the
+    * pair, ties to the lower id). Either way a doc pairing only with
+    * already-dropped docs is still dropped — cheaper than the
+    * transitive closure (dedup_clusters is the closure when canonical
+    * labels are needed). The Lloyd subtree is staged once and read by
+    * the pair join, the keep-rule joins, and the final flag.
+    */
+  private def semanticDedup(s: SparkSession, dir: String, keep: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val para = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"),
+        (x, i) => when(i === 0, x + Cfg.semanticDelta).otherwise(x)).as("v"))
+    val corpus = base.unionByName(para)
+    val asg = Similarity.kmeans(corpus, "vec_id", "v",
+        k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+      .localCheckpoint(eager = false)
+    val pairs = Similarity.cosineDedupPairs(
+      corpus.select(col("vec_id").as("id"), col("v").as("vecd"))
+        .join(asg.select(col("vec_id").as("id"), col("cluster_id")), Seq("id")),
+      Cfg.semanticThreshold, numPlanes = Cfg.cosNumPlanes,
+      extraKeys = Seq("cluster_id"), maxCell = Cfg.cosMaxCell)
+    val dropped = Similarity.semanticDrops(pairs, asg, keep)
+    asg.join(dropped.select(col("vec_id"), lit(1).as("__d")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("__d").isNull.as("kept"))
+  }
+
   /** The two snapshots the reconciliation queries compare: the live
     * events table vs a deterministic "backfill" that drops every 97th
     * event and perturbs every 101st value — so the operator must report
@@ -813,8 +846,10 @@ object SparkEntry {
     }),
 
     // ANN recall measurement: per-query fraction of the exact top-3
-    // recovered by the LSH-bucketed index — "measure, don't guess" as a
-    // first-class query (the number that justifies bits/planes choices).
+    // recovered by the LSH-bucketed index, single-probe AND multi-probe
+    // side by side — "measure, don't guess" as a first-class query (the
+    // numbers that justify bits/planes/probes choices, and the lift
+    // multi-probe buys over one bucket).
     "sim_lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -822,10 +857,26 @@ object SparkEntry {
       val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
       val lsh = Similarity.topKLsh(q, emb, 3)
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      val mp = Similarity.topKLshMultiProbe(q, emb, 3)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit_mp"))
       brute.join(lsh, Seq("q_id", "c_id"), "left")
+        .join(mp, Seq("q_id", "c_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("hits"),
-          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"),
+          count(col("__hit_mp")).as("hits_mp"),
+          Rounding.stable(count(col("__hit_mp")).cast("double") / 3, 4).as("recall_mp"))
+    }),
+
+    // Multi-probe LSH ANN: the query probes its own sign-bit bucket
+    // plus every Hamming-1 neighbor — the standard recall repair when
+    // one hyperplane disagreement hides a true neighbor. The fan-out
+    // multiplies only the broadcast query side; the corpus stays
+    // bucketed once, joined on equality (never a cross product).
+    "sim_lsh_mp_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKLshMultiProbe(emb.filter(col("id") < 5), emb, k = 3)
     }),
 
     // E2 — the acceptance query: the reference's validator run over the
@@ -870,26 +921,14 @@ object SparkEntry {
     // (first component + delta, cos ≈ 0.98 on the unit-norm corpus).
     // The Lloyd subtree is staged once and read by both the pair join
     // and the final keep flag.
-    "dedup_semantic" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      val para = base.select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("v"),
-          (x, i) => when(i === 0, x + Cfg.semanticDelta).otherwise(x)).as("v"))
-      val corpus = base.unionByName(para)
-      val asg = Similarity.kmeans(corpus, "vec_id", "v",
-          k = Cfg.kmeansK, iters = Cfg.kmeansIters)
-        .select(col("vec_id"), col("cluster_id"))
-        .localCheckpoint(eager = false)
-      val pairs = Similarity.cosineDedupPairs(
-        corpus.select(col("vec_id").as("id"), col("v").as("vecd"))
-          .join(asg.select(col("vec_id").as("id"), col("cluster_id")), Seq("id")),
-        Cfg.semanticThreshold, numPlanes = Cfg.cosNumPlanes,
-        extraKeys = Seq("cluster_id"), maxCell = Cfg.cosMaxCell)
-      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
-      asg.join(dropped.select(col("vec_id"), lit(1).as("__d")), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster_id"), col("__d").isNull.as("kept"))
-    }),
+    "dedup_semantic" -> ((s, dir) => semanticDedup(s, dir, Cfg.semanticKeep)),
+
+    // Standard-SemDeDup keep rule over the SAME pair frame: within each
+    // qualifying pair the member CLOSEST to its cluster centroid
+    // survives (6-dp own-centroid cosine from the Lloyd assignment;
+    // ties keep the lower id) — representativeness-keep where
+    // dedup_semantic's min-id keep is arrival-order-keep.
+    "dedup_semantic_centroid" -> ((s, dir) => semanticDedup(s, dir, "centroid")),
 
     // Exact dedup: hash-groupBy over a "re-crawled" corpus (documents ∪
     // documents with shifted ids) — every text appears ≥2×, so the
@@ -1035,13 +1074,19 @@ object SparkEntry {
       Similarity.topKLsh(emb.filter(col("id") < 5), emb, k = 3)
     }),
 
-    // IVF-style ANN (the second scale path): deterministic coarse
-    // centroids → inverted lists → nProbe-list probing.
+    // IVF-style ANN (the second scale path): k-means-TRAINED coarse
+    // centroids (k = nLists = 8 Lloyd codebook — what real IVF indexes
+    // train offline; Similarity.trainedCentroids keeps it
+    // oracle-reproducible) → inverted lists → nProbe-list probing. The
+    // codebook collect is a bounded k·dim read at build time; the probe
+    // query itself stays a broadcast equality join on list id.
     "sim_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.topKIvf(emb.filter(col("id") < 5), emb, k = 3,
-        nLists = 8, nProbe = 2)
+      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
+        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
+      Similarity.topKIvfWith(emb.filter(col("id") < 5), emb, k = 3,
+        centroids = codebook, nProbe = 2)
     }),
 
     // Scalar-quantized ANN (the int8 compression path, third family
@@ -1060,13 +1105,19 @@ object SparkEntry {
     // Product-quantization ANN (the fourth family: brute / LSH / IVF /
     // PQ): per-block nearest-codeword codes, scoring through the
     // reconstruction (≡ lookup-table ADC; see Similarity.pqReconstruct).
-    // Codebook = the first 4 corpus vectors, the same deterministic
-    // data-derived stand-in the IVF quantizer uses.
+    // Codebook = the k=4 k-means-trained centroids (Cfg.kmeansK — the
+    // same Lloyd run the kmeans oracle CTEs unroll, so codewords are
+    // exactly the oracle's c1); collected to a k-row local relation so
+    // the encode and reconstruct sides read literals, not two extra
+    // Lloyd subtrees.
     "sim_pq_ann" -> ((s, dir) => {
+      import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.topKPq(emb.filter(col("id") < 5), emb,
-        emb.filter(col("id") < 4), k = 3)
+      val codewords = Similarity.collectCentroids(Similarity.trainedCentroids(
+          emb, "id", "vec", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
+        .toDF("id", "vec")
+      Similarity.topKPq(emb.filter(col("id") < 5), emb, codewords, k = 3)
     }),
 
     // Quantization-quality measurement: per-query recall of the int8
@@ -2250,17 +2301,20 @@ object SparkEntry {
     * a loud failure instead of three opaque hash mismatches.
     */
   /** The unrolled 2-pass Lloyd CTE chain over an injectable corpus body
-    * (`e AS (eBody)`): sim_kmeans and friends cluster the raw embeddings;
-    * dedup_semantic clusters the paraphrase-augmented corpus. One
-    * definition keeps every kmeans oracle in lock-step with the plan.
+    * (`e AS (eBody)`) and cluster count `k`: sim_kmeans and friends
+    * cluster the raw embeddings at Cfg.kmeansK; dedup_semantic clusters
+    * the paraphrase-augmented corpus; sim_ivf_ann trains its k=nLists
+    * coarse codebook. One definition keeps every kmeans oracle in
+    * lock-step with the plan. The `c1` CTE is the trained codebook
+    * (Similarity.trainedCentroids); `a20` rn=1 the final assignment.
     */
-  private def kmeansCtesOver(eBody: String): String = {
+  private def kmeansCtesOver(eBody: String, k: Int = Cfg.kmeansK): String = {
     require(Cfg.kmeansIters == 2,
       s"KmeansCtes unrolls exactly 2 Lloyd passes; Cfg.kmeansIters=${Cfg.kmeansIters}")
     s"""e AS ($eBody),
        |init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT ${Cfg.kmeansK})),
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |a10 AS (
        |  SELECT e.vec_id, init.cid, e.v,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "init.cv")} DESC, init.cid ASC) AS rn
@@ -2295,11 +2349,62 @@ object SparkEntry {
        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v
        |      FROM embeddings WHERE embedding IS NOT NULL) b""".stripMargin
 
+  /** The SemDeDup oracle body shared by dedup_semantic (Cfg-selected
+    * keep) and dedup_semantic_centroid (pinned "centroid"): Lloyd CTEs
+    * over the paraphrase-augmented corpus, hot-cell-capped
+    * (bucket, cluster) pair join, then the keep rule — min-id drops the
+    * larger id of every qualifying pair; centroid drops the member with
+    * the LOWER a20 cosine to its own centroid (6-dp, ties drop vec_b so
+    * the lower id survives), mirroring semanticDedup's `when` exactly.
+    */
+  private def semanticDedupOracleSql(keep: String): String = {
+    val drp = keep match {
+      case "min_id" =>
+        s"""drp AS (SELECT DISTINCT vec_b AS vec_id FROM p
+           |        WHERE cos >= ${Cfg.semanticThreshold})""".stripMargin
+      case "centroid" =>
+        s"""drp AS (SELECT DISTINCT CASE WHEN ca.cos >= cb.cos THEN p.vec_b ELSE p.vec_a END AS vec_id
+           |        FROM p JOIN asg ca ON p.vec_a = ca.vec_id
+           |               JOIN asg cb ON p.vec_b = cb.vec_id
+           |        WHERE p.cos >= ${Cfg.semanticThreshold})""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"semanticKeep must be min_id or centroid, got $other")
+    }
+    s"""WITH ${kmeansCtesOver(SemanticCorpusSql)},
+       |asg AS (SELECT vec_id, cid, cos FROM a20 WHERE rn = 1),
+       |b0 AS (
+       |  SELECT e.vec_id, e.v, asg.cid,
+       |         ${lshBucketSql("e.v", Cfg.cosNumPlanes, 64)} AS bucket
+       |  FROM e JOIN asg USING (vec_id)),
+       |b AS (SELECT vec_id, v, cid, bucket FROM (
+       |        SELECT *, count(*) OVER (PARTITION BY bucket, cid) AS cn FROM b0)
+       |      WHERE cn <= ${Cfg.cosMaxCell}),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |         round(${sqlCos("a.v", "c.v")}, 6) AS cos
+       |  FROM b a JOIN b c
+       |    ON a.bucket = c.bucket AND a.cid = c.cid AND a.vec_id < c.vec_id),
+       |$drp
+       |SELECT asg.vec_id, CAST(asg.cid AS INT) AS cluster_id,
+       |       (drp.vec_id IS NULL) AS kept
+       |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin
+  }
+
   private def lshBucketSql(v: String, numPlanes: Int, dim: Int): String =
     Similarity.hyperplanes(numPlanes, dim).map { w =>
       val lits = w.mkString(",")
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * ([$lits]::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
+    * given a probe index column `p` in [0, numPlanes], p = 0 is the
+    * query's own bucket and p = i flips plane i's bit — the Hamming-1
+    * neighborhood. Pair with `unnest(range(0, numPlanes + 1))`.
+    */
+  private def lshProbeSql(bucket: String, p: String): String =
+    // one line on purpose: the || concat operators would be eaten by the
+    // enclosing oracle literal's stripMargin if this ever line-wrapped
+    s"CASE WHEN $p = 0 THEN $bucket ELSE substr($bucket, 1, $p - 1) || (CASE WHEN substr($bucket, $p, 1) = '1' THEN '0' ELSE '1' END) || substr($bucket, $p + 1) END"
 
   private def fingerprintSql(hs: String, prefix: Int): String = {
     val bound = if (prefix > 0) s"least(len($hs), $prefix)" else s"len($hs)"
@@ -2971,19 +3076,25 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
          |WHERE rnk <= 3""".stripMargin,
 
+    // Coarse codebook = the k=8 trained Lloyd centroids (the CTE
+    // chain's c1 — Similarity.trainedCentroids in lock-step), not the
+    // first-8 vectors; assignment/probing unchanged.
     "sim_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+      s"""WITH ${kmeansCtesOver(
+             "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+             k = 8)},
+         |eb AS (SELECT vec_id AS id, v FROM e),
+         |cent AS (SELECT cid, cv FROM c1),
          |cscore AS (
          |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
-         |  FROM e c CROSS JOIN cent),
+         |  FROM eb c CROSS JOIN cent),
          |cassign AS (
          |  SELECT c_id, c_vec, cid AS list_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cscore)
          |  WHERE rn = 1),
          |qscore AS (
          |  SELECT q.id AS q_id, q.v AS q_vec, cent.cid, ${sqlCos("q.v", "cent.cv")} AS qcos
-         |  FROM (SELECT * FROM e WHERE id < 5) q CROSS JOIN cent),
+         |  FROM (SELECT * FROM eb WHERE id < 5) q CROSS JOIN cent),
          |qassign AS (
          |  SELECT q_id, q_vec, cid AS list_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM qscore)
@@ -3013,18 +3124,22 @@ object SparkEntry {
         |WHERE rnk <= 3""".stripMargin,
 
     // Codes and reconstruction re-derived relationally: the codebook is
-    // rows id<4, block m of a vector is v[m*8+1 : m*8+8], and the
-    // reconstruction list(...) is ordered by m so the scoring dot runs
-    // the same sequential fold as Spark's kernel.
+    // the k=4 trained Lloyd centroids (the shared CTE chain's c1 —
+    // Similarity.trainedCentroids in lock-step), block m of a vector is
+    // v[m*8+1 : m*8+8], and the reconstruction list(...) is ordered by
+    // m so the scoring dot runs the same sequential fold as Spark's
+    // kernel.
     "sim_pq_ann" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cw AS (SELECT id AS cwid, v FROM e WHERE id < 4),
+      s"""WITH ${kmeansCtesOver(
+             "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL")},
+         |eb AS (SELECT vec_id AS id, v FROM e),
+         |cw AS (SELECT cid AS cwid, cv AS v FROM c1),
          |mm AS (SELECT unnest(range(0, 8)) AS m),
          |enc AS (
-         |  SELECT e.id, mm.m, cw.cwid,
+         |  SELECT eb.id, mm.m, cw.cwid,
          |         list_sum(list_transform(range(1, 9), j ->
-         |           (e.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (e.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
-         |  FROM e CROSS JOIN mm CROSS JOIN cw),
+         |           (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
+         |  FROM eb CROSS JOIN mm CROSS JOIN cw),
          |codes AS (
          |  SELECT id, m, cwid AS code
          |  FROM (SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, cwid ASC) AS rn FROM enc)
@@ -3033,7 +3148,7 @@ object SparkEntry {
          |  SELECT codes.id, flatten(list(cw.v[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS rv
          |  FROM codes JOIN cw ON cw.cwid = codes.code
          |  GROUP BY codes.id),
-         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |q AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
          |sc AS (
          |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
          |  FROM q CROSS JOIN rec WHERE q_id <> rec.id)
@@ -3632,11 +3747,41 @@ object SparkEntry {
          |lsh AS (
          |  SELECT q_id, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ls)
+         |  WHERE rnk <= 3),
+         |qp AS (
+         |  SELECT q_id, qv, ${lshProbeSql("bucket", "pp.p")} AS bucket
+         |  FROM q2 CROSS JOIN (SELECT unnest(range(0, 9)) AS p) pp),
+         |ms AS (
+         |  SELECT qp.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM qp JOIN b2 c ON qp.bucket = c.bucket AND qp.q_id <> c.id),
+         |mp AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ms)
          |  WHERE rnk <= 3)
          |SELECT b.q_id, CAST(count(l.c_id) AS BIGINT) AS hits,
-         |       ${Rounding.stableSql("count(l.c_id)::DOUBLE / 3", 4)} AS recall
-         |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
+         |       ${Rounding.stableSql("count(l.c_id)::DOUBLE / 3", 4)} AS recall,
+         |       CAST(count(m.c_id) AS BIGINT) AS hits_mp,
+         |       ${Rounding.stableSql("count(m.c_id)::DOUBLE / 3", 4)} AS recall_mp
+         |FROM brute b
+         |LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
+         |LEFT JOIN mp m ON b.q_id = m.q_id AND b.c_id = m.c_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // Multi-probe LSH ANN: probe set = own bucket + every Hamming-1
+    // neighbor (lshProbeSql mirrors Similarity.probeBuckets).
+    "sim_lsh_mp_ann" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT id, v, ${lshBucketSql("v", 8, 64)} AS bucket FROM e),
+         |q0 AS (SELECT id AS q_id, v AS qv, bucket FROM b WHERE id < 5),
+         |q AS (
+         |  SELECT q_id, qv, ${lshProbeSql("bucket", "pp.p")} AS bucket
+         |  FROM q0 CROSS JOIN (SELECT unnest(range(0, 9)) AS p) pp),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.q_id <> c.id)
+         |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3""".stripMargin,
 
     // NOTE: concatenation, not interpolation into a stripMargin string —
     // the embedded E1 SQL contains lines starting with "||" whose leading
@@ -3671,28 +3816,15 @@ object SparkEntry {
     // through the SAME unrolled 2-pass Lloyd CTEs as sim_kmeans
     // (kmeansCtesOver keeps them in lock-step), then cosine pairs scoped
     // to (LSH bucket, cluster) cells — hot-cell cap and plane count both
-    // Cfg-interpolated — and the greedy min-id drop: a vector is dropped
-    // iff it is the LARGER id of any qualifying pair.
-    "dedup_semantic" ->
-      s"""WITH ${kmeansCtesOver(SemanticCorpusSql)},
-         |asg AS (SELECT vec_id, cid FROM a20 WHERE rn = 1),
-         |b0 AS (
-         |  SELECT e.vec_id, e.v, asg.cid,
-         |         ${lshBucketSql("e.v", Cfg.cosNumPlanes, 64)} AS bucket
-         |  FROM e JOIN asg USING (vec_id)),
-         |b AS (SELECT vec_id, v, cid, bucket FROM (
-         |        SELECT *, count(*) OVER (PARTITION BY bucket, cid) AS cn FROM b0)
-         |      WHERE cn <= ${Cfg.cosMaxCell}),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         |         round(${sqlCos("a.v", "c.v")}, 6) AS cos
-         |  FROM b a JOIN b c
-         |    ON a.bucket = c.bucket AND a.cid = c.cid AND a.vec_id < c.vec_id),
-         |drp AS (SELECT DISTINCT vec_b AS vec_id FROM p
-         |        WHERE cos >= ${Cfg.semanticThreshold})
-         |SELECT asg.vec_id, CAST(asg.cid AS INT) AS cluster_id,
-         |       (drp.vec_id IS NULL) AS kept
-         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,
+    // Cfg-interpolated — and the Cfg-selected keep rule (min-id drop or
+    // centroid-keep; semanticDedupOracleSql mirrors SparkEntry's
+    // semanticDedup switch).
+    "dedup_semantic" -> semanticDedupOracleSql(Cfg.semanticKeep),
+
+    // Standard-SemDeDup centroid keep over the same pair frame: the
+    // pair member farther from its cluster centroid is dropped (6-dp
+    // a20 cosine; ties drop vec_b, keeping the lower id).
+    "dedup_semantic_centroid" -> semanticDedupOracleSql("centroid"),
 
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,

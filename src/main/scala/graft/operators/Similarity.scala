@@ -187,7 +187,40 @@ object Similarity {
     * rounded cosine.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, scale: Long = 1000000L): DataFrame = {
+      iters: Int, scale: Long = 1000000L): DataFrame =
+    lloydCore(emb, idCol, vecCol, k, iters, scale)._1
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("cos"))
+
+  /** The trained k-means codebook: the centroids Lloyd's FINAL
+    * assignment pass scored against ((cid, cv) — for `iters` = 2 that
+    * is the one-update centroids, the oracle CTE chain's `c1`). This is
+    * what IVF coarse quantizers and PQ codebooks train offline: the
+    * operator downstream (argmax over a broadcast k-row dim) is
+    * identical whether the codebook is trained or data-picked, so
+    * swapping training in costs nothing at query time — the Lloyd scans
+    * happen once at build, like any offline index build. Same
+    * determinism contract as [[kmeans]] (fixed seeds, 6-dp argmax,
+    * fixed-point updates), so the codebook is oracle-reproducible.
+    */
+  def trainedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = 1000000L): DataFrame =
+    lloydCore(emb, idCol, vecCol, k, iters, scale)._2
+
+  /** Driver-side collect of a (cid, cv) centroid frame to plan-time
+    * literals, cid-ordered — k·dim doubles, the bounded read every
+    * broadcast-centroid consumer starts from.
+    */
+  def collectCentroids(cents: DataFrame): Seq[(Int, Seq[Double])] =
+    cents.select(col("cid"), col("cv")).orderBy(col("cid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  /** Lloyd's algorithm core shared by [[kmeans]] (wants the final
+    * assignment) and [[trainedCentroids]] (wants the codebook that
+    * assignment used): returns (assigned(vec_id, cid, v, cos),
+    * cents(cid, cv)).
+    */
+  private def lloydCore(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = emb.filter(col(vecCol).isNotNull)
@@ -218,9 +251,10 @@ object Similarity {
       labelCentroids(assigned, "cid", "v", scale)
         .select(col("clabel").as("cid"), col("cv"))
 
+    var cents = init
     var assigned = assign(init)
-    for (_ <- 2 to iters) assigned = assign(update(assigned))
-    assigned.select(col("vec_id"), col("cid").as("cluster_id"), col("cos"))
+    for (_ <- 2 to iters) { cents = update(assigned); assigned = assign(cents) }
+    (assigned, cents)
   }
 
   /** Scalar (int8-style) quantization: components scaled by
@@ -448,6 +482,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** The SemDeDup keep rule: which member of each qualifying near-dup
+    * pair is dropped. `pairs`: (vec_a, vec_b) with vec_a < vec_b;
+    * `asg`: the Lloyd assignment (vec_id, cluster_id, cos) whose 6-dp
+    * own-centroid cosine the "centroid" rule reads.
+    *  - "min_id": greedy arrival-order keep — the larger id drops.
+    *  - "centroid": standard SemDeDup representativeness keep — the
+    *    member FARTHER from its cluster centroid drops (lower cos);
+    *    cos_a == cos_b drops vec_b, so the lower id survives ties.
+    * Both are per-pair verdicts (a doc pairing only with already-dropped
+    * docs still drops — cheaper than the transitive closure;
+    * [[Dedup.duplicateClusters]] is the closure when labels are needed).
+    * The centroid joins are pair-count-sized lookups into the staged
+    * assignment — no new shuffle of the corpus.
+    */
+  def semanticDrops(pairs: DataFrame, asg: DataFrame, keep: String): DataFrame =
+    keep match {
+      case "min_id" => pairs.select(col("vec_b").as("vec_id")).distinct()
+      case "centroid" =>
+        pairs
+          .join(asg.select(col("vec_id").as("vec_a"), col("cos").as("cos_a")),
+            Seq("vec_a"))
+          .join(asg.select(col("vec_id").as("vec_b"), col("cos").as("cos_b")),
+            Seq("vec_b"))
+          .select(when(col("cos_a") >= col("cos_b"), col("vec_b"))
+            .otherwise(col("vec_a")).as("vec_id"))
+          .distinct()
+      case other => throw new IllegalArgumentException(
+        s"semanticKeep must be min_id or centroid, got $other")
+    }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer (the
     * first `nLists` corpus vectors as centroids — the offline stand-in
     * for k-means training), every vector assigned to its
@@ -461,11 +525,22 @@ object Similarity {
     */
   def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       nLists: Int = 8, nProbe: Int = 2): DataFrame = {
-    val centroids: Seq[Seq[Double]] = corpus
+    val centroids: Seq[(Int, Seq[Double])] = corpus
       .orderBy(col("id")).limit(nLists)
       .select(asDouble(col("vec")))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq.zipWithIndex
+      .map { case (v, i) => i -> v }
+    topKIvfWith(queries, corpus, k, centroids, nProbe)
+  }
 
+  /** [[topKIvf]] with an explicit coarse codebook — (list id, centroid)
+    * pairs, normally [[collectCentroids]] of [[trainedCentroids]] (the
+    * k-means-trained lists real IVF indexes probe). List ids are the
+    * CALLER's cids, not positions, so trained codebooks keep their ids
+    * even when a Lloyd cluster emptied out and disappeared.
+    */
+  def topKIvfWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
     def centroidCos(vecd: Column, c: Seq[Double]): Column = {
       val cCol = array(c.map(lit): _*)
       cosine(vecd, cCol)
@@ -473,7 +548,7 @@ object Similarity {
     // argmax over centroid cosines; ties break to the lowest list id
     // (strict > in the fold keeps the first).
     def assignRank(vecd: Column): Seq[(Int, Column)] =
-      centroids.indices.map(i => i -> centroidCos(vecd, centroids(i)))
+      centroids.map { case (cid, c) => cid -> centroidCos(vecd, c) }
 
     def topLists(vecd: Column, n: Int): Column = {
       // rank centroid ids by cosine desc (id asc on ties) via a sorted
@@ -516,5 +591,46 @@ object Similarity {
     // by (q_id, bucket) is the same partitioning with the bucket carried
     rankTopK(scored, k, Seq("q_id", "bucket"))
       .select(col("q_id"), col("c_id"), col("bucket"), col("cos"), col("rnk"))
+  }
+
+  /** The query's probe sequence for multi-probe LSH: its own sign-bit
+    * bucket plus every Hamming-distance-1 neighbor (one plane's bit
+    * flipped) — the buckets a near-neighbor that fell JUST on the other
+    * side of one hyperplane lands in. numPlanes+1 distinct strings.
+    */
+  def probeBuckets(bucket: Column, numPlanes: Int): Column =
+    array(bucket +: (1 to numPlanes).map { i =>
+      concat(substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+        substring(bucket, i + 1, numPlanes))
+    }: _*)
+
+  /** Multi-probe LSH top-k: like [[topKLsh]], but each query probes its
+    * own bucket AND the numPlanes Hamming-1 neighbors — the standard
+    * recall repair for sign-bit LSH (a true neighbor's most likely miss
+    * mode is disagreeing on exactly one hyperplane; probing those
+    * buckets recovers it without adding tables or planes).
+    *
+    * Scale shape: the probe fan-out multiplies ONLY the broadcast query
+    * side (numPlanes+1 rows per query); the corpus is still bucketed
+    * once and joined on bucket equality — candidates = Σ over probed
+    * buckets, ~(numPlanes+1)/2^numPlanes of the corpus per query on
+    * uniform data. Never a cross product. Each corpus vector lives in
+    * exactly one bucket and the probe set is distinct strings, so no
+    * candidate dedup step is needed.
+    */
+  def topKLshMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("bucket",
+        explode(probeBuckets(bucketKey(col("q_vec"), planes), numPlanes)))
+    val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
+      .withColumn("bucket", bucketKey(col("c_vec"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    rankTopK(scored, k, Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
   }
 }

@@ -37,8 +37,8 @@ class ExplainAuditSpec extends SparkSpec {
 
   test("banded/bucketed candidate generation never plans a cross product") {
     for (q <- Seq("dedup_minhash", "dedup_incremental", "dedup_ngram_jaccard",
-        "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "dedup_exact",
-        "dedup_containment", "st5_neardedup_scan")) {
+        "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "sim_lsh_mp_ann",
+        "dedup_exact", "dedup_containment", "st5_neardedup_scan")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
@@ -70,7 +70,8 @@ class ExplainAuditSpec extends SparkSpec {
   }
 
   test("ANN top-k ranks via a partial-aggregated ObjectHashAggregate, not a window sort") {
-    for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_sq_ann", "sim_pq_ann")) {
+    for (q <- Seq("sim_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_sq_ann",
+        "sim_pq_ann", "sim_lsh_mp_ann")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n$p")
       assert(p.contains("ObjectHashAggregate"), s"$q lost the aggregate rank")
@@ -414,6 +415,20 @@ class ExplainAuditSpec extends SparkSpec {
     // (Lloyd's centroid cross join) may appear in the OUTER plan
     assert("Scan ExistingRDD".r.findAllMatchIn(p).size >= 2,
       s"Lloyd subtree not staged for both consumers:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"k-means re-runs inside the outer plan:\n$p")
+  }
+
+  test("dedup_semantic_centroid: keep-rule joins read the staged Lloyd assignment") {
+    val p = plan("dedup_semantic_centroid")
+    assert(!p.contains("CartesianProduct"), s"centroid-keep went all-pairs:\n$p")
+    assert("Join \\[?bucket#\\d+, cluster_id#\\d+".r.findFirstIn(p).isDefined,
+      s"pair join not keyed on (bucket, cluster_id):\n$p")
+    // four consumers of the staged assignment — the pair join, the two
+    // own-centroid cosine lookups, and the final keep flag — all read
+    // the RDD boundary; Lloyd's centroid cross join never re-runs here
+    assert("Scan ExistingRDD".r.findAllMatchIn(p).size >= 4,
+      s"Lloyd subtree not staged for all four consumers:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"k-means re-runs inside the outer plan:\n$p")
   }

@@ -201,6 +201,38 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(identity), "nothing kept")
   }
 
+  test("semanticDrops: min-id keeps arrival order, centroid keeps representativeness") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("vec_a", "vec_b")
+    // pair (1,2): 2 is CLOSER to its centroid (0.9987 > 0.9954) — the
+    // centroid rule keeps it and drops 1, where min-id would keep 1;
+    // pair (3,4): exact cosine tie — both rules drop the larger id 4
+    val asg = Seq(
+      (1L, 0, 0.995400), (2L, 0, 0.998700),
+      (3L, 1, 0.970000), (4L, 1, 0.970000)
+    ).toDF("vec_id", "cluster_id", "cos")
+    def drops(keep: String): Set[Long] =
+      Similarity.semanticDrops(pairs, asg, keep)
+        .collect().map(_.getLong(0)).toSet
+    assert(drops("min_id") == Set(2L, 4L))
+    assert(drops("centroid") == Set(1L, 4L))
+    intercept[IllegalArgumentException](drops("median"))
+  }
+
+  test("dedup_semantic_centroid query: same corpus partition, keep rule independent of id order") {
+    val minId = SparkEntry.queries("dedup_semantic")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val cen = SparkEntry.queries("dedup_semantic_centroid")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // identical corpus and pair frame — only the survivor choice differs
+    assert(cen.keySet == minId.keySet)
+    // min-id keeps every pair's lower id, so a dropped doc under min_id
+    // is always the larger one; the centroid rule must disagree
+    // somewhere on this corpus (some paraphrase lands closer to its
+    // centroid than its source), or it silently degenerated to min-id
+    assert(cen != minId, "centroid keep never disagreed with min-id keep")
+    assert(cen.values.exists(identity) && cen.values.exists(!_))
+  }
+
   test("containment finds the excerpt symmetric jaccard misses; df cap bounds the index") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
@@ -434,6 +466,63 @@ class SimilaritySpec extends SparkSpec {
     assert(out.view.mapValues(_._1).toMap == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
     assert(out(0L)._2 == 1.0)
     assert(out(1L)._2 == 0.970143) // round(4/sqrt(17), 6) — exact seed-0 cosine
+  }
+
+  test("trainedCentroids: the codebook the final Lloyd pass scored against") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(4.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    // iters = 1: the codebook IS the k lowest-id seeds
+    val seeds = Similarity.trainedCentroids(emb, "vec_id", "embedding",
+        k = 2, iters = 1).collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(seeds == Map(0 -> Seq(1.0, 0.0), 1 -> Seq(4.0, 1.0)))
+    // iters = 2: pass 1 assigns {0}->c0 and {1,2,3}->c1 (the kmeans
+    // spec above), so the updated codebook is their fixed-point means
+    val cents = Similarity.trainedCentroids(emb, "vec_id", "embedding",
+        k = 2, iters = 2).collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) == Seq(1.0, 0.0))
+    assert(cents(1) == Seq(5000000.0 / 3000000.0, 2.0)) // (4+0+1)/3 exact fixed-point
+  }
+
+  test("topKIvfWith keeps the caller's list ids and probes only assigned lists") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.1f, 0.9f))
+    ).toDF("id", "vec")
+    // non-contiguous trained-codebook ids (a Lloyd cluster may vanish)
+    val codebook = Seq(3 -> Seq(1.0, 0.0), 7 -> Seq(0.0, 1.0))
+    val q = corpus.filter(col("id") === 10L)
+    val top = Similarity.topKIvfWith(q, corpus, k = 3, codebook, nProbe = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    // nProbe = 1 → only list 3's members (11) are candidates; the
+    // orthogonal list's 20/21 are unreachable by construction
+    assert(top == Set(11L))
+    val top2 = Similarity.topKIvfWith(q, corpus, k = 3, codebook, nProbe = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(top2 == Set(11L, 21L, 20L))
+  }
+
+  test("probeBuckets: own bucket plus each single-bit flip") {
+    val out = spark.range(1)
+      .select(Similarity.probeBuckets(lit("0101"), 4).as("p"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("0101", "1101", "0001", "0111", "0100"))
+  }
+
+  test("multi-probe LSH recall dominates single-probe recall per query") {
+    val rec = SparkEntry.queries("sim_lsh_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rec.nonEmpty)
+    // mp candidates ⊇ single-probe candidates, and anything that can
+    // displace a brute-top-3 member from mp's top-3 is itself a
+    // brute-top-3 member — so hits_mp >= hits ALWAYS, data aside
+    rec.foreach { case (qid, hits, hitsMp) =>
+      assert(hitsMp >= hits, s"query $qid: hits_mp $hitsMp < hits $hits")
+      assert(hitsMp <= 3)
+    }
   }
 
   test("scalar quantization: exact integer dots, max component maps to ±127") {
