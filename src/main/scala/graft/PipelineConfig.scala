@@ -60,6 +60,10 @@ final case class PipelineConfig(
     // context-window chunking layout (ta_chunk)
     chunkTokens: Int = 32,
     chunkStride: Int = 24,
+    // paragraph-level dedup (dedup_paragraph): tokens per fixed-block
+    // "paragraph" — the deterministic boundary stand-in; real data
+    // swaps in a newline split
+    paraBlockTokens: Int = 16,
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,

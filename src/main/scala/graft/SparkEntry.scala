@@ -936,6 +936,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(recrawl(s, dir), "doc_id", "text")),
 
+    // Paragraph-level dedup + reassembly: fixed-block "paragraphs" over
+    // the re-crawled corpus keep only their first (lowest doc_id,
+    // lowest position) occurrence; each doc is rebuilt from its
+    // survivors in order — the sub-document pass that strips
+    // cross-document boilerplate whole-doc dedup cannot see. The
+    // re-crawl copy reduces to clean_text = "" (degrade, not drop).
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(recrawl(s, dir), "doc_id", col("text"),
+        Cfg.paraBlockTokens)),
+
     // MinHash+LSH near-dup: shingle → 12-seed minhash → 4 bands → bucket
     // join → exact-Jaccard verify ≥0.8. Candidates come ONLY from band
     // collisions (never all-pairs).
@@ -2861,6 +2871,29 @@ object SparkEntry {
          |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
          |       CAST(count(*) AS BIGINT) AS dup_count
          |FROM corpus GROUP BY 1""".stripMargin,
+
+    // Paragraph dedup + reassembly: blocks of paraBlockTokens tokens,
+    // first occurrence = row_number 1 over (doc_id, para_id) — the
+    // window form of the plan's min(struct) aggregate; string_agg
+    // skips the CASE's NULLs exactly like collect_list, and the empty
+    // group coalesces to '' to match array_join.
+    "dedup_paragraph" ->
+      s"""WITH $RecrawlCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |      FROM corpus WHERE text IS NOT NULL),
+         |e AS (SELECT doc_id, tv,
+         |             UNNEST(generate_series(0, (len(tv) - 1) // ${Cfg.paraBlockTokens})) AS para_id
+         |      FROM t),
+         |p AS (SELECT doc_id, para_id,
+         |             array_to_string(tv[para_id*${Cfg.paraBlockTokens}+1 : para_id*${Cfg.paraBlockTokens}+${Cfg.paraBlockTokens}], ' ') AS para_text
+         |      FROM e),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY md5(para_text)
+         |                                   ORDER BY doc_id, para_id) AS rn
+         |      FROM p)
+         |SELECT doc_id, count(*) AS n_paras,
+         |       count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN rn = 1 THEN para_text END, ' ' ORDER BY para_id), '') AS clean_text
+         |FROM r GROUP BY doc_id""".stripMargin,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

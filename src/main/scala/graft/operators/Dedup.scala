@@ -700,6 +700,65 @@ object Dedup {
           when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** Paragraph-level exact dedup with document reassembly — the
+    * sub-document pass (CCNet/RefinedWeb-style) that exact whole-doc
+    * dedup cannot do: boilerplate repeated ACROSS distinct documents is
+    * removed while the unique remainder of each document survives.
+    * Paragraph = a fixed `blockTokens`-token block (the deterministic
+    * stand-in for newline boundaries the synthetic corpus lacks; swap
+    * the splitter for a `\n\n` split on real data — everything
+    * downstream is boundary-agnostic). Each distinct paragraph keeps
+    * only its FIRST occurrence corpus-wide — the (lowest docId, lowest
+    * position) copy — and every document is rebuilt from its surviving
+    * paragraphs in original order, possibly down to "" (degrade, not
+    * drop: the caller decides the min-length cut).
+    *
+    * Output: (docId, n_paras, n_kept, clean_text).
+    *
+    * Scale shape: the paragraph explode is narrow map work (n/B rows of
+    * ~B tokens each — same bytes as the corpus); first-occurrence is ONE
+    * hash-partitioned min(struct) aggregate on para_hash plus an
+    * equality join back on the same key — never a window over the
+    * corpus. Reassembly is one groupBy on docId whose per-group state is
+    * bounded by the document's own length (array_sort of the collected
+    * (position, text) structs — the per-doc sort any reassembly pays).
+    * A paragraph duplicated millions of times skews its join-back key;
+    * the probe side is one row per hash and AQE's skew split covers the
+    * build side, so the hot key splits instead of serializing.
+    */
+  def paragraphDedup(df: DataFrame, docId: String, text: Column,
+      blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val paras = df.filter(text.isNotNull)
+      .select(col(docId), split(text, " ").as("_tv"))
+      // integer ceil via `div` (Column `/` is double division); ids
+      // 0..(n-1) div B inclusive = ceil(n/B) blocks, slice clamps the tail
+      .select(col(docId),
+        explode(sequence(lit(0),
+          expr(s"(size(_tv) - 1) div $blockTokens").cast("int"))).as("_i"),
+        col("_tv"))
+      .select(col(docId), col("_i").cast("long").as("para_id"),
+        concat_ws(" ", slice(col("_tv"),
+          col("_i") * blockTokens + 1, lit(blockTokens))).as("para_text"))
+      .withColumn("para_hash", md5(col("para_text")))
+    val first = paras.groupBy(col("para_hash"))
+      .agg(min(struct(col(docId), col("para_id"))).as("_first"))
+    paras.join(first, Seq("para_hash"))
+      .withColumn("_keep", col(docId) === col(s"_first.$docId") &&
+        col("para_id") === col("_first.para_id"))
+      .groupBy(col(docId))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("_keep"), 1)).as("n_kept"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // paragraphs; array_sort restores positional order (struct sorts
+        // by para_id first), making the unordered collect deterministic
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("para_id"), col("para_text"))))),
+          x => x.getField("para_text")), " ").as("clean_text"))
+  }
+
   /** SimHash bit votes over the chunk representation. The j-th hex char's
     * nibble is `(chunk(j/8) >> 4*(7-j%8)) & 15`; its ASCII parity is
     * `v%2` for digits and `(v+1)%2` for letters (ascii 48+v vs 87+v) —

@@ -419,6 +419,14 @@ class ExplainAuditSpec extends SparkSpec {
       s"k-means re-runs inside the outer plan:\n$p")
   }
 
+  test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("Window"),
+      s"first-occurrence ranks through a window over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join-back degenerated to a cross product:\n$p")
+  }
+
   test("dedup_semantic_centroid: keep-rule joins read the staged Lloyd assignment") {
     val p = plan("dedup_semantic_centroid")
     assert(!p.contains("CartesianProduct"), s"centroid-keep went all-pairs:\n$p")

@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpec {
     assert(cen.values.exists(identity) && cen.values.exists(!_))
   }
 
+  test("paragraphDedup: first occurrence survives, docs reassemble in order, full dup degrades to empty") {
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
+    val corpus = Seq(
+      (1L, s"$A $B"),
+      (2L, s"$A $C"),       // A repeats -> only doc 1's copy survives
+      (3L, s"$A $B"),       // every paragraph already seen -> ""
+      (4L, "d1 d2 d3 d4 d5 d6") // tail clamp: blocks (d1..d4, d5 d6)
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", col("text"), 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$A $B")))
+    assert(out(2L) == ((2L, 1L, C)))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((2L, 2L, "d1 d2 d3 d4 d5 d6")))
+  }
+
   test("containment finds the excerpt symmetric jaccard misses; df cap bounds the index") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
