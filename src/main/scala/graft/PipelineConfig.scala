@@ -64,6 +64,9 @@ final case class PipelineConfig(
     // "paragraph" — the deterministic boundary stand-in; real data
     // swaps in a newline split
     paraBlockTokens: Int = 16,
+    // hashed-linear quality classifier (ta_quality_clf): keep docs whose
+    // 6-dp normalized score clears this
+    clfThreshold: Double = 0.0,
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,

@@ -1164,6 +1164,18 @@ object SparkEntry {
               TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
               TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))): _*)),
 
+    // Model-based quality filter (the fasttext-classifier stage of
+    // CCNet/LLaMA-style curation): hashing-trick token buckets, exact
+    // integer weight accumulation, one final stable-rounded division,
+    // threshold keep. Weights are a deterministic stand-in export — the
+    // scoring plumbing (bucket → gather → sum → normalize → cut) is the
+    // production operator unchanged.
+    "ta_quality_clf" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull).select(
+        col("doc_id") +:
+          TextAnalysis.clfColumns(col("text"), Cfg.clfThreshold)
+            .map { case (n, c) => c.as(n) }: _*)),
+
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →
     // count (map-side combined) → bounded top-k AGGREGATE per lang
@@ -3248,6 +3260,26 @@ object SparkEntry {
         s"       $WsTokensSql AS ws_tokens,\n" +
         """       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
           |FROM t""".stripMargin),
+
+    // Hashed-linear classifier: bucket/weight arithmetic is all-integer
+    // (list_sum is exact), so only the final division hashes — mirrored
+    // 6-dp rounded. Constants inline TextAnalysis.ClfBuckets/Mod.
+    "ta_quality_clf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         string_split_regex(trim(text), ' +') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (
+         |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |         CAST(list_sum(list_transform(toks, tk ->
+         |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT % ${TextAnalysis.ClfBuckets}) * 37 + 11)
+         |             % ${TextAnalysis.ClfWeightMod} - 48)) AS BIGINT) AS sw
+         |  FROM t)
+         |SELECT doc_id, n_tokens, clf_score,
+         |       clf_score >= ${Cfg.clfThreshold} AS clf_keep
+         |FROM (SELECT doc_id, n_tokens,
+         |        ${Rounding.stableSql(s"sw::DOUBLE / (n_tokens * ${TextAnalysis.ClfWeightMod})", 6)} AS clf_score
+         |      FROM w)""".stripMargin,
 
     "ta_length_stats" ->
       s"""SELECT lang,

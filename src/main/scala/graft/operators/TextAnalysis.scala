@@ -258,6 +258,43 @@ object TextAnalysis {
     pmod(total, lit(1000000007L))
   }
 
+  /** Hashed-linear quality classifier dims: weight-table size (the
+    * hashing-trick bucket count) and the integer weight modulus.
+    */
+  val ClfBuckets = 64
+  val ClfWeightMod = 97
+
+  /** Per-token integer weight for [[clfColumns]]: hashing-trick bucket
+    * (first 4 md5 hex chars mod [[ClfBuckets]] — engine-stable like
+    * every hash here) → a deterministic integer weight in [-48, 48].
+    * The affine-mod formula is a stand-in for a trained export: a real
+    * deployment replaces this one expression with element_at on a
+    * broadcast weight array; bucket → gather → sum stays identical.
+    */
+  def clfWeight(token: Column): Column =
+    (conv(substring(md5(token), 1, 4), 16, 10).cast("long")
+      % ClfBuckets * 37 + 11) % ClfWeightMod - 48
+
+  /** fasttext-style model-based quality filter (the CCNet / LLaMA
+    * wiki-ref classifier stage): tokens hash into [[ClfBuckets]] weight
+    * buckets, INTEGER weights accumulate exactly (no float-order drift
+    * across partial aggregation), and only the final length
+    * normalization is one IEEE division, stable-rounded to 6 dp —
+    * the same exactness discipline as the unigram-LM fluency score.
+    * Narrow codegen'd map work: zero shuffle at any corpus size.
+    */
+  def clfColumns(text: Column, threshold: Double): Seq[(String, Column)] = {
+    val toks = split(trim(text), " +")
+    val sumW = aggregate(transform(toks, t => clfWeight(t)),
+      lit(0L), (acc, x) => acc + x)
+    val score = Rounding.stable(
+      sumW.cast("double") / (size(toks).cast("double") * ClfWeightMod), 6)
+    Seq(
+      "n_tokens" -> size(toks),
+      "clf_score" -> score,
+      "clf_keep" -> (score >= threshold))
+  }
+
   /** PII patterns: (name, regex, replacement token). Written in the
     * common Java-regex ∩ RE2 dialect (char classes, bounded repetition,
     * `\b`, group repetition — no lookaround, no backrefs) so the SAME

@@ -595,6 +595,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("quality") >= 0.0 && r.getAs[Double]("quality") <= 1.0)
   }
 
+  test("clfColumns: score matches a reference reimplementation; keep mirrors the threshold") {
+    // independent recomputation of bucket -> weight -> exact sum
+    def weight(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 4), 16)
+        % TextAnalysis.ClfBuckets * 37 + 11) % TextAnalysis.ClfWeightMod - 48
+    }
+    val toks = Seq("alpha", "beta", "gamma", "the", "delta")
+    val expected = Rounding.stableVal(
+      toks.map(weight).sum.toDouble / (toks.size * TextAnalysis.ClfWeightMod), 6)
+    val r = Seq(toks.mkString(" ")).toDF("text")
+      .select(TextAnalysis.clfColumns(col("text"), threshold = expected)
+        .map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Double]("clf_score") == expected)
+    assert(r.getAs[Boolean]("clf_keep")) // >= its own score: boundary keeps
+    // score is a mean of per-token weights, so bounded by the weight range
+    assert(math.abs(r.getAs[Double]("clf_score")) <=
+      48.0 / TextAnalysis.ClfWeightMod)
+  }
+
   test("approx distinct stays within the configured rsd of exact") {
     val df = (1 to 5000).map(i => s"tok${i % 700}").toDF("t")
     val r = df.agg(
