@@ -868,6 +868,26 @@ object SparkEntry {
           Rounding.stable(count(col("__hit_mp")).cast("double") / 3, 4).as("recall_mp"))
     }),
 
+    // IVF recall gate: per-query fraction of the exact top-3 recovered
+    // by the trained-codebook probe — the measured defense of the k=8
+    // Lloyd codebook + nProbe=2 configuration (VERDICT r11 #6's
+    // "recall gates not degraded", as a first-class query).
+    "sim_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
+        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
+      val ivf = Similarity.topKIvfWith(q, emb, k = 3,
+          centroids = codebook, nProbe = 2)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
     // Multi-probe LSH ANN: the query probes its own sign-bit bucket
     // plus every Hamming-1 neighbor — the standard recall repair when
     // one hyperplane disagreement hides a true neighbor. The fan-out
@@ -2418,6 +2438,37 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * ([$lits]::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Shared IVF CTE chain (sim_ivf_ann / sim_ivf_recall): trained k=8
+    * Lloyd codebook (`c1`) → inverted-list assignment (`cassign`) →
+    * nProbe=2 query probing (`qassign`) → 6-dp-rounded candidate scores
+    * in `ivfs`. Margin-bearing raw text — consumers embed it in a
+    * stripMargin literal, like [[kmeansCtesOver]].
+    */
+  private def ivfCtesSql: String =
+    s"""${kmeansCtesOver(
+           "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+           k = 8)},
+       |eb AS (SELECT vec_id AS id, v FROM e),
+       |cent AS (SELECT cid, cv FROM c1),
+       |cscore AS (
+       |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
+       |  FROM eb c CROSS JOIN cent),
+       |cassign AS (
+       |  SELECT c_id, c_vec, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cscore)
+       |  WHERE rn = 1),
+       |qscore AS (
+       |  SELECT q.id AS q_id, q.v AS q_vec, cent.cid, ${sqlCos("q.v", "cent.cv")} AS qcos
+       |  FROM (SELECT * FROM eb WHERE id < 5) q CROSS JOIN cent),
+       |qassign AS (
+       |  SELECT q_id, q_vec, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM qscore)
+       |  WHERE rn <= 2),
+       |ivfs AS (
+       |  SELECT q.q_id, c.c_id, round(${sqlCos("q.q_vec", "c.c_vec")}, 6) AS cos
+       |  FROM qassign q JOIN cassign c USING (list_id)
+       |  WHERE q.q_id <> c.c_id)"""
+
   /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
     * given a probe index column `p` in [0, numPlanes], p = 0 is the
     * query's own bucket and p = i flips plane i's bit — the Hamming-1
@@ -3125,32 +3176,31 @@ object SparkEntry {
     // chain's c1 — Similarity.trainedCentroids in lock-step), not the
     // first-8 vectors; assignment/probing unchanged.
     "sim_ivf_ann" ->
-      s"""WITH ${kmeansCtesOver(
-             "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
-             k = 8)},
-         |eb AS (SELECT vec_id AS id, v FROM e),
-         |cent AS (SELECT cid, cv FROM c1),
-         |cscore AS (
-         |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
-         |  FROM eb c CROSS JOIN cent),
-         |cassign AS (
-         |  SELECT c_id, c_vec, cid AS list_id
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cscore)
-         |  WHERE rn = 1),
-         |qscore AS (
-         |  SELECT q.id AS q_id, q.v AS q_vec, cent.cid, ${sqlCos("q.v", "cent.cv")} AS qcos
-         |  FROM (SELECT * FROM eb WHERE id < 5) q CROSS JOIN cent),
-         |qassign AS (
-         |  SELECT q_id, q_vec, cid AS list_id
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM qscore)
-         |  WHERE rn <= 2),
-         |s AS (
-         |  SELECT q.q_id, c.c_id, round(${sqlCos("q.q_vec", "c.c_vec")}, 6) AS cos
-         |  FROM qassign q JOIN cassign c USING (list_id)
-         |  WHERE q.q_id <> c.c_id)
+      s"""WITH $ivfCtesSql
          |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ivfs)
          |WHERE rnk <= 3""".stripMargin,
+
+    // IVF recall gate: fraction of the exact top-3 the trained-codebook
+    // probe recovers — the number that justifies (or indicts) the k=8
+    // codebook + nProbe=2 choice, measured like sim_lsh_recall.
+    "sim_ivf_recall" ->
+      s"""WITH $ivfCtesSql,
+         |ivf AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ivfs)
+         |  WHERE rnk <= 3),
+         |bs AS (
+         |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
+         |  FROM (SELECT * FROM eb WHERE id < 5) q, eb c WHERE q.id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 3)
+         |SELECT b.q_id, CAST(count(i.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(i.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "sim_sq_ann" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
