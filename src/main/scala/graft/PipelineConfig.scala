@@ -67,6 +67,8 @@ final case class PipelineConfig(
     // hashed-linear quality classifier (ta_quality_clf): keep docs whose
     // 6-dp normalized score clears this
     clfThreshold: Double = 0.0,
+    // per-source doc cap (ta_source_cap): best-N by classifier score
+    sourceCap: Int = 10,
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,

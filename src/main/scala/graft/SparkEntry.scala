@@ -1196,6 +1196,21 @@ object SparkEntry {
           TextAnalysis.clfColumns(col("text"), Cfg.clfThreshold)
             .map { case (n, c) => c.as(n) }: _*)),
 
+    // Domain-mixing cap: at most sourceCap docs survive per source,
+    // best classifier score first (ties to the lower doc_id) — an
+    // over-represented domain trims to its best members. k-bounded
+    // aggregate, never a per-domain window sort.
+    "ta_source_cap" -> ((s, dir) => {
+      val clfScore = TextAnalysis
+        .clfColumns(col("text"), Cfg.clfThreshold).toMap.apply("clf_score")
+      val scored = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), clfScore.as("clf_score"))
+      Sampling.capPerKey(scored, "source", "doc_id", col("clf_score"),
+          Cfg.sourceCap)
+        .withColumnRenamed("score", "clf_score")
+        .withColumnRenamed("rank", "src_rank")
+    }),
+
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →
     // count (map-side combined) → bounded top-k AGGREGATE per lang
@@ -2438,6 +2453,28 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * ([$lits]::DOUBLE[])[i])) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Shared hashed-linear classifier CTE chain (ta_quality_clf /
+    * ta_source_cap): ends in `tcl(doc_id, source, n_tokens, clf_score)`.
+    * Bucket/weight arithmetic is all-integer (list_sum exact); only the
+    * final division is IEEE, stable-rounded — TextAnalysis.clfColumns'
+    * mirror. Margin-bearing raw text for a stripMargin consumer.
+    */
+  private def clfCtesSql: String =
+    s"""tcl0 AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), ' +') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |tclw AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+       |         CAST(list_sum(list_transform(toks, tk ->
+       |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT % ${TextAnalysis.ClfBuckets}) * 37 + 11)
+       |             % ${TextAnalysis.ClfWeightMod} - 48)) AS BIGINT) AS sw
+       |  FROM tcl0),
+       |tcl AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         ${Rounding.stableSql(s"sw::DOUBLE / (n_tokens * ${TextAnalysis.ClfWeightMod})", 6)} AS clf_score
+       |  FROM tclw)"""
+
   /** Shared IVF CTE chain (sim_ivf_ann / sim_ivf_recall): trained k=8
     * Lloyd codebook (`c1`) → inverted-list assignment (`cassign`) →
     * nProbe=2 query probing (`qassign`) → 6-dp-rounded candidate scores
@@ -3315,21 +3352,22 @@ object SparkEntry {
     // (list_sum is exact), so only the final division hashes — mirrored
     // 6-dp rounded. Constants inline TextAnalysis.ClfBuckets/Mod.
     "ta_quality_clf" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         string_split_regex(trim(text), ' +') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |w AS (
-         |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-         |         CAST(list_sum(list_transform(toks, tk ->
-         |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT % ${TextAnalysis.ClfBuckets}) * 37 + 11)
-         |             % ${TextAnalysis.ClfWeightMod} - 48)) AS BIGINT) AS sw
-         |  FROM t)
+      s"""WITH $clfCtesSql
          |SELECT doc_id, n_tokens, clf_score,
          |       clf_score >= ${Cfg.clfThreshold} AS clf_keep
-         |FROM (SELECT doc_id, n_tokens,
-         |        ${Rounding.stableSql(s"sw::DOUBLE / (n_tokens * ${TextAnalysis.ClfWeightMod})", 6)} AS clf_score
-         |      FROM w)""".stripMargin,
+         |FROM tcl""".stripMargin,
+
+    // Per-source cap: the window form of the plan's k-bounded aggregate
+    // — rank by (clf_score DESC, doc_id ASC), keep rank <= cap.
+    "ta_source_cap" ->
+      s"""WITH $clfCtesSql,
+         |r AS (
+         |  SELECT source, doc_id, clf_score,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY clf_score DESC, doc_id ASC) AS rn
+         |  FROM tcl)
+         |SELECT source, doc_id, clf_score, CAST(rn AS INT) AS src_rank
+         |FROM r WHERE rn <= ${Cfg.sourceCap}""".stripMargin,
 
     "ta_length_stats" ->
       s"""SELECT lang,

@@ -63,4 +63,30 @@ object Sampling {
     val cases = pcts.map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
     keepAtSql(keyExpr, s"CASE $stratumExpr $cases ELSE $defaultPct END")
   }
+
+  /** Per-key cap with priority keep — the domain/source-mixing stage: at
+    * most `cap` rows survive per `keyCol`, highest `score` first (ties
+    * to the lower `idCol`), so an over-represented domain is trimmed to
+    * its best members instead of randomly. Output: (key, id, score,
+    * rank 1..cap).
+    *
+    * Scale shape: the k-bounded [[graft.functions.TopKByScore]]
+    * aggregate, not a window — each partition map-side combines to at
+    * most `cap` rows per key BEFORE the shuffle, so the exchange
+    * carries cap·|keys| rows no matter how hot a domain is (a
+    * `row_number` window would sort an entire 100 TB domain through
+    * one task).
+    */
+  def capPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      idCol: String, score: Column, cap: Int): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val top = graft.functions.TopK.topKByScore(cap)
+    df.groupBy(col(keyCol))
+      .agg(top(score, col(idCol)).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")))
+      .select(col(keyCol),
+        col("col._2").as(idCol),
+        col("col._1").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -419,6 +419,12 @@ class ExplainAuditSpec extends SparkSpec {
       s"k-means re-runs inside the outer plan:\n$p")
   }
 
+  test("ta_source_cap: per-domain trim via bounded aggregate, never a per-domain window sort") {
+    val p = plan("ta_source_cap")
+    assert(!p.contains("Window"), s"cap ranks through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"cap lost the bounded aggregate:\n$p")
+  }
+
   test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("Window"),

@@ -370,6 +370,19 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
 
+  test("capPerKey: best-score keep per key, ties to the lower id, under-cap keys intact") {
+    val rows = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 9L, 0.2)
+    ).toDF("src", "doc_id", "sc")
+    val out = Sampling.capPerKey(rows, "src", "doc_id", col("sc"), cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // key a: 0.9-tie breaks to lower id (2 before 3); 1 and 4 trimmed
+    assert(out.toSet == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 9L, 1)))
+    intercept[IllegalArgumentException](
+      Sampling.capPerKey(rows, "src", "doc_id", col("sc"), cap = 0))
+  }
+
   test("stratified sampling: raising one stratum's rate only ADDS its rows, others untouched") {
     val docs = (1 to 500).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
