@@ -69,6 +69,9 @@ final case class PipelineConfig(
     clfThreshold: Double = 0.0,
     // per-source doc cap (ta_source_cap): best-N by classifier score
     sourceCap: Int = 10,
+    // e6 flagship shard budget (tokens per shard per lang) — smaller
+    // than shardBudget so the layout is non-degenerate at test SFs
+    e6ShardBudget: Long = 2000L,
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,

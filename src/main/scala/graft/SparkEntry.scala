@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -108,6 +108,24 @@ object SparkEntry {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
+
+  /** Deterministic PII fixture (ta_pii / e6): appends id-derived email /
+    * phone / IPv4 / mixed tokens to ~1/3, 1/4, 1/5, 1/7 of docs — the
+    * synthetic corpus has no natural PII, so the scrub stage's work is
+    * injected reproducibly; `piiInjectSql` is the SQL mirror. Requires a
+    * `doc_id` column in scope.
+    */
+  private def piiInject(textCol: Column): Column = concat(
+    textCol,
+    when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example"),
+      (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, concat(lit(" call 555-867-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+      (col("doc_id") % 300).cast("string"), lit(".0.1"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      lit(" id 555-123-4567@mail.example.org")).otherwise(lit("")))
 
   /** SemDeDup (dedup_semantic / dedup_semantic_centroid): k-means
     * clusters the paraphrase-augmented corpus, cosine pairs form only
@@ -1878,6 +1896,36 @@ object SparkEntry {
       gated.join(keepRep, Seq("doc_id")).join(kw, Seq("doc_id"))
     }),
 
+    // E6 — the pretraining-corpus flagship: the round-12 stages chained
+    // in ONE DAG the way a real data-engineering run would — (1)
+    // paragraph-level dedup over the re-crawl (fully-duplicate docs
+    // degrade to n_kept=0 and drop), (2) PII inject (fixture) + scrub
+    // on the REASSEMBLED text, (3) hashed-classifier quality gate on
+    // the scrubbed text, (4) language metadata join, (5) fixed-
+    // token-budget shard layout per language. Narrow stages fuse; the
+    // only shuffles are paragraph dedup's three, the lang join, and the
+    // two-phase pack.
+    "e6_pretrain_corpus" -> ((s, dir) => {
+      val deduped = Dedup.paragraphDedup(recrawl(s, dir), "doc_id",
+          col("text"), Cfg.paraBlockTokens)
+        .filter(col("n_kept") > 0)
+      val injected = piiInject(col("clean_text"))
+      val scrubbed = deduped.select(
+        col("doc_id") +: col("n_paras") +: col("n_kept") +:
+          (TextAnalysis.piiCounts(injected).map { case (n, c) => c.as(n) } :+
+            TextAnalysis.piiRedact(injected).as("clean_text")): _*)
+      val clf = TextAnalysis.clfColumns(col("clean_text"), Cfg.clfThreshold).toMap
+      val gated = scrubbed
+        .withColumn("n_tokens", clf("n_tokens"))
+        .withColumn("clf_score", clf("clf_score"))
+        .filter(clf("clf_keep"))
+      val withLang = gated.join(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Packing.packShards(withLang, part = "lang", orderCol = "doc_id",
+        weight = col("n_tokens"), budget = Cfg.e6ShardBudget,
+        bucketSize = Cfg.shardBucketSize)
+    }),
+
     // GROUPING SETS profile with grouping_id — the per-lang, per-source,
     // and per-(lang,source) corpus rollout in ONE Expand pass (three
     // separate aggregations would scan the corpus three times;
@@ -1989,17 +2037,7 @@ object SparkEntry {
     // progressive, matching the redaction order). Narrow codegen'd map
     // work — one text scan at any scale.
     "ta_pii" -> ((s, dir) => {
-      val injected = concat(
-        col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example"),
-          (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, concat(lit(" call 555-867-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 300).cast("string"), lit(".0.1"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          lit(" id 555-123-4567@mail.example.org")).otherwise(lit("")))
+      val injected = piiInject(col("text"))
       Tables.documents(s, dir).select(
         col("doc_id") +:
           (TextAnalysis.piiCounts(injected).map { case (n, c) => c.as(n) } :+
@@ -2454,26 +2492,60 @@ object SparkEntry {
     }.mkString(" || ")
 
   /** Shared hashed-linear classifier CTE chain (ta_quality_clf /
-    * ta_source_cap): ends in `tcl(doc_id, source, n_tokens, clf_score)`.
-    * Bucket/weight arithmetic is all-integer (list_sum exact); only the
-    * final division is IEEE, stable-rounded — TextAnalysis.clfColumns'
-    * mirror. Margin-bearing raw text for a stripMargin consumer.
+    * ta_source_cap / e6): ends in `tcl(doc_id, $carryCols, n_tokens,
+    * clf_score)` over `$textExpr` of `$src`. Bucket/weight arithmetic is
+    * all-integer (list_sum exact); only the final division is IEEE,
+    * stable-rounded — TextAnalysis.clfColumns' mirror. Margin-bearing
+    * raw text for a stripMargin consumer.
     */
-  private def clfCtesSql: String =
+  private def clfCtesSql(src: String = "documents",
+      textExpr: String = "text", carryCols: String = "source"): String =
     s"""tcl0 AS (
-       |  SELECT doc_id, source,
-       |         string_split_regex(trim(text), ' +') AS toks
-       |  FROM documents WHERE text IS NOT NULL),
+       |  SELECT doc_id, $carryCols,
+       |         string_split_regex(trim($textExpr), ' +') AS toks
+       |  FROM $src WHERE $textExpr IS NOT NULL),
        |tclw AS (
-       |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+       |  SELECT doc_id, $carryCols, CAST(len(toks) AS INT) AS n_tokens,
        |         CAST(list_sum(list_transform(toks, tk ->
        |           ((('0x' || substr(md5(tk), 1, 4))::BIGINT % ${TextAnalysis.ClfBuckets}) * 37 + 11)
        |             % ${TextAnalysis.ClfWeightMod} - 48)) AS BIGINT) AS sw
        |  FROM tcl0),
        |tcl AS (
-       |  SELECT doc_id, source, n_tokens,
+       |  SELECT doc_id, $carryCols, n_tokens,
        |         ${Rounding.stableSql(s"sw::DOUBLE / (n_tokens * ${TextAnalysis.ClfWeightMod})", 6)} AS clf_score
        |  FROM tclw)"""
+
+  /** SQL mirror of [[piiInject]]. ONE line on purpose: the `||` concat
+    * operators would lose a leading `|` to a consumer's stripMargin if
+    * this ever line-wrapped.
+    */
+  private def piiInjectSql(textExpr: String): String =
+    s"$textExpr || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 300 AS VARCHAR) || '.0.1' ELSE '' END || CASE WHEN doc_id % 7 = 0 THEN ' id 555-123-4567@mail.example.org' ELSE '' END"
+
+  /** Shared paragraph-dedup CTE chain (dedup_paragraph / e6) over a
+    * `corpus(doc_id, text)` CTE: ends in `pd(doc_id, n_paras, n_kept,
+    * clean_text)` — Dedup.paragraphDedup's mirror (first occurrence =
+    * rn 1 over (doc_id, para_id); string_agg skips the CASE's NULLs
+    * like collect_list; empty groups coalesce to ''). Margin-bearing.
+    */
+  private def paragraphCtesSql: String = {
+    val b = Cfg.paraBlockTokens
+    s"""pdt AS (SELECT doc_id, string_split(text, ' ') AS tv
+       |        FROM corpus WHERE text IS NOT NULL),
+       |pde AS (SELECT doc_id, tv,
+       |               UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS para_id
+       |        FROM pdt),
+       |pdp AS (SELECT doc_id, para_id,
+       |               array_to_string(tv[para_id*$b+1 : para_id*$b+$b], ' ') AS para_text
+       |        FROM pde),
+       |pdr AS (SELECT *, row_number() OVER (PARTITION BY md5(para_text)
+       |                                     ORDER BY doc_id, para_id) AS rn
+       |        FROM pdp),
+       |pd AS (SELECT doc_id, count(*) AS n_paras,
+       |              count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |              coalesce(string_agg(CASE WHEN rn = 1 THEN para_text END, ' ' ORDER BY para_id), '') AS clean_text
+       |       FROM pdr GROUP BY doc_id)"""
+  }
 
   /** Shared IVF CTE chain (sim_ivf_ann / sim_ivf_recall): trained k=8
     * Lloyd codebook (`c1`) → inverted-list assignment (`cassign`) →
@@ -2780,15 +2852,7 @@ object SparkEntry {
       val Seq((_, emailPat, _), (_, phonePat, _), (_, ipPat, _)) =
         TextAnalysis.PiiPatterns
       s"""WITH inj AS (
-         |  SELECT doc_id,
-         |         text
-         |         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-         |                   || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
-         |         || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-'
-         |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-         |         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
-         |                   || CAST(doc_id % 300 AS VARCHAR) || '.0.1' ELSE '' END
-         |         || CASE WHEN doc_id % 7 = 0 THEN ' id 555-123-4567@mail.example.org' ELSE '' END AS t
+         |  SELECT doc_id, ${piiInjectSql("text")} AS t
          |  FROM documents),
          |r1 AS (SELECT doc_id, t, regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t1 FROM inj),
          |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$phonePat', '<PHONE>', 'g') AS t2 FROM r1)
@@ -2979,21 +3043,8 @@ object SparkEntry {
     // group coalesces to '' to match array_join.
     "dedup_paragraph" ->
       s"""WITH $RecrawlCte,
-         |t AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |      FROM corpus WHERE text IS NOT NULL),
-         |e AS (SELECT doc_id, tv,
-         |             UNNEST(generate_series(0, (len(tv) - 1) // ${Cfg.paraBlockTokens})) AS para_id
-         |      FROM t),
-         |p AS (SELECT doc_id, para_id,
-         |             array_to_string(tv[para_id*${Cfg.paraBlockTokens}+1 : para_id*${Cfg.paraBlockTokens}+${Cfg.paraBlockTokens}], ' ') AS para_text
-         |      FROM e),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY md5(para_text)
-         |                                   ORDER BY doc_id, para_id) AS rn
-         |      FROM p)
-         |SELECT doc_id, count(*) AS n_paras,
-         |       count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
-         |       coalesce(string_agg(CASE WHEN rn = 1 THEN para_text END, ' ' ORDER BY para_id), '') AS clean_text
-         |FROM r GROUP BY doc_id""".stripMargin,
+         |$paragraphCtesSql
+         |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),
@@ -3352,7 +3403,7 @@ object SparkEntry {
     // (list_sum is exact), so only the final division hashes — mirrored
     // 6-dp rounded. Constants inline TextAnalysis.ClfBuckets/Mod.
     "ta_quality_clf" ->
-      s"""WITH $clfCtesSql
+      s"""WITH ${clfCtesSql()}
          |SELECT doc_id, n_tokens, clf_score,
          |       clf_score >= ${Cfg.clfThreshold} AS clf_keep
          |FROM tcl""".stripMargin,
@@ -3360,7 +3411,7 @@ object SparkEntry {
     // Per-source cap: the window form of the plan's k-bounded aggregate
     // — rank by (clf_score DESC, doc_id ASC), keep rank <= cap.
     "ta_source_cap" ->
-      s"""WITH $clfCtesSql,
+      s"""WITH ${clfCtesSql()},
          |r AS (
          |  SELECT source, doc_id, clf_score,
          |         row_number() OVER (PARTITION BY source
@@ -4218,6 +4269,37 @@ object SparkEntry {
           |SELECT q.doc_id, d.lang, q.quality, kw.keyword, kw.keyword_tfidf
           |FROM q JOIN rep USING (doc_id) JOIN kw USING (doc_id)
           |JOIN documents d ON d.doc_id = q.doc_id""".stripMargin),
+
+    // E6 pretraining-corpus flagship: the SQL spec chains the SAME
+    // shared CTE builders the per-stage oracles use — paragraph dedup
+    // (paragraphCtesSql), PII inject+scrub (piiInjectSql + the ta_pii
+    // chain), the classifier gate (clfCtesSql over the scrubbed text),
+    // lang metadata, then packShardsSql's one-window layout spec.
+    "e6_pretrain_corpus" -> {
+      val Seq((_, emailPat, _), (_, phonePat, _), (_, ipPat, _)) =
+        TextAnalysis.PiiPatterns
+      s"""WITH $RecrawlCte,
+         |$paragraphCtesSql,
+         |pk AS (SELECT * FROM pd WHERE n_kept > 0),
+         |inj AS (SELECT doc_id, n_paras, n_kept, ${piiInjectSql("clean_text")} AS t FROM pk),
+         |r1 AS (SELECT *, regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t1 FROM inj),
+         |r2 AS (SELECT *, regexp_replace(t1, '$phonePat', '<PHONE>', 'g') AS t2 FROM r1),
+         |scr AS (
+         |  SELECT doc_id, n_paras, n_kept,
+         |         CAST(len(regexp_extract_all(t,  '$emailPat')) AS INT) AS n_email,
+         |         CAST(len(regexp_extract_all(t1, '$phonePat')) AS INT) AS n_phone,
+         |         CAST(len(regexp_extract_all(t2, '$ipPat')) AS INT) AS n_ipv4,
+         |         regexp_replace(t2, '$ipPat', '<IPV4>', 'g') AS clean_text
+         |  FROM r2),
+         |${clfCtesSql("scr", "clean_text",
+             "n_paras, n_kept, n_email, n_phone, n_ipv4, clean_text")},
+         |gate AS (SELECT * FROM tcl WHERE clf_score >= ${Cfg.clfThreshold}),
+         |met AS (SELECT g.*, d.lang FROM gate g JOIN documents d USING (doc_id))
+         |""".stripMargin +
+        graft.operators.Packing.packShardsSql("met", "lang", "doc_id",
+          "n_tokens", budget = Cfg.e6ShardBudget,
+          selectCols = "doc_id, lang, n_paras, n_kept, n_email, n_phone, n_ipv4, n_tokens, clf_score, clean_text")
+    },
 
     "mm_frames" ->
       """WITH m AS (SELECT doc_id, md5(text) AS mx FROM documents),

@@ -419,6 +419,14 @@ class ExplainAuditSpec extends SparkSpec {
       s"k-means re-runs inside the outer plan:\n$p")
   }
 
+  test("e6_pretrain_corpus: the chained flagship plans no cross product and keeps the pack broadcast") {
+    val p = plan("e6_pretrain_corpus")
+    assert(!p.contains("CartesianProduct"), s"e6 went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"e6 plans a BNLJ:\n$p")
+    // the two-phase pack's offsets come back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"pack offsets lost the broadcast:\n$p")
+  }
+
   test("ta_source_cap: per-domain trim via bounded aggregate, never a per-domain window sort") {
     val p = plan("ta_source_cap")
     assert(!p.contains("Window"), s"cap ranks through a window:\n$p")

@@ -370,6 +370,30 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
 
+  test("e6 flagship: copies collapse, PII is scrubbed from reassembled text, gate holds") {
+    val out = SparkEntry.queries("e6_pretrain_corpus")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every re-crawl copy deduplicated away at the paragraph stage
+    assert(byId.keySet.forall(_ < 1000000L))
+    byId.foreach { case (id, r) =>
+      // injected email/ip fixtures were found and replaced
+      if (id % 3 == 0) {
+        assert(r.getAs[Int]("n_email") >= 1)
+        assert(r.getAs[String]("clean_text").contains("<EMAIL>"))
+      }
+      // ids with % 300 > 255 inject "10.<invalid-octet>.0.1" — NOT an
+      // address, and the strict 0-255 pattern rightly leaves it alone
+      if (id % 5 == 0 && id % 300 <= 255) assert(r.getAs[Int]("n_ipv4") >= 1)
+      if (id % 5 == 0 && id % 300 > 255)
+        assert(r.getAs[String]("clean_text").contains(s" from 10.${id % 300}.0.1"))
+      assert(!r.getAs[String]("clean_text").contains("@"))
+      assert(r.getAs[Double]("clf_score") >= PipelineConfig.Default.clfThreshold)
+      assert(r.getAs[Long]("shard_id") >= 0L)
+    }
+  }
+
   test("capPerKey: best-score keep per key, ties to the lower id, under-cap keys intact") {
     val rows = Seq(
       ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
