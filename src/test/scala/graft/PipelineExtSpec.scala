@@ -521,6 +521,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L)._2 == 0.970143) // round(4/sqrt(17), 6) — exact seed-0 cosine
   }
 
+  test("IVF with full probe reproduces brute top-k exactly (sim_ivf_recall's upper bound)") {
+    val emb = (0L to 9L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat)))
+      .toDF("id", "vec")
+    val codebook = Similarity.collectCentroids(
+      Similarity.trainedCentroids(emb, "id", "vec", k = 3, iters = 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probing every list = no candidate ever pruned = brute, bit-for-bit
+    val ivf = rows(Similarity.topKIvfWith(emb, emb, k = 3, codebook, nProbe = 3))
+    val brute = rows(Similarity.topKBrute(emb, emb, k = 3))
+    assert(ivf == brute)
+  }
+
   test("trainedCentroids: the codebook the final Lloyd pass scored against") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
