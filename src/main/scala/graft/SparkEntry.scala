@@ -1168,6 +1168,26 @@ object SparkEntry {
       Similarity.topKPq(emb.filter(col("id") < 5), emb, codewords, k = 3)
     }),
 
+    // PQ recall gate: per-query fraction of the exact top-3 the
+    // trained-codeword reconstruction ranking recovers — completes the
+    // measured LSH / SQ / IVF / PQ recall-gate symmetry.
+    "sim_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val codewords = Similarity.collectCentroids(Similarity.trainedCentroids(
+          emb, "id", "vec", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
+        .toDF("id", "vec")
+      val pq = Similarity.topKPq(q, emb, codewords, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(pq, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
     // Quantization-quality measurement: per-query recall of the int8
     // top-3 against the exact-cosine top-3 — completes the
     // "measure, don't guess" trio (LSH recall, minhash estimate
@@ -2578,6 +2598,35 @@ object SparkEntry {
        |  FROM qassign q JOIN cassign c USING (list_id)
        |  WHERE q.q_id <> c.c_id)"""
 
+  /** Shared PQ CTE chain (sim_pq_ann / sim_pq_recall): trained k=4
+    * Lloyd codewords (`c1`) → per-block nearest-codeword codes →
+    * reconstruction → 6-dp-rounded ADC scores in `pqsc`. Margin-bearing
+    * raw text for a stripMargin consumer, like [[ivfCtesSql]].
+    */
+  private def pqCtesSql: String =
+    s"""${kmeansCtesOver(
+           "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL")},
+       |eb AS (SELECT vec_id AS id, v FROM e),
+       |cw AS (SELECT cid AS cwid, cv AS v FROM c1),
+       |mm AS (SELECT unnest(range(0, 8)) AS m),
+       |enc AS (
+       |  SELECT eb.id, mm.m, cw.cwid,
+       |         list_sum(list_transform(range(1, 9), j ->
+       |           (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
+       |  FROM eb CROSS JOIN mm CROSS JOIN cw),
+       |codes AS (
+       |  SELECT id, m, cwid AS code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, cwid ASC) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT codes.id, flatten(list(cw.v[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS rv
+       |  FROM codes JOIN cw ON cw.cwid = codes.code
+       |  GROUP BY codes.id),
+       |pqq AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
+       |pqsc AS (
+       |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
+       |  FROM pqq CROSS JOIN rec WHERE q_id <> rec.id)"""
+
   /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
     * given a probe index column `p` in [0, numPlanes], p = 0 is the
     * query's own bucket and p = i flips plane i's bit — the Hamming-1
@@ -3313,31 +3362,31 @@ object SparkEntry {
     // m so the scoring dot runs the same sequential fold as Spark's
     // kernel.
     "sim_pq_ann" ->
-      s"""WITH ${kmeansCtesOver(
-             "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL")},
-         |eb AS (SELECT vec_id AS id, v FROM e),
-         |cw AS (SELECT cid AS cwid, cv AS v FROM c1),
-         |mm AS (SELECT unnest(range(0, 8)) AS m),
-         |enc AS (
-         |  SELECT eb.id, mm.m, cw.cwid,
-         |         list_sum(list_transform(range(1, 9), j ->
-         |           (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
-         |  FROM eb CROSS JOIN mm CROSS JOIN cw),
-         |codes AS (
-         |  SELECT id, m, cwid AS code
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, cwid ASC) AS rn FROM enc)
-         |  WHERE rn = 1),
-         |rec AS (
-         |  SELECT codes.id, flatten(list(cw.v[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS rv
-         |  FROM codes JOIN cw ON cw.cwid = codes.code
-         |  GROUP BY codes.id),
-         |q AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
-         |sc AS (
-         |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
-         |  FROM q CROSS JOIN rec WHERE q_id <> rec.id)
+      s"""WITH $pqCtesSql
          |SELECT q_id, c_id, score, CAST(rnk AS INT) AS rnk
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM sc)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqsc)
          |WHERE rnk <= 3""".stripMargin,
+
+    // PQ recall gate: fraction of the exact top-3 the trained-codeword
+    // reconstruction ranking recovers — completes the recall-gate
+    // symmetry (LSH / SQ / IVF / PQ each measured, never guessed).
+    "sim_pq_recall" ->
+      s"""WITH $pqCtesSql,
+         |pq AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqsc)
+         |  WHERE rnk <= 3),
+         |bs AS (
+         |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
+         |  FROM (SELECT * FROM eb WHERE id < 5) q, eb c WHERE q.id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 3)
+         |SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(p.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "sim_sq_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
