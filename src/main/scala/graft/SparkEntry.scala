@@ -711,6 +711,17 @@ object SparkEntry {
       graft.streaming.StreamingBars.barsAgg(
         Tables.events(s, dir), "user_id", "ts", "value", "event_id", "6 hours")),
 
+    // ST8 — batch shadow of StreamingQuota.admitUpTo: first sourceCap
+    // arrivals per source (arrival = (ts, doc_id)); min-quota via the
+    // k-bounded aggregate on negated event-time micros, never a
+    // per-source window sort.
+    "st8_quota_scan" -> ((s, dir) => {
+      val withTs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingQuota.admitScan(
+        withTs, "source", "doc_id", "ts", Cfg.sourceCap)
+    }),
+
     // Unicode NFC canonicalization over the corpus (native codegen'd
     // nfc_normalize vs DuckDB's nfc_normalize — both UAX #15): every
     // 3rd doc gets a DECOMPOSED accent suffix, every 3rd+1 the
@@ -3064,6 +3075,21 @@ object SparkEntry {
         |       max(CASE WHEN rd = 1 THEN value END) AS close,
         |       CAST(count(*) AS BIGINT) AS volume
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // Streaming quota's batch twin: first sourceCap arrivals per source
+    // in (ts, doc_id) order — the window form of the plan's k-bounded
+    // min-(ts,id) aggregate.
+    "st8_quota_scan" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         make_timestamp((1704067200 + doc_id) * 1000000) AS ts
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, ts,
+         |         row_number() OVER (PARTITION BY source ORDER BY ts, doc_id) AS rn
+         |  FROM t)
+         |SELECT source, doc_id, ts, CAST(rn AS INT) AS adm_rank
+         |FROM r WHERE rn <= ${Cfg.sourceCap}""".stripMargin,
 
     "t10_debug_annotations" ->
       s"""WITH $DebugCte

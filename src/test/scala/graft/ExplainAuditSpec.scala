@@ -433,6 +433,12 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"cap lost the bounded aggregate:\n$p")
   }
 
+  test("st8_quota_scan: arrival-order quota via bounded aggregate, never a per-source window sort") {
+    val p = plan("st8_quota_scan")
+    assert(!p.contains("Window"), s"quota ranks through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"quota lost the bounded aggregate:\n$p")
+  }
+
   test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("Window"),

@@ -148,6 +148,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitUpTo: per-source quota admits first arrivals only, state carried across batches") {
+    import graft.streaming.StreamingQuota
+    import graft.streaming.StreamingQuota.Doc
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    def d(src: String, id: Long, t: String) =
+      Doc(src, id, java.sql.Timestamp.valueOf(t))
+    val q = StreamingQuota.admitUpTo(input.toDS(), quota = 2)
+      .writeStream.format("memory").queryName("quo").outputMode("append").start()
+    try {
+      input.addData(
+        d("A", 11L, "2024-01-01 10:00:02"), // arrives 2nd by ts -> rank 2
+        d("A", 10L, "2024-01-01 10:00:01"), // arrives 1st -> rank 1
+        d("B", 20L, "2024-01-01 10:00:00"))
+      q.processAllAvailable()               // A at quota; B has 1 slot left
+      input.addData(
+        d("A", 12L, "2024-01-01 10:00:03"), // over quota — suppressed
+        d("B", 21L, "2024-01-01 10:00:04"), // rank 2
+        d("B", 22L, "2024-01-01 10:00:05")) // over quota — suppressed
+      q.processAllAvailable()
+      val got = spark.table("quo").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      assert(got == Seq(("A", 10L, 1), ("A", 11L, 2), ("B", 20L, 1), ("B", 21L, 2)))
+    } finally q.stop()
+  }
+
+  test("admitScan: batch twin ranks by (ts, id) with the timestamp riding the score exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 1L, "2024-01-01 10:00:01"),
+      ("A", 2L, "2024-01-01 10:00:01"), // ts tie -> id order
+      ("A", 3L, "2024-01-01 10:00:00"),
+      ("B", 9L, "2024-01-01 11:00:00")
+    ).map { case (s, i, t) => (s, i, java.sql.Timestamp.valueOf(t)) }
+      .toDF("source", "doc_id", "ts")
+    val got = graft.streaming.StreamingQuota
+      .admitScan(rows, "source", "doc_id", "ts", quota = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(got.map(x => (x._1, x._2, x._4)).toSeq ==
+      Seq(("A", 3L, 1), ("A", 1L, 2), ("B", 9L, 1)))
+    // reconstructed timestamps are bit-exact round-trips
+    assert(got.forall { case (_, id, ts, _) =>
+      rows.collect().exists(r => r.getLong(1) == id && r.getTimestamp(2) == ts) })
+  }
+
   test("heavyHitters: milestones emitted exactly at count crossings, state carried") {
     import graft.streaming.StreamingVocab
     import graft.streaming.StreamingVocab.Tok
