@@ -995,6 +995,33 @@ object SparkEntry {
       Dedup.paragraphDedup(recrawl(s, dir), "doc_id", col("text"),
         Cfg.paraBlockTokens)),
 
+    // Bloom-filter membership screen for incremental dedup: the base
+    // corpus compresses to a 65,536-bit filter (one bit_or aggregate,
+    // n/8 bytes) that the probe side reads as a broadcast literal —
+    // pure narrow map work, no join against the base. A batch doc
+    // flagged maybe_in_base goes to exact verification; a clean miss
+    // skips it (no false negatives by construction). The md5-derived
+    // bits make even the false positives deterministic, so is_fp is an
+    // oracle-checked MEASURED error rate, not a guess. Batch fixture:
+    // re-crawl copies (true dups) + every 3rd doc mutated (novel).
+    "dedup_bloom" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = base.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val words = Dedup.bloomBits(base, "text")
+      val exact = base.select(md5(col("text")).as("__h")).distinct()
+        .withColumn("__in", lit(true))
+      batch
+        .select(col("doc_id"), md5(col("text")).as("__h"),
+          Dedup.bloomMaybeContains(words, col("text")).as("maybe_in_base"))
+        .join(exact, Seq("__h"), "left")
+        .select(col("doc_id"), col("maybe_in_base"),
+          coalesce(col("__in"), lit(false)).as("in_base"),
+          (col("maybe_in_base") && col("__in").isNull).as("is_fp"))
+    }),
+
     // MinHash+LSH near-dup: shingle → 12-seed minhash → 4 bands → bucket
     // join → exact-Jaccard verify ≥0.8. Candidates come ONLY from band
     // collisions (never all-pairs).
@@ -3120,6 +3147,36 @@ object SparkEntry {
       s"""WITH $RecrawlCte,
          |$paragraphCtesSql
          |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin,
+
+    // Bloom screen: same md5-slice bit positions re-derived relationally
+    // (build = bit_or per 32-bit word; probe = every bit set via a
+    // LEFT JOIN on word) — bit-for-bit the plan's literal-array probe.
+    "dedup_bloom" -> {
+      def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
+        s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ${Dedup.BloomWords * 32L}")
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' novel ' || CAST(doc_id AS VARCHAR)
+         |              ELSE text END AS text
+         |  FROM documents),
+         |bp AS (SELECT unnest(${posList("text")}) AS p FROM base),
+         |bb AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS m
+         |       FROM bp GROUP BY 1),
+         |pp AS (SELECT doc_id, text, unnest(${posList("text")}) AS p FROM batch),
+         |ph AS (SELECT doc_id, text, p // 32 AS w, CAST(p % 32 AS INT) AS b FROM pp),
+         |hit AS (
+         |  SELECT doc_id, text,
+         |         bool_and(m IS NOT NULL AND ((m >> b) & 1) = 1) AS maybe_in_base
+         |  FROM ph LEFT JOIN bb USING (w) GROUP BY doc_id, text),
+         |ex AS (SELECT DISTINCT md5(text) AS h FROM base)
+         |SELECT hit.doc_id, hit.maybe_in_base,
+         |       (ex.h IS NOT NULL) AS in_base,
+         |       (hit.maybe_in_base AND ex.h IS NULL) AS is_fp
+         |FROM hit LEFT JOIN ex ON md5(hit.text) = ex.h""".stripMargin
+    },
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

@@ -439,6 +439,16 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"quota lost the bounded aggregate:\n$p")
   }
 
+  test("dedup_bloom: the probe is a literal-array map — no join against the base filter") {
+    val p = plan("dedup_bloom")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe degenerated:\n$p")
+    // exactly ONE join survives: the exact-membership measurement join;
+    // the bloom probe itself must ride as a literal array expression
+    assert("Join".r.findAllMatchIn(p).size <= 2, // logical+physical mention pairs
+      s"bloom probe joins against the filter:\n$p")
+  }
+
   test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("Window"),

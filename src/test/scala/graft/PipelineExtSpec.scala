@@ -233,6 +233,23 @@ class DedupSpec extends SparkSpec {
     assert(cen.values.exists(identity) && cen.values.exists(!_))
   }
 
+  test("bloom screen: zero false negatives; unsaturated filter still rejects novels") {
+    val base = (1 to 200).map(i => (i.toLong, s"base doc number $i with words"))
+      .toDF("doc_id", "text")
+    val words = Dedup.bloomBits(base, "text")
+    assert(words.length == Dedup.BloomWords)
+    val probes = base.unionByName(
+      (1 to 50).map(i => (1000L + i, s"novel probe text $i")).toDF("doc_id", "text"))
+    val out = probes
+      .select(col("doc_id"), Dedup.bloomMaybeContains(words, col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every base member hits — the filter NEVER false-negatives
+    assert((1 to 200).forall(i => out(i.toLong)))
+    // at 600 set bits of 65,536 the filter is far from saturated: the
+    // novel probes overwhelmingly miss (each FP chance ~1e-9)
+    assert((1 to 50).count(i => !out(1000L + i)) >= 49)
+  }
+
   test("paragraphDedup: first occurrence survives, docs reassemble in order, full dup degrades to empty") {
     val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
     val corpus = Seq(
