@@ -41,11 +41,38 @@ object Bench {
     // ERROR — benign for results (observed only in the full suite,
     // never solo; exit stays 0), but a multi-line stack in the output
     // tail can push the JSON line out of the driver's parse window
-    // (VERDICT r11). Genuine job failures still reach the bench loop as
-    // exceptions and are reported via the errors array + exit 1.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // (VERDICT r11). Suppress ONLY that message — a blanket FATAL on
+    // DAGScheduler would also hide the task-lost/stage-failure lines
+    // that make a genuine mid-bench failure diagnosable. Genuine job
+    // failures still reach the bench loop as exceptions and are
+    // reported via the errors array + exit 1.
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val lname = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = {
+        val existing = conf.getLoggerConfig(lname)
+        if (existing.getName == lname) existing
+        else {
+          val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+            lname, null, true)
+          conf.addLogger(lname, fresh)
+          fresh
+        }
+      }
+      lc.addFilter(new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        override def filter(event: LogEvent): Filter.Result = {
+          val m = event.getMessage
+          val s = if (m == null) null else m.getFormattedMessage
+          if (s != null && s.contains("Failed to update accumulator"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+        }
+      })
+      ctx.updateLoggers()
+    }
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -61,14 +88,20 @@ object Bench {
     var errors = List.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // Solo one-JVM-per-query baselines (scripts/solo_bench.py): the
-    // outlier-retry reference. Absence (out-of-repo cwd) degrades to
+    // outlier-retry reference. Only trusted when the dump's "sf" matches
+    // the SF being benched — sf0.1 baselines against an sf1 run would
+    // flag every long query as "stalled" and double the whole long tail.
+    // Absence (out-of-repo cwd, sf mismatch) degrades to
     // retry-everything-over-20s=never, i.e. the pre-r12 behavior.
     val soloMs: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SOLO", "BENCH_SOLO.json"))),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      val soloSf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!soloSf.contains(sfName)) Map.empty
+      else """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap - "round"
     } catch { case _: Throwable => Map.empty }
     // per-query times in MILLISECONDS (VERDICT r8 #4: the old 1-s
@@ -103,7 +136,6 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // Full detail goes to a sidecar FILE (committed with the round): every
     // query at 0.1 ms resolution, slowest first — this is where a
     // regression is attributed. Stdout cannot carry it: the driver parses

@@ -1005,7 +1005,12 @@ object SparkEntry {
     // oracle-checked MEASURED error rate, not a guess. Batch fixture:
     // re-crawl copies (true dups) + every 3rd doc mutated (novel).
     "dedup_bloom" -> ((s, dir) => {
+      // isNotNull, like every dedup operator: a NULL text would
+      // null-propagate through bloomMaybeContains while the oracle's
+      // bool_and over unnested positions yields false — a latent
+      // cross-engine mismatch the guard closes (mirrored in the oracle).
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
       val batch = base.select((col("doc_id") + 1000000).as("doc_id"),
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
@@ -3155,13 +3160,13 @@ object SparkEntry {
       def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
         s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ${Dedup.BloomWords * 32L}")
         .mkString("[", ", ", "]")
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          |batch AS (
          |  SELECT doc_id + 1000000 AS doc_id,
          |         CASE WHEN doc_id % 3 = 0
          |              THEN text || ' novel ' || CAST(doc_id AS VARCHAR)
          |              ELSE text END AS text
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |bp AS (SELECT unnest(${posList("text")}) AS p FROM base),
          |bb AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS m
          |       FROM bp GROUP BY 1),

@@ -33,14 +33,22 @@ object StreamingQuota {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (src: String, docs: Iterator[Doc], state: GroupState[Long]) =>
           var n = state.getOption.getOrElse(0L)
-          val out = Seq.newBuilder[Admitted]
-          for (d <- docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
-               if n < quota) {
-            n += 1
-            out += Admitted(src, d.doc_id, d.ts, n.toInt)
+          // A source already at quota skips the buffer-and-sort entirely:
+          // the flooding-source case this operator exists for must stay
+          // O(1) memory per batch, not O(batch) (a 10M-doc flood after
+          // exhaustion would otherwise buffer and sort 10M rows in one
+          // task just to emit nothing).
+          if (n >= quota) Iterator.empty
+          else {
+            val out = Seq.newBuilder[Admitted]
+            for (d <- docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+                 if n < quota) {
+              n += 1
+              out += Admitted(src, d.doc_id, d.ts, n.toInt)
+            }
+            state.update(n)
+            out.result().iterator
           }
-          state.update(n)
-          out.result().iterator
       }
   }
 
@@ -57,16 +65,10 @@ object StreamingQuota {
     * @return (keyCol, idCol, timeCol, adm_rank 1..quota)
     */
   def admitScan(df: DataFrame, keyCol: String, idCol: String,
-      timeCol: String, quota: Int): DataFrame = {
-    require(quota >= 1, s"quota must be >= 1, got $quota")
-    val top = graft.functions.TopK.topKByScore(quota)
-    df.groupBy(col(keyCol))
-      .agg(top((-unix_micros(col(timeCol))).cast("double"), col(idCol))
-        .as("__adm"))
-      .select(col(keyCol), posexplode(col("__adm")))
-      .select(col(keyCol),
-        col("col._2").as(idCol),
-        timestamp_micros(-col("col._1").cast("long")).as(timeCol),
-        (col("pos") + 1).cast("int").as("adm_rank"))
-  }
+      timeCol: String, quota: Int): DataFrame =
+    graft.operators.Sampling.capPerKey(df, keyCol, idCol,
+        (-unix_micros(col(timeCol))).cast("double"), quota)
+      .select(col(keyCol), col(idCol),
+        timestamp_micros(-col("score").cast("long")).as(timeCol),
+        col("rank").as("adm_rank"))
 }
