@@ -29,19 +29,23 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // File-source stream over the events parquet; same loader transform
-    // as the batch Tables.events (ns long -> timestamp). The file source
-    // wants a directory, so the (read-only) table file is linked into a
-    // scratch dir — on a real deployment this is the landing directory
-    // new files arrive in.
+    // File-source stream over the events parquet; same schema-adaptive ts
+    // normalization as the batch Tables.events (NTZ micros -> timestamp, or
+    // legacy ns long -> timestamp). The file source wants a directory, so
+    // the (read-only) table file is linked into a scratch dir — on a real
+    // deployment this is the landing directory new files arrive in.
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Path.of(s"$sfDir/events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsNorm: org.apache.spark.sql.Column = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsNorm)
       .withColumn("headline", concat(lit("event:"), col("event_id")))
       .withColumn("key", col("user_id").cast("string"))
 
