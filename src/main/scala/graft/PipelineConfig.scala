@@ -86,6 +86,19 @@ final case class PipelineConfig(
     // kmeansIters assignment passes — keep them in sync
     kmeansK: Int = 4,
     kmeansIters: Int = 2,
+    // product quantization (sim_pq_ann / sim_pq_recall): block layout
+    // m × subDim (m·subDim = embedding dim), codewords per block, and
+    // the ADC-shortlist width multiplier for the exact re-rank stage.
+    // Codebooks are per-block L2-Lloyd-TRAINED (textbook PQ —
+    // Similarity.trainPqCodebooks) and the search is the production
+    // shortlist-then-refine shape; the r12 raw-ADC
+    // slice-of-full-space-centroid shortcut measured recall 0.13
+    // (0.40 at 32 codewords, 0.27 cosine-trained) — re-measured by
+    // sim_pq_recall.
+    pqCodewords: Int = 16,
+    pqM: Int = 8,
+    pqSubDim: Int = 8,
+    pqRerank: Int = 10,
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the

@@ -1195,20 +1195,23 @@ object SparkEntry {
 
     // Product-quantization ANN (the fourth family: brute / LSH / IVF /
     // PQ): per-block nearest-codeword codes, scoring through the
-    // reconstruction (≡ lookup-table ADC; see Similarity.pqReconstruct).
-    // Codebook = the k=4 k-means-trained centroids (Cfg.kmeansK — the
-    // same Lloyd run the kmeans oracle CTEs unroll, so codewords are
-    // exactly the oracle's c1); collected to a k-row local relation so
-    // the encode and reconstruct sides read literals, not two extra
-    // Lloyd subtrees.
+    // reconstruction (≡ lookup-table ADC; see
+    // Similarity.pqReconstructBlocks). Codebooks are per-block
+    // Lloyd-TRAINED (Similarity.trainPqCodebooks — one kmeans-oracle
+    // CTE chain per block keeps DuckDB in lock-step), collected to an
+    // m·k-row local relation so encode and reconstruct read broadcast
+    // literals, not pqM extra Lloyd subtrees. Block layout
+    // Cfg.pqM × Cfg.pqSubDim.
     "sim_pq_ann" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val codewords = Similarity.collectCentroids(Similarity.trainedCentroids(
-          emb, "id", "vec", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
-        .toDF("id", "vec")
-      Similarity.topKPq(emb.filter(col("id") < 5), emb, codewords, k = 3)
+      val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+          iters = Cfg.kmeansIters)
+        .toDF("m", "cwid", "cwblk")
+      Similarity.topKPqBlocks(emb.filter(col("id") < 5), emb, cwBlocks,
+        k = 3, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
     }),
 
     // PQ recall gate: per-query fraction of the exact top-3 the
@@ -1220,10 +1223,12 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
-      val codewords = Similarity.collectCentroids(Similarity.trainedCentroids(
-          emb, "id", "vec", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
-        .toDF("id", "vec")
-      val pq = Similarity.topKPq(q, emb, codewords, k = 3)
+      val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+          iters = Cfg.kmeansIters)
+        .toDF("m", "cwid", "cwblk")
+      val pq = Similarity.topKPqBlocks(q, emb, cwBlocks, k = 3,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
       brute.join(pq, Seq("q_id", "c_id"), "left")
         .groupBy(col("q_id"))
@@ -2428,6 +2433,8 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
   private def sqlCos(a: String, b: String) =
     s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+  private def sqlD2(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
   /** TextAnalysis.lmSurprisal as CTEs ending in
     * `fl(doc_id, lang, n_tokens, nll_bits)` — shared by ta_lm_fluency
@@ -2466,30 +2473,36 @@ object SparkEntry {
     * lock-step with the plan. The `c1` CTE is the trained codebook
     * (Similarity.trainedCentroids); `a20` rn=1 the final assignment.
     */
-  private def kmeansCtesOver(eBody: String, k: Int = Cfg.kmeansK): String = {
+  private def kmeansCtesOver(eBody: String, k: Int = Cfg.kmeansK,
+      p: String = "", metric: String = "cosine"): String = {
     require(Cfg.kmeansIters == 2,
       s"KmeansCtes unrolls exactly 2 Lloyd passes; Cfg.kmeansIters=${Cfg.kmeansIters}")
-    s"""e AS ($eBody),
-       |init AS (
+    // the assignment score, mirroring lloydCore's metric switch: 6-dp
+    // cosine (higher better) or NEGATED 6-dp squared L2 — both rank
+    // DESC with ties to the lower cid
+    def score(v: String, cv: String): String =
+      if (metric == "l2") s"(0.0 - round(${sqlD2(v, cv)}, 6))" else sqlCos(v, cv)
+    s"""${p}e AS ($eBody),
+       |${p}init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
-       |a10 AS (
-       |  SELECT e.vec_id, init.cid, e.v,
-       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "init.cv")} DESC, init.cid ASC) AS rn
-       |  FROM e CROSS JOIN init),
-       |a1 AS (SELECT vec_id, cid, v FROM a10 WHERE rn = 1),
-       |c1c AS (
+       |  FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k)),
+       |${p}a10 AS (
+       |  SELECT ${p}e.vec_id, ${p}init.cid, ${p}e.v,
+       |         row_number() OVER (PARTITION BY ${p}e.vec_id ORDER BY ${score(s"${p}e.v", s"${p}init.cv")} DESC, ${p}init.cid ASC) AS rn
+       |  FROM ${p}e CROSS JOIN ${p}init),
+       |${p}a1 AS (SELECT vec_id, cid, v FROM ${p}a10 WHERE rn = 1),
+       |${p}c1c AS (
        |  SELECT cid, unnest(range(1, len(v) + 1)) AS i,
        |         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
-       |  FROM a1),
-       |c1s AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
-       |        FROM c1c GROUP BY 1, 2),
-       |c1 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
-       |       FROM c1s GROUP BY 1),
-       |a20 AS (
-       |  SELECT e.vec_id, c1.cid, ${sqlCos("e.v", "c1.cv")} AS cos,
-       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c1.cv")} DESC, c1.cid ASC) AS rn
-       |  FROM e CROSS JOIN c1)""".stripMargin
+       |  FROM ${p}a1),
+       |${p}c1s AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+       |        FROM ${p}c1c GROUP BY 1, 2),
+       |${p}c1 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
+       |       FROM ${p}c1s GROUP BY 1),
+       |${p}a20 AS (
+       |  SELECT ${p}e.vec_id, ${p}c1.cid, ${score(s"${p}e.v", s"${p}c1.cv")} AS cos,
+       |         row_number() OVER (PARTITION BY ${p}e.vec_id ORDER BY ${score(s"${p}e.v", s"${p}c1.cv")} DESC, ${p}c1.cid ASC) AS rn
+       |  FROM ${p}e CROSS JOIN ${p}c1)""".stripMargin
   }
 
   private lazy val KmeansCtes: String = kmeansCtesOver(
@@ -2641,34 +2654,53 @@ object SparkEntry {
        |  FROM qassign q JOIN cassign c USING (list_id)
        |  WHERE q.q_id <> c.c_id)"""
 
-  /** Shared PQ CTE chain (sim_pq_ann / sim_pq_recall): trained k=4
-    * Lloyd codewords (`c1`) → per-block nearest-codeword codes →
-    * reconstruction → 6-dp-rounded ADC scores in `pqsc`. Margin-bearing
-    * raw text for a stripMargin consumer, like [[ivfCtesSql]].
+  /** Shared PQ CTE chain (sim_pq_ann / sim_pq_recall): one prefixed
+    * L2-metric Lloyd chain PER BLOCK (b0_…b{m-1}_ —
+    * Similarity.trainPqCodebooks in lock-step, each training on that
+    * block's subDim-slice of the corpus) → per-block nearest-codeword
+    * codes → reconstruction → 6-dp-rounded ADC scores in `pqsc` →
+    * k·rerank shortlist → exact-cosine re-rank in `pqx` (the refined
+    * scores sim_pq_ann ranks). Margin-bearing raw text for a
+    * stripMargin consumer, like [[ivfCtesSql]].
     */
-  private def pqCtesSql: String =
-    s"""${kmeansCtesOver(
-           "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL")},
-       |eb AS (SELECT vec_id AS id, v FROM e),
-       |cw AS (SELECT cid AS cwid, cv AS v FROM c1),
-       |mm AS (SELECT unnest(range(0, 8)) AS m),
+  private def pqCtesSql: String = {
+    val sd = Cfg.pqSubDim
+    val blockChains = (0 until Cfg.pqM).map { b =>
+      kmeansCtesOver(
+        s"SELECT id AS vec_id, v[${b * sd + 1} : ${b * sd + sd}] AS v FROM eb",
+        k = Cfg.pqCodewords, p = s"b${b}_", metric = "l2")
+    }.mkString(",\n")
+    val cwUnion = (0 until Cfg.pqM).map(b =>
+      s"SELECT $b AS m, cid AS cwid, cv AS cwblk FROM b${b}_c1")
+      .mkString(" UNION ALL ")
+    s"""eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |$blockChains,
+       |cw AS ($cwUnion),
        |enc AS (
-       |  SELECT eb.id, mm.m, cw.cwid,
-       |         list_sum(list_transform(range(1, 9), j ->
-       |           (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]) * (eb.v[mm.m*8+j] - cw.v[mm.m*8+j]))) AS d2
-       |  FROM eb CROSS JOIN mm CROSS JOIN cw),
+       |  SELECT eb.id, cw.m, cw.cwid,
+       |         list_sum(list_transform(range(1, ${sd + 1}), j ->
+       |           (eb.v[cw.m*$sd+j] - cw.cwblk[j]) * (eb.v[cw.m*$sd+j] - cw.cwblk[j]))) AS d2
+       |  FROM eb CROSS JOIN cw),
        |codes AS (
        |  SELECT id, m, cwid AS code
        |  FROM (SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, cwid ASC) AS rn FROM enc)
        |  WHERE rn = 1),
        |rec AS (
-       |  SELECT codes.id, flatten(list(cw.v[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS rv
-       |  FROM codes JOIN cw ON cw.cwid = codes.code
+       |  SELECT codes.id, flatten(list(cw.cwblk ORDER BY codes.m)) AS rv
+       |  FROM codes JOIN cw ON cw.m = codes.m AND cw.cwid = codes.code
        |  GROUP BY codes.id),
        |pqq AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
        |pqsc AS (
        |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
-       |  FROM pqq CROSS JOIN rec WHERE q_id <> rec.id)"""
+       |  FROM pqq CROSS JOIN rec WHERE q_id <> rec.id),
+       |short AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn FROM pqsc)
+       |  WHERE rn <= ${3 * Cfg.pqRerank}),
+       |pqx AS (
+       |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
+       |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
+  }
 
   /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
     * given a probe index column `p` in [0, numPlanes], p = 0 is the
@@ -3443,16 +3475,16 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
 
-    // Codes and reconstruction re-derived relationally: the codebook is
-    // the k=4 trained Lloyd centroids (the shared CTE chain's c1 —
-    // Similarity.trainedCentroids in lock-step), block m of a vector is
-    // v[m*8+1 : m*8+8], and the reconstruction list(...) is ordered by
-    // m so the scoring dot runs the same sequential fold as Spark's
-    // kernel.
+    // Codes and reconstruction re-derived relationally: per-block
+    // L2-Lloyd codebooks (the prefixed CTE chains' b*_c1 —
+    // Similarity.trainPqCodebooks in lock-step), nearest-codeword
+    // codes, reconstruction ordered by m so the ADC dot runs the same
+    // sequential fold as Spark's kernel, then the k·rerank shortlist
+    // re-ranked by exact 6-dp cosine (pqx).
     "sim_pq_ann" ->
       s"""WITH $pqCtesSql
          |SELECT q_id, c_id, score, CAST(rnk AS INT) AS rnk
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqsc)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqx)
          |WHERE rnk <= 3""".stripMargin,
 
     // PQ recall gate: fraction of the exact top-3 the trained-codeword
@@ -3462,7 +3494,7 @@ object SparkEntry {
       s"""WITH $pqCtesSql,
          |pq AS (
          |  SELECT q_id, c_id
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqsc)
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqx)
          |  WHERE rnk <= 3),
          |bs AS (
          |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos

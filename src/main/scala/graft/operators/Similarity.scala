@@ -45,6 +45,16 @@ object Similarity {
   private def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Squared L2 distance as the same sequential fold shape as
+    * [[dotBuiltin]] — bit-equal to the oracle's
+    * `list_sum(list_transform(..., (a-b)*(a-b)))`. Used by the L2
+    * Lloyd metric (PQ codebook training); offline-build path, so the
+    * builtin fold is fine without a native kernel.
+    */
+  private def l2sqBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   def dot(a: Column, b: Column): Column =
     if (nativeKernels) graft.expressions.VectorOps.dot(a, b)
     else dotBuiltin(a, b)
@@ -203,8 +213,9 @@ object Similarity {
     * fixed-point updates), so the codebook is oracle-reproducible.
     */
   def trainedCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Long = 1000000L): DataFrame =
-    lloydCore(emb, idCol, vecCol, k, iters, scale)._2
+      k: Int, iters: Int, scale: Long = 1000000L,
+      metric: String = "cosine"): DataFrame =
+    lloydCore(emb, idCol, vecCol, k, iters, scale, metric)._2
 
   /** Driver-side collect of a (cid, cv) centroid frame to plan-time
     * literals, cid-ordered — k·dim doubles, the bounded read every
@@ -220,9 +231,12 @@ object Similarity {
     * cents(cid, cv)).
     */
   private def lloydCore(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Long): (DataFrame, DataFrame) = {
+      k: Int, iters: Int, scale: Long,
+      metric: String = "cosine"): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got $metric")
     val e = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     // TakeOrderedAndProject for the k seed rows; numbering is one
@@ -236,14 +250,22 @@ object Similarity {
       .select(posexplode(col("s")).as(Seq("cid", "sv")))
       .select(col("cid").cast("int").as("cid"), col("sv.v").as("cv"))
 
-    def assign(cents: DataFrame): DataFrame =
+    // "cos" carries the assignment score either way: 6-dp cosine for
+    // the cosine metric, NEGATED 6-dp squared-L2 for the l2 metric
+    // (PQ codebook training) — higher-is-better in both, argmax ties
+    // to the lower cid.
+    def assign(cents: DataFrame): DataFrame = {
+      val score =
+        if (metric == "l2") lit(0.0) - round(l2sqBuiltin(col("v"), col("cv")), 6)
+        else round(cosine(col("v"), col("cv")), 6)
       e.crossJoin(broadcast(cents))
-        .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+        .withColumn("cos", score)
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cid"), col("v"), col("cos")),
           struct(col("cos").as("c"), (lit(0) - col("cid")).as("t"))).as("b"))
         .select(col("vec_id"), col("b.cid").as("cid"), col("b.v").as("v"),
           col("b.cos").as("cos"))
+    }
 
     // the M step IS labelCentroids with the assignment as the label —
     // one copy of the fixed-point trick to keep in sync
@@ -391,19 +413,124 @@ object Similarity {
     * aggregate on (6-dp score, lower id).
     */
   def topKPq(queries: DataFrame, corpus: DataFrame, codewords: DataFrame,
-      k: Int, m: Int = 8, subDim: Int = 8): DataFrame = {
-    val rec = pqReconstruct(pqEncode(corpus, codewords, m, subDim),
-      codewords, m, subDim)
+      k: Int, m: Int = 8, subDim: Int = 8): DataFrame =
+    topKPqBlocks(queries, corpus, sliceCodebooks(codewords, m, subDim),
+      k, m, subDim)
+
+  /** Per-block codebooks sliced out of full-space codewords — the
+    * data-cheap codebook [[pqEncode]]/[[pqReconstruct]] historically
+    * used. Measured recall 0.13–0.40 at sf0.01 across settings: a
+    * full-space centroid's block is NOT a good quantizer of that
+    * block's marginal distribution. Kept for the API (and as the
+    * measured lower bound the trained path is judged against).
+    */
+  private def sliceCodebooks(codewords: DataFrame, m: Int, subDim: Int): DataFrame =
+    codewords.select(col("id").as("cwid"), asDouble(col("vec")).as("v"))
+      .select(col("cwid"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
+        .as("mb"))
+      .select(col("mb.m").as("m"), col("cwid"), col("mb.cwblk").as("cwblk"))
+
+  /** Textbook PQ codebook training: block b of every vector (subDim
+    * components) is clustered INDEPENDENTLY by the same Lloyd core as
+    * the full-space kmeans (fixed first-k seeds, 6-dp argmax,
+    * fixed-point updates — oracle-reproducible), so each block's
+    * quantizer spans that block's actual marginal distribution instead
+    * of being sliced out of full-space centroids. m·iters bounded
+    * corpus scans at BUILD time — an offline index build, like IVF
+    * coarse training; at 100 TB each run reads a training sample, and
+    * the result is a m·k-row broadcast literal either way.
+    * @return (m, cwid, cwblk) rows, cwid-ordered within each block
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): Seq[(Int, Int, Seq[Double])] =
+    (0 until m).flatMap { b =>
+      val blockCorpus = emb.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("bvid"),
+          slice(asDouble(col(vecCol)), b * subDim + 1, subDim).as("bv"))
+      // L2 metric: PQ minimizes per-block reconstruction error
+      // ||blk − codeword||², so the quantizer must cluster by L2 —
+      // cosine-clustered block codebooks measured WORSE (0.27) than
+      // even sliced full-space centroids, because block magnitude is
+      // what reconstruction has to preserve.
+      collectCentroids(trainedCentroids(blockCorpus, "bvid", "bv", k, iters,
+          metric = "l2"))
+        .map { case (cid, cv) => (b, cid, cv) }
+    }
+
+  /** PQ encode against per-block codebooks (m, cwid, cwblk): block b of
+    * each vector codes as its nearest codeword in block b's codebook
+    * (squared L2, ties to the lower cwid). The codebook join is a
+    * broadcast on the m·k-row dim; the argmin is a partial-aggregated
+    * min_by — no window, no shuffle beyond the (id, m) group.
+    */
+  def pqEncodeBlocks(emb: DataFrame, cwBlocks: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val blocks = emb.select(col("id"), asDouble(col("vec")).as("v"))
+      .select(col("id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("blk"))): _*))
+        .as("mb"))
+      .select(col("id"), col("mb.m").as("m"), col("mb.blk").as("blk"))
+    val d2 = aggregate(zip_with(col("blk"), col("cwblk"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    blocks.join(broadcast(cwBlocks), Seq("m"))
+      .select(col("id"), col("m"), col("cwid"), d2.as("d2"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("cwid"), struct(col("d2"), col("cwid"))).as("code"))
+  }
+
+  /** Stitch per-block codes back into the full-dim approximation via
+    * the per-block codebook (same m-ordered flatten as
+    * [[pqReconstruct]]).
+    */
+  def pqReconstructBlocks(codes: DataFrame, cwBlocks: DataFrame): DataFrame =
+    codes.join(broadcast(cwBlocks.select(col("m"), col("cwid").as("code"),
+        col("cwblk"))), Seq("m", "code"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cwblk")))),
+        s => s.getField("cwblk"))).as("rv"))
+
+  /** [[topKPq]] generalized to an explicit per-block codebook frame —
+    * the entry point for TRAINED codebooks ([[trainPqCodebooks]]).
+    *
+    * `rerank > 1` runs the production PQ search shape (FAISS's
+    * IVFPQ+refine): the ADC pass SHORTLISTS k·rerank candidates from
+    * the compressed codes, then only those rows are re-scored with
+    * their full-precision vectors (exact 6-dp cosine, the same score
+    * [[topKBrute]] ranks by) and cut to k. At 100 TB the expensive
+    * exact arithmetic touches k·rerank rows per query instead of the
+    * corpus; the full-vector join is an equi-join on c_id against the
+    * (tiny, broadcastable) shortlist.
+    */
+  def topKPqBlocks(queries: DataFrame, corpus: DataFrame, cwBlocks: DataFrame,
+      k: Int, m: Int, subDim: Int, rerank: Int = 1): DataFrame = {
+    val rec = pqReconstructBlocks(pqEncodeBlocks(corpus, cwBlocks, m, subDim),
+      cwBlocks)
       .select(col("id").as("c_id"), col("rv"))
     val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
     val scored = rec.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
-    val top = graft.functions.TopK.topKByScore(k)
-    scored.groupBy(col("q_id"))
+    val top = graft.functions.TopK.topKByScore(if (rerank > 1) k * rerank else k)
+    val adcTop = scored.groupBy(col("q_id"))
       .agg(top(col("score"), col("c_id")).as("__top"))
       .select(col("q_id"), posexplode(col("__top")).as(Seq("pos", "kv")))
       .select(col("q_id"), col("kv._2").as("c_id"), col("kv._1").as("score"),
         (col("pos") + 1).cast("int").as("rnk"))
+    if (rerank <= 1) adcTop
+    else {
+      val cVec = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_v"))
+      val exact = adcTop.select(col("q_id"), col("c_id"))
+        .join(cVec, Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("score", round(cosine(col("q_v"), col("c_v")), 6))
+      val topK = graft.functions.TopK.topKByScore(k)
+      exact.groupBy(col("q_id"))
+        .agg(topK(col("score"), col("c_id")).as("__top"))
+        .select(col("q_id"), posexplode(col("__top")).as(Seq("pos", "kv")))
+        .select(col("q_id"), col("kv._2").as("c_id"), col("kv._1").as("score"),
+          (col("pos") + 1).cast("int").as("rnk"))
+    }
   }
 
   /** Deterministic ±1 hyperplanes: component i of plane p is the parity of
