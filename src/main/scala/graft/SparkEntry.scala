@@ -1015,7 +1015,11 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
           .otherwise(col("text")).as("text"))
-      val words = Dedup.bloomBits(base, "text")
+      // corpus-scaled filter: 128 bits per base doc (floored at the
+      // 2048-word minimum) keeps the measured FP rate pinned at every
+      // sf; the count is the build-time stat any bloom builder has
+      val words = Dedup.bloomBits(base, "text",
+        Dedup.bloomWordsFor(base.count()))
       val exact = base.select(md5(col("text")).as("__h")).distinct()
         .withColumn("__in", lit(true))
       batch
@@ -3188,11 +3192,14 @@ object SparkEntry {
     // Bloom screen: same md5-slice bit positions re-derived relationally
     // (build = bit_or per 32-bit word; probe = every bit set via a
     // LEFT JOIN on word) — bit-for-bit the plan's literal-array probe.
+    // Filter size scales with the base count exactly as
+    // Dedup.bloomWordsFor: greatest(2048, 4·n) words, via the bn scalar.
     "dedup_bloom" -> {
       def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
-        s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ${Dedup.BloomWords * 32L}")
+        s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ((SELECT w FROM bn) * 32)")
         .mkString("[", ", ", "]")
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |bn AS (SELECT greatest(${Dedup.BloomWords}, 4 * count(*)) AS w FROM base),
          |batch AS (
          |  SELECT doc_id + 1000000 AS doc_id,
          |         CASE WHEN doc_id % 3 = 0

@@ -700,24 +700,36 @@ object Dedup {
           when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Bloom-filter dims for [[bloomBits]]: 2048 32-bit words = 65,536
-    * bits, 3 md5-slice hashes. At n base docs the false-positive rate is
-    * (1−e^(−3n/65536))³ — ~0.1% at n=500, ~0.9% at n=5,000; a production
-    * build scales `BloomWords` with the base corpus (the filter is
-    * n/8 bytes where the signature index it replaces is ~40n bytes).
+  /** Bloom-filter floor dims for [[bloomBits]]: 2048 32-bit words =
+    * 65,536 bits, 3 md5-slice hashes. Builders size the filter from the
+    * base-corpus count via [[bloomWordsFor]] — 128 bits (16 bytes) per
+    * doc, floored at `BloomWords` — which pins the false-positive rate
+    * (1−e^(−3n/m))³ at ≤ ~1.1e−5 at EVERY corpus size instead of
+    * degrading ~linearly³ with n (the old fixed 65,536 bits reached
+    * ~0.9% at n=5,000). The filter is 16n bytes where the signature
+    * index it replaces is ~40n — still a broadcastable literal at any
+    * batch-dedup scale that can broadcast the exact index's keys.
     */
   val BloomWords = 2048
   val BloomHashes = 3
+
+  /** Corpus-scaled word count: 4 words (128 bits) per base doc, floored
+    * at [[BloomWords]]. Linear (not pow2-rounded) so the DuckDB oracle
+    * derives the identical size from `greatest(2048, 4·count(*))`. The
+    * base count is a build-time stat — one aggregate scan here; table
+    * metadata in a production build.
+    */
+  def bloomWordsFor(n: Long): Int = math.max(BloomWords.toLong, 4L * n).toInt
 
   /** The k bit positions of a text — BIGINT slices of its md5, mod the
     * filter size. Deterministic md5 arithmetic both engines reproduce
     * bit-for-bit (same discipline as every hash here), so even the
     * filter's FALSE POSITIVES are oracle-checkable.
     */
-  def bloomPositions(text: Column): Seq[Column] =
+  def bloomPositions(text: Column, words: Int = BloomWords): Seq[Column] =
     (0 until BloomHashes).map { i =>
       conv(substring(md5(text), i * 8 + 1, 8), 16, 10).cast("long") %
-        (BloomWords * 32L)
+        (words * 32L)
     }
 
   private val BitMasks = typedLit((0 until 32).map(i => 1L << i))
@@ -731,13 +743,14 @@ object Dedup {
     * incremental dedup pass broadcasts where the exact signature index
     * would be ~40n bytes. Build cost is one corpus scan.
     */
-  def bloomBits(base: DataFrame, textCol: String): Array[Long] = {
+  def bloomBits(base: DataFrame, textCol: String,
+      nWords: Int = BloomWords): Array[Long] = {
     val words = base.filter(col(textCol).isNotNull)
-      .select(explode(array(bloomPositions(col(textCol)): _*)).as("p"))
+      .select(explode(array(bloomPositions(col(textCol), nWords): _*)).as("p"))
       .groupBy(wordOf(col("p")).as("w"))
       .agg(bit_or(maskOf(col("p"))).as("m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    Array.tabulate(BloomWords)(i => words.getOrElse(i, 0L))
+    Array.tabulate(nWords)(i => words.getOrElse(i, 0L))
   }
 
   /** Probe: true iff every one of the text's k bits is set — "maybe in
@@ -748,7 +761,9 @@ object Dedup {
     */
   def bloomMaybeContains(words: Array[Long], text: Column): Column = {
     val arr = typedLit(words.toSeq)
-    bloomPositions(text).map { p =>
+    // positions mod the ACTUAL filter size — the array length is the
+    // single source of truth, so a corpus-scaled build probes correctly
+    bloomPositions(text, words.length).map { p =>
       (element_at(arr, wordOf(p) + 1).bitwiseAND(maskOf(p))) =!= 0L
     }.reduce(_ && _)
   }
