@@ -1389,9 +1389,17 @@ object SparkEntry {
       } else pairs
       val clusters = Dedup.duplicateClusters(
         corpus.select(col("doc_id").as("id")), edges)
+      // canonical is consumed TWICE (the decontam shingle side and the
+      // final quality chain) and sits downstream of the whole
+      // pair-generation + propagation closure — without a checkpoint
+      // the second consumer re-runs that closure end-to-end (measured
+      // 22 s of the query's 21 s solo total at sf0.1; with it the tail
+      // is ~4 s). Lazy, like the sig checkpoint above: materializes on
+      // first use, no extra action.
       val canonical = corpus.join(
         clusters.filter(col("id") === col("label"))
           .select(col("id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint(eager = false)
       val sh = canonical
         .select(col("doc_id"), Dedup.tokenValues(col("text")).as("tv"))
         .select(col("doc_id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
