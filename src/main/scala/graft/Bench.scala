@@ -150,8 +150,22 @@ object Bench {
     try {
       val detail = bySlowest.map { case (k, v) =>
         s"""  "$k": ${fmt(v, 1)}""" }.mkString("{\n", ",\n", "\n}")
+      // Contention flags: suite/solo ratio per query where a solo
+      // baseline exists, listing queries > 3x solo. The alphabetical
+      // run order packs text-heavy ta_* queries back-to-back, and r12
+      // showed 7-13x suite inflation there that reads as a regression
+      // unless the solo evidence rides along — this sidecar lets a
+      // suite-vs-suite comparison skip contended rows instead of
+      // re-adjudicating them every round.
+      val contended = bySlowest.collect {
+        case (k, v) if v > 0 && soloMs.get(k).exists(b => b > 0 && v > 3.0 * b) =>
+          s"""  "$k": ${fmt(v / soloMs(k), 1)}"""
+      }
+      val contJson =
+        if (soloMs.isEmpty) "" // no baselines for this sf: flag nothing
+        else contended.mkString(""","contended_over_3x_solo":{""" + "\n", ",\n", "\n}")
       val body =
-        s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail}"""
+        s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail$contJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

@@ -722,6 +722,22 @@ object SparkEntry {
         withTs, "source", "doc_id", "ts", Cfg.sourceCap)
     }),
 
+    // ST9 — batch shadow of StreamingParagraphDedup.firstSeenParagraphs
+    // + reassembly: each distinct paragraph admitted at first ARRIVAL
+    // (ts, doc, pos) over the re-crawled corpus with the st4 event-time
+    // layout (base copy at doc_id seconds past 2024-01-01, re-crawl one
+    // hour later). Arrival order INTERLEAVES by ts — base doc 4000
+    // arrives after re-crawl doc 1000005 — so the kept copies genuinely
+    // differ from batch dedup_paragraph's (doc, pos) rule, and the
+    // oracle pins exactly that divergence.
+    "st9_paragraph_scan" -> ((s, dir) => {
+      val withTs = recrawl(s, dir).withColumn("ts", timestamp_seconds(
+        lit(1704067200L) + (col("doc_id") % 1000000) +
+          expr("doc_id div 1000000") * 3600))
+      graft.streaming.StreamingParagraphDedup.firstSeenParagraphScan(
+        withTs, "doc_id", col("text"), "ts", Cfg.paraBlockTokens)
+    }),
+
     // Unicode NFC canonicalization over the corpus (native codegen'd
     // nfc_normalize vs DuckDB's nfc_normalize — both UAX #15): every
     // 3rd doc gets a DECOMPOSED accent suffix, every 3rd+1 the
@@ -3078,6 +3094,33 @@ object SparkEntry {
                           .mkString(" + ") + s")::DOUBLE / ${Cfg.nSig}.0", 4)} AS est_jaccard
            |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b)
            |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin),
+
+    // Same paragraph CTE shapes as dedup_paragraph, with event time
+    // LEADING the first-occurrence rank — the streaming arrival rule.
+    "st9_paragraph_scan" -> {
+      val b = Cfg.paraBlockTokens
+      s"""WITH $RecrawlCte,
+         |tsd AS (
+         |  SELECT doc_id, text,
+         |         make_timestamp((1704067200 + doc_id % 1000000 + (doc_id // 1000000) * 3600) * 1000000) AS ts
+         |  FROM corpus),
+         |pdt AS (SELECT doc_id, ts, string_split(text, ' ') AS tv
+         |        FROM tsd WHERE text IS NOT NULL),
+         |pde AS (SELECT doc_id, ts, tv,
+         |               UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS para_id
+         |        FROM pdt),
+         |pdp AS (SELECT doc_id, ts, para_id,
+         |               array_to_string(tv[para_id*$b+1 : para_id*$b+$b], ' ') AS para_text
+         |        FROM pde),
+         |pdr AS (SELECT *, row_number() OVER (PARTITION BY md5(para_text)
+         |                                     ORDER BY ts, doc_id, para_id) AS rn
+         |        FROM pdp),
+         |pd AS (SELECT doc_id, count(*) AS n_paras,
+         |              count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+         |              coalesce(string_agg(CASE WHEN rn = 1 THEN para_text END, ' ' ORDER BY para_id), '') AS clean_text
+         |       FROM pdr GROUP BY doc_id)
+         |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin
+    },
 
     "st6_funnel_scan" ->
       """WITH s1 AS (

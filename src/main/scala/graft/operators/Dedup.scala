@@ -802,21 +802,31 @@ object Dedup {
     * the probe side is one row per hash and AQE's skew split covers the
     * build side, so the hot key splits instead of serializing.
     */
-  def paragraphDedup(df: DataFrame, docId: String, text: Column,
-      blockTokens: Int): DataFrame = {
+  /** The fixed-block paragraph explode shared by [[paragraphDedup]] and
+    * the streaming twin's batch scan: (docId, carry columns…, para_id,
+    * para_text, para_hash) — narrow map work, same bytes as the corpus.
+    */
+  def paragraphFrame(df: DataFrame, docId: String, text: Column,
+      blockTokens: Int, carry: Seq[String] = Nil): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
-    val paras = df.filter(text.isNotNull)
-      .select(col(docId), split(text, " ").as("_tv"))
+    val keep = (docId +: carry).map(col)
+    df.filter(text.isNotNull)
+      .select(keep :+ split(text, " ").as("_tv"): _*)
       // integer ceil via `div` (Column `/` is double division); ids
       // 0..(n-1) div B inclusive = ceil(n/B) blocks, slice clamps the tail
-      .select(col(docId),
+      .select(keep ++ Seq(
         explode(sequence(lit(0),
           expr(s"(size(_tv) - 1) div $blockTokens").cast("int"))).as("_i"),
-        col("_tv"))
-      .select(col(docId), col("_i").cast("long").as("para_id"),
+        col("_tv")): _*)
+      .select(keep ++ Seq(col("_i").cast("long").as("para_id"),
         concat_ws(" ", slice(col("_tv"),
-          col("_i") * blockTokens + 1, lit(blockTokens))).as("para_text"))
+          col("_i") * blockTokens + 1, lit(blockTokens))).as("para_text")): _*)
       .withColumn("para_hash", md5(col("para_text")))
+  }
+
+  def paragraphDedup(df: DataFrame, docId: String, text: Column,
+      blockTokens: Int): DataFrame = {
+    val paras = paragraphFrame(df, docId, text, blockTokens)
     val first = paras.groupBy(col("para_hash"))
       .agg(min(struct(col(docId), col("para_id"))).as("_first"))
     paras.join(first, Seq("para_hash"))

@@ -195,6 +195,49 @@ class StreamingSpec extends SparkSpec {
       rows.collect().exists(r => r.getLong(1) == id && r.getTimestamp(2) == ts) })
   }
 
+  test("firstSeenParagraphs: a paragraph admits once corpus-wide, state carried across batches") {
+    import graft.streaming.StreamingParagraphDedup
+    import graft.streaming.StreamingParagraphDedup.ParaIn
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[ParaIn]
+    def p(doc: Long, pos: Long, hash: String, t: String) =
+      ParaIn(doc, pos, hash, java.sql.Timestamp.valueOf(t))
+    val q = StreamingParagraphDedup.firstSeenParagraphs(input.toDS())
+      .writeStream.format("memory").queryName("fsp").outputMode("append").start()
+    try {
+      input.addData(
+        p(2L, 0L, "hA", "2024-01-01 10:00:05"), // later ts — loses to doc 1's copy
+        p(1L, 0L, "hA", "2024-01-01 10:00:01"), // first arrival of hA -> kept
+        p(1L, 1L, "hB", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(
+        p(3L, 0L, "hA", "2024-01-01 10:00:00"), // EARLIER ts but later batch: suppressed (arrival order)
+        p(3L, 1L, "hC", "2024-01-01 10:00:09"))
+      q.processAllAvailable()
+      val kept = spark.table("fsp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).sorted.toSeq
+      assert(kept == Seq(("hA", 1L, true), ("hA", 2L, false), ("hA", 3L, false),
+        ("hB", 1L, true), ("hC", 3L, true)))
+    } finally q.stop()
+  }
+
+  test("firstSeenParagraphScan: min-(ts, doc, pos) admission and reassembly match the streamed replay") {
+    import graft.streaming.StreamingParagraphDedup
+    // 4-token docs at blockTokens=2 -> two paragraphs each; doc 11
+    // re-crawls doc 1's first paragraph at a later ts
+    val rows = Seq(
+      (1L, "a b c d", "2024-01-01 10:00:01"),
+      (11L, "a b x y", "2024-01-01 10:00:02")
+    ).map { case (i, t, ts) => (i, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts")
+    val got = StreamingParagraphDedup
+      .firstSeenParagraphScan(rows, "doc_id",
+        org.apache.spark.sql.functions.col("text"), "ts", blockTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, "a b c d"), (11L, 2L, 1L, "x y")))
+  }
+
   test("heavyHitters: milestones emitted exactly at count crossings, state carried") {
     import graft.streaming.StreamingVocab
     import graft.streaming.StreamingVocab.Tok
