@@ -722,6 +722,21 @@ object SparkEntry {
         withTs, "source", "doc_id", "ts", Cfg.sourceCap)
     }),
 
+    // ST10 — batch shadow of StreamingContainment.collisions + the
+    // prescribed downstream aggregation: arrival-capped posting
+    // enrollment (first dfCap docs per shingle by (ts, doc_id) — the
+    // stream cannot retroactively drop a hot shingle like batch
+    // dedup_containment does), collisions between enrolled
+    // (earlier, later) pairs, containment = capped-collision count /
+    // contained side's shingle-set size, both directions.
+    "st10_containment_scan" -> ((s, dir) => {
+      val withTs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingContainment.containmentScan(
+        withTs, "doc_id", "text", "ts",
+        Cfg.containmentDfCap, Cfg.containmentThreshold)
+    }),
+
     // ST9 — batch shadow of StreamingParagraphDedup.firstSeenParagraphs
     // + reassembly: each distinct paragraph admitted at first ARRIVAL
     // (ts, doc, pos) over the re-crawled corpus with the st4 event-time
@@ -3094,6 +3109,39 @@ object SparkEntry {
                           .mkString(" + ") + s")::DOUBLE / ${Cfg.nSig}.0", 4)} AS est_jaccard
            |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b)
            |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin),
+
+    // Same shingle CTEs as dedup_containment, with the ARRIVAL-capped
+    // posting index (rank ≤ dfCap by (ts, doc_id) per shingle) instead
+    // of the batch retroactive df drop, and the collision-count ratio
+    // instead of the full-set intersect — the streaming lower bound.
+    "st10_containment_scan" ->
+      s"""WITH tvals AS (
+         |  SELECT doc_id, $TokenValsSql AS tv FROM documents),
+         |d AS (
+         |  SELECT doc_id, $ShingleValsSql AS sh,
+         |         make_timestamp((1704067200 + doc_id) * 1000000) AS ts
+         |  FROM tvals),
+         |post AS (
+         |  SELECT doc_id, g, nsh, r FROM (
+         |    SELECT doc_id, g, nsh,
+         |           row_number() OVER (PARTITION BY g ORDER BY ts, doc_id) AS r
+         |    FROM (SELECT doc_id, ts, unnest(sh) AS g, len(sh) AS nsh FROM d) p0)
+         |  WHERE r <= ${Cfg.containmentDfCap}),
+         |hits AS (
+         |  SELECT a.doc_id AS early, b.doc_id AS late, count(*) AS h,
+         |         any_value(a.nsh) AS early_nsh, any_value(b.nsh) AS late_nsh
+         |  FROM post a JOIN post b ON a.g = b.g AND a.r < b.r
+         |  GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT late AS doc_a, early AS doc_b,
+         |         ${Rounding.stableSql("h::DOUBLE / late_nsh", 4)} AS containment
+         |  FROM hits
+         |  UNION ALL
+         |  SELECT early AS doc_a, late AS doc_b,
+         |         ${Rounding.stableSql("h::DOUBLE / early_nsh", 4)} AS containment
+         |  FROM hits)
+         |SELECT doc_a, doc_b, containment FROM dirs
+         |WHERE containment >= ${Cfg.containmentThreshold}""".stripMargin,
 
     // Same paragraph CTE shapes as dedup_paragraph, with event time
     // LEADING the first-occurrence rank — the streaming arrival rule.

@@ -238,6 +238,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, "a b c d"), (11L, 2L, 1L, "x y")))
   }
 
+  test("collisions: posting enrollment saturates at dfCap, pairs emitted vs earlier residents only") {
+    import graft.streaming.StreamingContainment
+    import graft.streaming.StreamingContainment.ShingleIn
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[ShingleIn]
+    def sh(g: Long, doc: Long, nsh: Int, t: String) =
+      ShingleIn(g, doc, nsh, java.sql.Timestamp.valueOf(t))
+    val q = StreamingContainment.collisions(input.toDS(), dfCap = 2)
+      .writeStream.format("memory").queryName("coll").outputMode("append").start()
+    try {
+      input.addData(
+        sh(7L, 1L, 10, "2024-01-01 10:00:01"), // enrolls (rank 1)
+        sh(7L, 2L, 4, "2024-01-01 10:00:02"))  // collides with 1, enrolls (rank 2 = cap)
+      q.processAllAvailable()
+      input.addData(
+        sh(7L, 3L, 5, "2024-01-01 10:00:03"),  // bucket saturated: no pair, no enroll
+        sh(9L, 3L, 5, "2024-01-01 10:00:03"))  // fresh bucket: enrolls alone
+      q.processAllAvailable()
+      val got = spark.table("coll").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4))).toSeq
+      assert(got == Seq((7L, 1L, 10, 2L, 4)))
+    } finally q.stop()
+  }
+
   test("heavyHitters: milestones emitted exactly at count crossings, state carried") {
     import graft.streaming.StreamingVocab
     import graft.streaming.StreamingVocab.Tok
