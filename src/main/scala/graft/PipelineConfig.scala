@@ -99,6 +99,13 @@ final case class PipelineConfig(
     pqM: Int = 8,
     pqSubDim: Int = 8,
     pqRerank: Int = 10,
+    // codebook training reads only vectors with id < this bound (the
+    // id-prefix calibration-sample trick sqScale uses: the predicate
+    // pushes into the parquet scan, so the m·iters Lloyd passes read a
+    // bounded slice at ANY corpus size — how real PQ indexes train).
+    // 2048 covers the whole sf0.01 corpus, so the correctness-gate
+    // hashes are those of full-corpus training.
+    pqTrainBound: Long = 2048L,
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the

@@ -1241,7 +1241,8 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+      val cwBlocks = Similarity.trainPqCodebooks(
+          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
           m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
           iters = Cfg.kmeansIters)
         .toDF("m", "cwid", "cwblk")
@@ -1258,7 +1259,8 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
-      val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+      val cwBlocks = Similarity.trainPqCodebooks(
+          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
           m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
           iters = Cfg.kmeansIters)
         .toDF("m", "cwid", "cwblk")
@@ -2710,7 +2712,7 @@ object SparkEntry {
     val sd = Cfg.pqSubDim
     val blockChains = (0 until Cfg.pqM).map { b =>
       kmeansCtesOver(
-        s"SELECT id AS vec_id, v[${b * sd + 1} : ${b * sd + sd}] AS v FROM eb",
+        s"SELECT id AS vec_id, v[${b * sd + 1} : ${b * sd + sd}] AS v FROM eb WHERE id < ${Cfg.pqTrainBound}",
         k = Cfg.pqCodewords, p = s"b${b}_", metric = "l2")
     }.mkString(",\n")
     val cwUnion = (0 until Cfg.pqM).map(b =>

@@ -443,20 +443,66 @@ object Similarity {
     * @return (m, cwid, cwblk) rows, cwid-ordered within each block
     */
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int, k: Int, iters: Int): Seq[(Int, Int, Seq[Double])] =
-    (0 until m).flatMap { b =>
-      val blockCorpus = emb.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as("bvid"),
-          slice(asDouble(col(vecCol)), b * subDim + 1, subDim).as("bv"))
-      // L2 metric: PQ minimizes per-block reconstruction error
-      // ||blk − codeword||², so the quantizer must cluster by L2 —
-      // cosine-clustered block codebooks measured WORSE (0.27) than
-      // even sliced full-space centroids, because block magnitude is
-      // what reconstruction has to preserve.
-      collectCentroids(trainedCentroids(blockCorpus, "bvid", "bv", k, iters,
-          metric = "l2"))
-        .map { case (cid, cv) => (b, cid, cv) }
+      m: Int, subDim: Int, k: Int, iters: Int,
+      scale: Long = 1000000L): Seq[(Int, Int, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // ALL m block-Lloyds run as ONE keyed pass — blocks are
+    // independent, so clustering the block-exploded corpus with
+    // composite (b, cid) centroids is result-identical to m separate
+    // runs (the oracle unrolls them separately), but costs one job
+    // chain instead of m: measured 6.8 s → the per-job scheduling of
+    // ~4·m Spark actions dominated, not the arithmetic.
+    //
+    // L2 metric: PQ minimizes per-block reconstruction error
+    // ||blk − codeword||², so the quantizer must cluster by L2 —
+    // cosine-clustered block codebooks measured WORSE (0.27) than
+    // even sliced full-space centroids, because block magnitude is
+    // what reconstruction has to preserve.
+    val blocks = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v"))
+      .select(col("vec_id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("b"), slice(col("__v"), b * subDim + 1, subDim).as("bv"))): _*))
+        .as("mb"))
+      .select(col("vec_id"), col("mb.b").as("b"), col("mb.bv").as("bv"))
+      .localCheckpoint(eager = false) // read by every assign pass
+    // the k lowest vec_ids seed EVERY block — identical to each
+    // independent run's first-k-seeds rule; bounded k-row collect
+    val seedCid = blocks.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).zipWithIndex
+    val cidExpr = seedCid.foldLeft(lit(null).cast("int")) {
+      case (acc, (id, cid)) => when(col("vec_id") === id, cid).otherwise(acc) }
+    val init = blocks.filter(col("vec_id").isin(seedCid.map(_._1): _*))
+      .select(col("b"), cidExpr.as("cid"), col("bv").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      blocks.join(broadcast(cents), Seq("b"))
+        .withColumn("s", lit(0.0) - round(l2sqBuiltin(col("bv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("b"))
+        .agg(max_by(struct(col("cid"), col("bv")),
+          struct(col("s").as("c"), (lit(0) - col("cid")).as("t"))).as("x"))
+        .select(col("b"), col("x.cid").as("cid"), col("x.bv").as("bv"))
+
+    def update(assigned: DataFrame): DataFrame =
+      labelCentroids(
+        assigned.withColumn("lbl", col("b") * k + col("cid")), "lbl", "bv", scale)
+        .select(expr(s"clabel div $k").cast("int").as("b"),
+          pmod(col("clabel"), lit(k)).cast("int").as("cid"), col("cv"))
+
+    var cents = init
+    var assigned = assign(init)
+    for (i <- 2 to iters) {
+      cents = update(assigned)
+      // the final round's re-assignment feeds nothing when only the
+      // codebook is wanted — skip it (the per-block lloydCore runs it
+      // for its assignment output; c1 is update(assign(init)) there too)
+      if (i < iters) assigned = assign(cents)
     }
+    cents.select(col("b"), col("cid"), col("cv"))
+      .orderBy(col("b"), col("cid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+  }
 
   /** PQ encode against per-block codebooks (m, cwid, cwblk): block b of
     * each vector codes as its nearest codeword in block b's codebook
