@@ -445,22 +445,32 @@ object Dedup {
     */
   private def propagateMin(init: DataFrame, edges: DataFrame,
       maxIter: Int): DataFrame = {
+    // one min-label step: every node takes min(own, neighbors') labels
+    def step(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("min_nl"))
+      l.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+    }
     var labels = init
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nl")).as("min_nl"))
-      // carry the previous label through the checkpoint so the
+      // TWO propagation steps per materialized round: the per-round
+      // cost here is Spark action overhead, not data (the label table
+      // is edge-touching nodes only), so covering a 2-hop neighborhood
+      // per checkpoint+count halves the rounds a given component
+      // diameter needs. Monotone min-propagation makes step batching
+      // safe — labels only decrease toward the unique fixpoint.
+      // carry the pre-round label through the checkpoint so the
       // convergence check is a scan-only count, not another join; the
       // checkpoint is LAZY so the count below materializes it in the
-      // same job — one action per round, not an eager-materialize job
-      // plus a count job (measured ~35% off the loop at sf0.1)
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+      // same job — one action per round (measured ~35% off the loop)
+      val next = step(step(labels))
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
