@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, DotProduct, NfcNormalize, RelevantTitle, SortedIntersectCount}
+import graft.expressions.{CosineSim, DotProduct, NfcNormalize, RelevantTitle, SortedIntersectCount, SquaredL2}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (SURVEY.md §7.3 — custom `Expression`s as the perf upgrade path).
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"cosine_sim(a, b) takes 2 arguments, got ${args.length}")
         CosineSim(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"squared_l2(a, b) takes 2 arguments, got ${args.length}")
+        SquaredL2(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -47,13 +47,19 @@ object Similarity {
 
   /** Squared L2 distance as the same sequential fold shape as
     * [[dotBuiltin]] — bit-equal to the oracle's
-    * `list_sum(list_transform(..., (a-b)*(a-b)))`. Used by the L2
-    * Lloyd metric (PQ codebook training); offline-build path, so the
-    * builtin fold is fine without a native kernel.
+    * `list_sum(list_transform(..., (a-b)*(a-b)))`.
     */
   private def l2sqBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd kernel when the extension is registered (same
+    * fallback discipline as [[dot]]/[[cosine]]): the PQ encode argmin
+    * evaluates this |corpus|·m·k times — the family's hot loop.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    if (nativeKernels) graft.expressions.VectorOps.squaredL2(a, b)
+    else l2sqBuiltin(a, b)
 
   def dot(a: Column, b: Column): Column =
     if (nativeKernels) graft.expressions.VectorOps.dot(a, b)
@@ -256,7 +262,7 @@ object Similarity {
     // to the lower cid.
     def assign(cents: DataFrame): DataFrame = {
       val score =
-        if (metric == "l2") lit(0.0) - round(l2sqBuiltin(col("v"), col("cv")), 6)
+        if (metric == "l2") lit(0.0) - round(l2sq(col("v"), col("cv")), 6)
         else round(cosine(col("v"), col("cv")), 6)
       e.crossJoin(broadcast(cents))
         .withColumn("cos", score)
@@ -377,8 +383,7 @@ object Similarity {
         struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
         .as("mb"))
       .select(col("cwid"), col("mb.m").as("m"), col("mb.cwblk").as("cwblk"))
-    val d2 = aggregate(zip_with(col("blk"), col("cwblk"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val d2 = l2sq(col("blk"), col("cwblk"))
     blocks.join(broadcast(cwBlocks), Seq("m"))
       .select(col("id"), col("m"), col("cwid"), d2.as("d2"))
       .groupBy(col("id"), col("m"))
@@ -478,7 +483,7 @@ object Similarity {
 
     def assign(cents: DataFrame): DataFrame =
       blocks.join(broadcast(cents), Seq("b"))
-        .withColumn("s", lit(0.0) - round(l2sqBuiltin(col("bv"), col("cv")), 6))
+        .withColumn("s", lit(0.0) - round(l2sq(col("bv"), col("cv")), 6))
         .groupBy(col("vec_id"), col("b"))
         .agg(max_by(struct(col("cid"), col("bv")),
           struct(col("s").as("c"), (lit(0) - col("cid")).as("t"))).as("x"))
@@ -517,8 +522,7 @@ object Similarity {
         struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("blk"))): _*))
         .as("mb"))
       .select(col("id"), col("mb.m").as("m"), col("mb.blk").as("blk"))
-    val d2 = aggregate(zip_with(col("blk"), col("cwblk"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val d2 = l2sq(col("blk"), col("cwblk"))
     blocks.join(broadcast(cwBlocks), Seq("m"))
       .select(col("id"), col("m"), col("cwid"), d2.as("d2"))
       .groupBy(col("id"), col("m"))

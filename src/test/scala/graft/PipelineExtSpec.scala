@@ -497,6 +497,34 @@ class SimilaritySpec extends SparkSpec {
     } finally SparkSession.setActiveSession(spark)
   }
 
+  test("squared_l2: native kernel equals the builtin fold bit-for-bit; null propagates") {
+    import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
+    val a = Array(1.5f, -2.0f, 3.25f)
+    val b = Array(0.5f, 2.0f, -1.75f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.asDouble(col("a")).as("a"),
+        Similarity.asDouble(col("b")).as("b"))
+    val native = df.select(Similarity.l2sq(col("a"), col("b"))).collect()(0).getDouble(0)
+    // expected via the same sequential fold
+    val expected = a.zip(b).map { case (x, y) =>
+      (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    assert(native == expected)
+    assert(df.select(Similarity.l2sq(col("a"), lit(null).cast("array<double>")))
+      .collect()(0).isNullAt(0))
+    // fallback session computes the identical value through the builtin fold
+    val bare = spark.newSession()
+    GraftPlanBridge.dropSessionFunction(bare, "dot_product")
+    GraftPlanBridge.dropSessionFunction(bare, "squared_l2")
+    SparkSession.setActiveSession(bare)
+    try {
+      val df2 = bare.createDataFrame(Seq((a, b))).toDF("a", "b")
+        .select(Similarity.asDouble(col("a")).as("a"),
+          Similarity.asDouble(col("b")).as("b"))
+      assert(df2.select(Similarity.l2sq(col("a"), col("b")))
+        .collect()(0).getDouble(0) == expected)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
   test("fixed-point centroids are exact means; assignment breaks ties to the lower label") {
     val emb = Seq(
       (0L, 0, Array(1.0f, 0.0f)),
