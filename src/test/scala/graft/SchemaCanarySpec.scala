@@ -78,4 +78,35 @@ class SchemaCanarySpec extends SparkSpec {
     assert(Tables.eventsInWindow(spark, sf, "2024-01-15 00:00:00", 72)
       .schema("ts").dataType == TimestampType)
   }
+
+  test("kill test: an unknown events.ts layout fails with the one-line diagnosis") {
+    // A regenerated testdata with a layout the loaders don't know must
+    // surface as ONE targeted message, not 35 scattered analysis errors
+    // (round 12's failure mode).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-canary").toString
+    Seq((1L, "not-a-timestamp", 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("testdata changed: events.ts is now StringType"))
+  }
+
+  test("adjusted-UTC TIMESTAMP events load unchanged with pushdown window bounds") {
+    // The third known layout (isAdjustedToUTC=true micros -> Spark
+    // TimestampType): pass-through load, instant-literal window filter.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-canary-ts").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-14 12:00:00"), 2L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.events(spark, dir).schema("ts").dataType == TimestampType)
+    val win = Tables.eventsInWindow(spark, dir, "2024-01-15 00:00:00", 72)
+    assert(win.schema("ts").dataType == TimestampType)
+    assert(win.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
+  }
 }
