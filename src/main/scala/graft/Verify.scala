@@ -44,8 +44,11 @@ object Verify {
     // candidates). Written OUTSIDE outDir: the driver treats every outDir
     // subdirectory as a query's parquet result, so csv/json dumps there
     // register as broken queries (CORRECTNESS_r02 e1_pipeline_csv /
-    // news_debug_json errors).
-    try {
+    // news_debug_json errors). Skipped for filtered dev runs that don't
+    // select the feeding queries — the stage re-runs e1 and costs more
+    // than the one-operator loop it would be riding on (the driver's
+    // full run always executes it).
+    if (only.forall(names => names("e1_pipeline") || names("t10_debug_annotations"))) try {
       val sinkDir = Files.createTempDirectory("graft_sinks").toString
       graft.sources.Sinks.writeFinalCsv(
         SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$sinkDir/e1_pipeline_csv")
