@@ -48,14 +48,22 @@ object Verify {
     // select the feeding queries — the stage re-runs e1 and costs more
     // than the one-operator loop it would be riding on (the driver's
     // full run always executes it).
-    if (only.forall(names => names("e1_pipeline") || names("t10_debug_annotations"))) try {
-      val sinkDir = Files.createTempDirectory("graft_sinks").toString
-      graft.sources.Sinks.writeFinalCsv(
-        SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$sinkDir/e1_pipeline_csv")
-      graft.sources.Sinks.writeJsonDim(
-        SparkEntry.queries("t10_debug_annotations")(spark, sfDir),
-        s"$sinkDir/news_debug_json")
-      System.err.println(s"[verify] sink surface exercised under $sinkDir")
+    try {
+      // each sink gates on ITS OWN feeder being selected, so a
+      // t10-only dev loop never re-runs e1 (and vice versa); a full
+      // run exercises both
+      def sel(q: String): Boolean = only.forall(_(q))
+      if (sel("e1_pipeline") || sel("t10_debug_annotations")) {
+        val sinkDir = Files.createTempDirectory("graft_sinks").toString
+        if (sel("e1_pipeline"))
+          graft.sources.Sinks.writeFinalCsv(
+            SparkEntry.queries("e1_pipeline")(spark, sfDir), s"$sinkDir/e1_pipeline_csv")
+        if (sel("t10_debug_annotations"))
+          graft.sources.Sinks.writeJsonDim(
+            SparkEntry.queries("t10_debug_annotations")(spark, sfDir),
+            s"$sinkDir/news_debug_json")
+        System.err.println(s"[verify] sink surface exercised under $sinkDir")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] sink stage failed: ${e.getMessage}")
     }

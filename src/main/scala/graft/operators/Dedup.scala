@@ -483,7 +483,8 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"propagateMin: label propagation did not converge within " +
-          s"$maxIter iterations ($changed labels still changing)")
+          s"$maxIter rounds (2 steps each, ${2 * maxIter} steps; " +
+          s"$changed labels still changing)")
     labels
   }
 
@@ -737,7 +738,16 @@ object Dedup {
     * base count is a build-time stat — one aggregate scan here; table
     * metadata in a production build.
     */
-  def bloomWordsFor(n: Long): Int = math.max(BloomWords.toLong, 4L * n).toInt
+  def bloomWordsFor(n: Long): Int = {
+    val words = math.max(BloomWords.toLong, 4L * n)
+    // a filter past 2^31 words cannot be a broadcast literal array
+    // anyway — fail loudly instead of wrapping negative and probing a
+    // corrupt filter (shard the base or move to a join-side index)
+    require(words <= Int.MaxValue,
+      s"bloomWordsFor: $n base docs needs $words words — past the literal-array " +
+      "filter's range; shard the base corpus or use the exact signature index")
+    words.toInt
+  }
 
   /** The k bit positions of a text — BIGINT slices of its md5, mod the
     * filter size. Deterministic md5 arithmetic both engines reproduce

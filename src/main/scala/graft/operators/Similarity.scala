@@ -372,23 +372,8 @@ object Similarity {
     * is the same either way. Output long-form: (id, m, code).
     */
   def pqEncode(emb: DataFrame, codewords: DataFrame,
-      m: Int, subDim: Int): DataFrame = {
-    val blocks = emb.select(col("id"), asDouble(col("vec")).as("v"))
-      .select(col("id"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("blk"))): _*))
-        .as("mb"))
-      .select(col("id"), col("mb.m").as("m"), col("mb.blk").as("blk"))
-    val cwBlocks = codewords.select(col("id").as("cwid"), asDouble(col("vec")).as("v"))
-      .select(col("cwid"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
-        .as("mb"))
-      .select(col("cwid"), col("mb.m").as("m"), col("mb.cwblk").as("cwblk"))
-    val d2 = l2sq(col("blk"), col("cwblk"))
-    blocks.join(broadcast(cwBlocks), Seq("m"))
-      .select(col("id"), col("m"), col("cwid"), d2.as("d2"))
-      .groupBy(col("id"), col("m"))
-      .agg(min_by(col("cwid"), struct(col("d2"), col("cwid"))).as("code"))
-  }
+      m: Int, subDim: Int): DataFrame =
+    pqEncodeBlocks(emb, sliceCodebooks(codewords, m, subDim), m, subDim)
 
   /** PQ decode/reconstruction: stitch each doc's codewords back into a
     * 64-dim approximation. Scoring against the reconstruction is
@@ -399,18 +384,8 @@ object Similarity {
     * oracle needs.
     */
   def pqReconstruct(codes: DataFrame, codewords: DataFrame,
-      m: Int, subDim: Int): DataFrame = {
-    val cwBlocks = codewords.select(col("id").as("code"), asDouble(col("vec")).as("v"))
-      .select(col("code"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
-        .as("mb"))
-      .select(col("code"), col("mb.m").as("m"), col("mb.cwblk").as("cwblk"))
-    codes.join(broadcast(cwBlocks), Seq("m", "code"))
-      .groupBy(col("id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("cwblk")))),
-        s => s.getField("cwblk"))).as("rv"))
-  }
+      m: Int, subDim: Int): DataFrame =
+    pqReconstructBlocks(codes, sliceCodebooks(codewords, m, subDim))
 
   /** PQ-ADC top-k: queries stay full-precision, the corpus is scored
     * through its reconstruction — the fourth ANN family (brute, LSH
@@ -431,10 +406,16 @@ object Similarity {
     */
   private def sliceCodebooks(codewords: DataFrame, m: Int, subDim: Int): DataFrame =
     codewords.select(col("id").as("cwid"), asDouble(col("vec")).as("v"))
-      .select(col("cwid"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("cwblk"))): _*))
-        .as("mb"))
-      .select(col("mb.m").as("m"), col("cwid"), col("mb.cwblk").as("cwblk"))
+      .select(col("cwid"), blockExplode(col("v"), m, subDim).as("mb"))
+      .select(col("mb.m").as("m"), col("cwid"), col("mb.blk").as("cwblk"))
+
+  /** One (m, blk) struct row per `subDim`-wide block of a double-array
+    * column — THE block layout every PQ stage shares (encode, codebook
+    * slicing, per-block training); a layout change edits one place.
+    */
+  private def blockExplode(v: Column, m: Int, subDim: Int): Column =
+    explode(array((0 until m).map(b =>
+      struct(lit(b).as("m"), slice(v, b * subDim + 1, subDim).as("blk"))): _*))
 
   /** Textbook PQ codebook training: block b of every vector (subDim
     * components) is clustered INDEPENDENTLY by the same Lloyd core as
@@ -466,14 +447,14 @@ object Similarity {
     // what reconstruction has to preserve.
     val blocks = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v"))
-      .select(col("vec_id"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("b"), slice(col("__v"), b * subDim + 1, subDim).as("bv"))): _*))
-        .as("mb"))
-      .select(col("vec_id"), col("mb.b").as("b"), col("mb.bv").as("bv"))
+      .select(col("vec_id"), blockExplode(col("__v"), m, subDim).as("mb"))
+      .select(col("vec_id"), col("mb.m").as("b"), col("mb.blk").as("bv"))
       .localCheckpoint(eager = false) // read by every assign pass
     // the k lowest vec_ids seed EVERY block — identical to each
     // independent run's first-k-seeds rule; bounded k-row collect
-    val seedCid = blocks.select(col("vec_id")).distinct()
+    // cast-to-long before collect: an int32 id column is a benign
+    // re-encoding per the schema canary and must not crash the build
+    val seedCid = blocks.select(col("vec_id").cast("long").as("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getLong(0)).zipWithIndex
     val cidExpr = seedCid.foldLeft(lit(null).cast("int")) {
@@ -518,9 +499,7 @@ object Similarity {
   def pqEncodeBlocks(emb: DataFrame, cwBlocks: DataFrame,
       m: Int, subDim: Int): DataFrame = {
     val blocks = emb.select(col("id"), asDouble(col("vec")).as("v"))
-      .select(col("id"), explode(array((0 until m).map(b =>
-        struct(lit(b).as("m"), slice(col("v"), b * subDim + 1, subDim).as("blk"))): _*))
-        .as("mb"))
+      .select(col("id"), blockExplode(col("v"), m, subDim).as("mb"))
       .select(col("id"), col("mb.m").as("m"), col("mb.blk").as("blk"))
     val d2 = l2sq(col("blk"), col("cwblk"))
     blocks.join(broadcast(cwBlocks), Seq("m"))

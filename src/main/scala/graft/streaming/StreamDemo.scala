@@ -41,7 +41,14 @@ object StreamDemo {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val tsNorm: org.apache.spark.sql.Column = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts").cast("timestamp")
+      case _: org.apache.spark.sql.types.TimestampNTZType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        col("ts").cast("timestamp")
+      // same fail-fast as Tables.events: an unknown layout must not
+      // silently cast to NULL timestamps and empty windowed output
+      case other => throw new IllegalStateException(
+        s"testdata changed: events.ts is now $other (expected TIMESTAMP_NTZ, " +
+        "TIMESTAMP, or legacy nanos-as-long) — update StreamDemo/Tables.events")
     }
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)

@@ -89,11 +89,14 @@ object StreamingContainment {
   def containmentScan(df: DataFrame, idCol: String, textCol: String,
       timeCol: String, dfCap: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one consumer (the posting explode below) and no intersect stage —
+    // unsorted shingles, no checkpoint (the batch containmentPairs
+    // checkpoints because its verify re-joins the frame per side; this
+    // scan counts collisions instead)
     val d = df.select(col(idCol).as("id"), col(timeCol).as("ts"),
         Dedup.tokenValues(col(textCol)).as("tv"))
       .select(col("id"), col("ts"),
-        Dedup.sortedShingleValuesFromTokens(col("tv")).as("sh"))
-      .localCheckpoint(eager = false)
+        Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
     // arrival rank within each shingle's posting; the row_number sort
     // rides the same hash exchange on g as the self-join below
     val post = d.select(col("id"), col("ts"), explode(col("sh")).as("g"),
