@@ -64,6 +64,9 @@ final case class PipelineConfig(
     // "paragraph" — the deterministic boundary stand-in; real data
     // swaps in a newline split
     paraBlockTokens: Int = 16,
+    // substring-duplication spans (dedup_spans): sliding-window width in
+    // tokens (Lee et al. use 50; the synthetic docs are shorter)
+    spanWindowTokens: Int = 12,
     // hashed-linear quality classifier (ta_quality_clf): keep docs whose
     // 6-dp normalized score clears this
     clfThreshold: Double = 0.0,

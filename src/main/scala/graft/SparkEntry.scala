@@ -1095,6 +1095,27 @@ object SparkEntry {
     // re-joined for verify), the 32-char fingerprint rides the band
     // explode directly — the payload is small enough that re-derivation
     // would cost more.
+    // Exact substring-duplication spans (Lee et al. 2107.06499): every
+    // 12-token sliding window hashed, corpus-repeated windows merged
+    // into maximal per-doc spans. Fixture: shared boilerplate phrases
+    // appended to every 3rd (17 tokens) and 5th (11 tokens) doc — the
+    // cross-doc verbatim repetition the window pass must surface at
+    // whatever offset it lands (the 11-token phrase alone is BELOW the
+    // window, so it only surfaces on docs where it concatenates after
+    // the 17-token one — an offset/boundary case the oracle pins).
+    "dedup_spans" -> ((s, dir) => {
+      val boiler = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(
+          " subscribe to our newsletter for the latest updates and follow us on all social media platforms today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(
+          " this article is for informational purposes only and not professional advice"))
+          .otherwise(lit("")))
+      Dedup.duplicateSpans(
+        Tables.documents(s, dir).select(col("doc_id"), boiler.as("text")),
+        "doc_id", col("text"), Cfg.spanWindowTokens)
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) => {
       val fp = Dedup.simhashAgg(Tables.documents(s, dir), "doc_id", "text")
       val banded = fp.select(col("doc_id"), col("simhash"),
@@ -3515,6 +3536,45 @@ object SparkEntry {
          |FROM cand JOIN d da ON da.doc_id = cand.doc_a
          |          JOIN d db ON db.doc_id = cand.doc_b
          |WHERE ${Rounding.stableSql("len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh)", 4)} >= ${Cfg.containmentThreshold}""".stripMargin,
+
+    // Window hashes re-derived relationally over the SAME token-value
+    // construction; islands via the lag/sum gaps-and-islands idiom the
+    // Spark side's per-doc window computes.
+    "dedup_spans" -> {
+      val w = Cfg.spanWindowTokens
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter for the latest updates and follow us on all social media platforms today' ELSE '' END
+         |              || CASE WHEN doc_id % 5 = 0 THEN ' this article is for informational purposes only and not professional advice' ELSE '' END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT doc_id, $TokenValsSql AS tv FROM base),
+         |wins AS (
+         |  SELECT doc_id, p,
+         |         md5(array_to_string(list_transform(tv[p : p+${w - 1}], x -> CAST(x AS VARCHAR)), '|')) AS whash
+         |  FROM (SELECT doc_id, tv, unnest(generate_series(1, len(tv) - ${w - 1})) AS p
+         |        FROM toks WHERE len(tv) >= $w) w0),
+         |dup AS (SELECT whash FROM wins GROUP BY 1 HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, p FROM wins JOIN dup USING (whash)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |         sum(CASE WHEN prev IS NULL OR p > prev + ${w - 1} THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits) h0),
+         |spans AS (
+         |  SELECT doc_id, island, count(*) AS nh, max(p) + ${w - 1} - min(p) + 1 AS len
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, sum(nh) AS n_dup_windows, count(*) AS n_spans,
+         |         sum(len) AS dup_tokens, max(len) AS max_span_tokens
+         |  FROM spans GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CAST(CASE WHEN len(t.tv) >= $w THEN len(t.tv) - $w + 1 ELSE 0 END AS BIGINT) AS n_windows,
+         |       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+         |FROM toks t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    },
 
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

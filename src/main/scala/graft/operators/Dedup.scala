@@ -865,6 +865,78 @@ object Dedup {
           x => x.getField("para_text")), " ").as("clean_text"))
   }
 
+  /** Exact substring-duplication spans — the sliding-window dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), re-expressed relationally: every
+    * `w`-token window (stride `stride`) is hashed; a window whose hash
+    * occurs MORE THAN ONCE corpus-wide is a duplication hit; per doc,
+    * overlapping hits merge into maximal spans. Sits between
+    * [[paragraphDedup]] (fixed blocks — misses dupes crossing block
+    * boundaries) and whole-doc minhash (misses sub-document dupes
+    * entirely): a verbatim quote at ANY offset surfaces here. The
+    * caller decides the cut (drop spans, drop docs over a dup-token
+    * budget, etc.) — this operator MEASURES.
+    *
+    * Scale shape: the window explode is (n_tokens/stride) rows per doc
+    * of one md5 each (the suffix-array build this replaces is also
+    * corpus×positions work — stride and `w` are the sampling knobs at
+    * 100 TB); hit detection is ONE hash-partitioned count per window
+    * hash + an equality join back; span merging is a per-DOC
+    * gaps-and-islands window — state bounded by the document's own hit
+    * count, never the corpus.
+    *
+    * @return one row per doc with text: (docId, n_windows,
+    *         n_dup_windows, n_spans, dup_tokens, max_span_tokens) —
+    *         zeros for clean docs, so coverage is auditable.
+    */
+  def duplicateSpans(df: DataFrame, docId: String, text: Column,
+      w: Int, stride: Int = 1): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(text.isNotNull)
+      .select(col(docId), tokenValues(text).as("tv"))
+    // window positions 1 .. n-w+1 (docs shorter than w contribute none)
+    val wins = toks.filter(size(col("tv")) >= w)
+      .select(col(docId),
+        explode(sequence(lit(1), size(col("tv")) - (w - 1), lit(stride))).as("p"),
+        col("tv"))
+      .select(col(docId), col("p"),
+        md5(concat_ws("|",
+          transform(slice(col("tv"), col("p"), lit(w)), x => x.cast("string"))))
+          .as("whash"))
+    val dupHash = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select("whash")
+    val hits = wins.join(dupHash, Seq("whash")).select(col(docId), col("p"))
+    // gaps-and-islands per doc: a hit overlaps the previous one iff its
+    // window starts inside it (p <= prev + w - 1)
+    val byDoc = Window.partitionBy(col(docId)).orderBy(col("p"))
+    val spans = hits
+      .withColumn("__new", when(coalesce(
+        col("p") > lag(col("p"), 1).over(byDoc) + (w - 1), lit(true)), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(docId), col("__isl"))
+      .agg(count(lit(1)).as("__hits"),
+        (max(col("p")) + (w - 1) - min(col("p")) + 1).as("__len"))
+    val perDoc = spans.groupBy(col(docId))
+      .agg(sum(col("__hits")).as("n_dup_windows"),
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("__len")).as("dup_tokens"),
+        max(col("__len")).as("max_span_tokens"))
+    toks.select(col(docId),
+        when(size(col("tv")) >= w,
+          expr(s"(size(tv) - $w) div $stride + 1")).otherwise(lit(0))
+          .cast("long").as("n_windows"))
+      .join(perDoc, Seq(docId), "left")
+      .select(col(docId), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+  }
+
   /** SimHash bit votes over the chunk representation. The j-th hex char's
     * nibble is `(chunk(j/8) >> 4*(7-j%8)) & 15`; its ASCII parity is
     * `v%2` for digits and `(v+1)%2` for letters (ascii 48+v vs 87+v) —

@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(agg(3L) != agg(2L))                // empty string hashes one "" token
   }
 
+  test("duplicateSpans: shared run surfaces at different offsets, hits merge, clean doc zeros") {
+    // 14-token run "r1 .. r14" shared by docs 1 and 2 at DIFFERENT
+    // offsets; w=4 -> 11 dup windows each merging into one 14-token span
+    val run = (1 to 14).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $run x y"),
+      (2L, s"$run p q r s t"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10") // clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", col("text"), w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1: 19 tokens -> 16 windows; dup windows = those fully inside
+    // the run: positions 4..14 = 11; one span of 14 tokens
+    assert(out(1L) == ((16L, 11L, 1L, 14L, 14L)))
+    // doc 2: 19 tokens -> 16 windows; run at positions 1..11
+    assert(out(2L) == ((16L, 11L, 1L, 14L, 14L)))
+    assert(out(3L) == ((7L, 0L, 0L, 0L, 0L)))
+  }
+
   test("duplicateClusters throws rather than returning truncated labels") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
