@@ -67,6 +67,9 @@ final case class PipelineConfig(
     // substring-duplication spans (dedup_spans): sliding-window width in
     // tokens (Lee et al. use 50; the synthetic docs are shorter)
     spanWindowTokens: Int = 12,
+    // temperature source mixing (ta_mix_temperature): total kept-doc
+    // budget the sqrt-weighted per-source rates normalize to
+    mixBudget: Long = 250L,
     // hashed-linear quality classifier (ta_quality_clf): keep docs whose
     // 6-dp normalized score clears this
     clfThreshold: Double = 0.0,

@@ -1355,6 +1355,24 @@ object SparkEntry {
         .withColumnRenamed("rank", "src_rank")
     }),
 
+    // Temperature source mixing (mT5/UniMax at τ=0.5): per-source rates
+    // ∝ √count normalized to a document budget, fixed-point integer
+    // derivation end-to-end (no float-fold order anywhere), kept docs
+    // counted through the content-keyed hash. The corpus's natural
+    // sources are uniform (25 docs each — rates would all tie), so the
+    // fixture regroups deterministically into a skewed head/mid/tail
+    // mix: ~50/25/12.5/12.5%, where the sqrt rule visibly downsamples
+    // the head sub-linearly and favors the tails.
+    "ta_mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        Tables.documents(s, dir).select(
+          when(col("doc_id") % 2 === 0, "head")
+            .when(col("doc_id") % 4 === 1, "mid")
+            .when(col("doc_id") % 8 === 3, "tail_a")
+            .otherwise("tail_b").as("source"),
+          col("doc_id")),
+        "source", "doc_id", Cfg.mixBudget)),
+
     // Vocabulary statistics: top-5 tokens per language by frequency — the
     // token-distribution profile every curation run reports. Explode →
     // count (map-side combined) → bounded top-k AGGREGATE per lang
@@ -3756,6 +3774,30 @@ object SparkEntry {
          |  FROM tcl)
          |SELECT source, doc_id, clf_score, CAST(rn AS INT) AS src_rank
          |FROM r WHERE rn <= ${Cfg.sourceCap}""".stripMargin,
+
+    // Fixed-point sqrt weights (floor(sqrt(n)*1e6) BIGINT), integer
+    // normalizer sum, one integer division — the rate derivation has no
+    // float fold anywhere, so both engines land the identical percent.
+    "ta_mix_temperature" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0 THEN 'head'
+         |              WHEN doc_id % 4 = 1 THEN 'mid'
+         |              WHEN doc_id % 8 = 3 THEN 'tail_a'
+         |              ELSE 'tail_b' END AS source
+         |  FROM documents),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY 1),
+         |w AS (SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+         |r AS (SELECT source, n AS n_docs,
+         |             least(100, (100 * ${Cfg.mixBudget} * w) // (tot * n)) AS rate_pct
+         |      FROM w, t),
+         |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+         |      FROM s0 d JOIN r USING (source)
+         |      WHERE ${Sampling.keepAtSql("d.doc_id", "r.rate_pct")} GROUP BY 1)
+         |SELECT r.source, r.n_docs, CAST(r.rate_pct AS BIGINT) AS rate_pct,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN k USING (source)""".stripMargin,
 
     "ta_length_stats" ->
       s"""SELECT lang,

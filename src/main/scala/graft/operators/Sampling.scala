@@ -64,6 +64,48 @@ object Sampling {
     keepAtSql(keyExpr, s"CASE $stratumExpr $cases ELSE $defaultPct END")
   }
 
+  /** Temperature-based source mixing (the mT5/UniMax pretraining-mix
+    * rule at τ = 0.5): per-source sampling rates ∝ √count, so dominant
+    * sources are downsampled sub-linearly and the tail keeps
+    * proportionally more of its data, normalized to a total document
+    * `budget`. Rates derive through FIXED-POINT integer arithmetic —
+    * weights are `floor(√n · 10⁶)` longs, the normalizer an integer
+    * sum (associative, order-free), the rate one integer division —
+    * so both engines compute bit-identical percents with no float-fold
+    * order anywhere (√ itself is IEEE correctly-rounded in both).
+    * The kept sample then applies [[deterministicKeepAt]] over the
+    * content hash, so re-running with a new budget only moves each
+    * source's cutoff.
+    *
+    * Scale shape: one count aggregate over the corpus, a |sources|-row
+    * rate dim broadcast back, a narrow keep filter — no extra shuffle
+    * of the corpus. (The 100·budget·w product stays in long range for
+    * budgets ≤ ~10⁸ docs at 10¹² corpus rows; past that, widen to a
+    * decimal column.)
+    *
+    * @return (source, n_docs, rate_pct 0..100, n_kept)
+    */
+  def temperatureMix(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      keyCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * 1000000L).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("tot"))
+    val rates = counts.crossJoin(broadcast(tot)) // 1-row normalizer attach
+      .withColumn("rate_pct",
+        least(lit(100L), expr(s"(100 * $budget * w) div (tot * n)")))
+      .select(col(sourceCol), col("n").as("n_docs"), col("rate_pct"))
+    val kept = docs
+      .join(broadcast(rates.select(col(sourceCol), col("rate_pct"))), Seq(sourceCol))
+      .filter(deterministicKeepAt(col(keyCol), col("rate_pct")))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("rate_pct"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Per-key cap with priority keep — the domain/source-mixing stage: at
     * most `cap` rows survive per `keyCol`, highest `score` first (ties
     * to the lower `idCol`), so an over-represented domain is trimmed to

@@ -407,6 +407,24 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
 
+  test("temperatureMix: sqrt rule downsamples the head sub-linearly; kept counts track rates") {
+    // 90/10 split at budget 40: proportional keep would take 36/4;
+    // sqrt weights (9.49 vs 3.16) give rates 33%/126->100% — the head
+    // trimmed sub-linearly, the tail kept whole
+    val docs = (1L to 100L)
+      .map(i => (if (i <= 90) "big" else "small", i)).toDF("source", "doc_id")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id", budget = 40L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (bigN, bigRate, bigKept) = out("big")
+    val (smallN, smallRate, smallKept) = out("small")
+    assert(bigN == 90L && smallN == 10L)
+    assert(bigRate == 33L)   // floor(100*40*sqrt(90)e6 / ((sqrt(90)e6+sqrt(10)e6)*90))
+    assert(smallRate == 99L) // sqrt favors the tail to ~everything (floor shaves the last pct)
+    assert(smallKept >= 9L && smallKept <= 10L)
+    // content-keyed keep at 33%: deterministic subset of the head
+    assert(bigKept > 0L && bigKept < bigN)
+  }
+
   test("e6 flagship: copies collapse, PII is scrubbed from reassembled text, gate holds") {
     val out = SparkEntry.queries("e6_pretrain_corpus")(spark, "/root/testdata/sf0.001")
       .collect()
