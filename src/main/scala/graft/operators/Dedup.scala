@@ -894,8 +894,13 @@ object Dedup {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import org.apache.spark.sql.expressions.Window
+    // staged (lazy checkpoints): toks feeds the window explode AND the
+    // final n_windows select; wins — the operator's dominant cost, one
+    // md5 per window — feeds the dup-hash aggregate AND the hit join.
+    // Without staging both heavy subtrees run twice end-to-end.
     val toks = df.filter(text.isNotNull)
       .select(col(docId), tokenValues(text).as("tv"))
+      .localCheckpoint(eager = false)
     // window positions 1 .. n-w+1 (docs shorter than w contribute none)
     val wins = toks.filter(size(col("tv")) >= w)
       .select(col(docId),
@@ -905,6 +910,7 @@ object Dedup {
         md5(concat_ws("|",
           transform(slice(col("tv"), col("p"), lit(w)), x => x.cast("string"))))
           .as("whash"))
+      .localCheckpoint(eager = false)
     val dupHash = wins.groupBy(col("whash"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
       .select("whash")

@@ -69,40 +69,54 @@ object Sampling {
     * sources are downsampled sub-linearly and the tail keeps
     * proportionally more of its data, normalized to a total document
     * `budget`. Rates derive through FIXED-POINT integer arithmetic —
-    * weights are `floor(√n · 10⁶)` longs, the normalizer an integer
-    * sum (associative, order-free), the rate one integer division —
-    * so both engines compute bit-identical percents with no float-fold
-    * order anywhere (√ itself is IEEE correctly-rounded in both).
-    * The kept sample then applies [[deterministicKeepAt]] over the
-    * content hash, so re-running with a new budget only moves each
-    * source's cutoff.
+    * weights are `floor(√n · 10⁶)`, the normalizer an integer sum
+    * (associative, order-free), the rate one integer division in
+    * driver-side BigInt (exact at ANY corpus size; plan-side long
+    * math would overflow past ~4·10⁸ docs per source) — so both
+    * engines compute bit-identical percents with no float-fold order
+    * anywhere (√ is IEEE correctly-rounded in both; the DuckDB mirror
+    * floors identically in HUGEINT). The kept sample then applies
+    * [[deterministicKeepAt]] over the content hash, so re-running with
+    * a new budget only moves each source's cutoff.
     *
-    * Scale shape: one count aggregate over the corpus, a |sources|-row
-    * rate dim broadcast back, a narrow keep filter — no extra shuffle
-    * of the corpus. (The 100·budget·w product stays in long range for
-    * budgets ≤ ~10⁸ docs at 10¹² corpus rows; past that, widen to a
-    * decimal column.)
+    * Scale shape: one count aggregate over the corpus collected as the
+    * bounded |sources|-row dim, the rate dim broadcast back for the
+    * narrow keep filter + kept-count aggregate — two corpus scans
+    * total, no corpus shuffle beyond the two counts.
     *
     * @return (source, n_docs, rate_pct 0..100, n_kept)
     */
   def temperatureMix(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
       keyCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // ONE corpus aggregate, collected as the bounded |sources|-row dim
+    // (the same bounded-collect discipline as the k-means codebooks);
+    // the rate arithmetic then runs driver-side in BigInt — exact at
+    // ANY corpus size (plan-side long math overflows past ~4e8 docs
+    // per source), and the DuckDB mirror's HUGEINT derivation lands
+    // the identical floor divisions.
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n"))
-      .withColumn("w", floor(sqrt(col("n").cast("double")) * 1000000L).cast("long"))
-    val tot = counts.agg(sum(col("w")).as("tot"))
-    val rates = counts.crossJoin(broadcast(tot)) // 1-row normalizer attach
-      .withColumn("rate_pct",
-        least(lit(100L), expr(s"(100 * $budget * w) div (tot * n)")))
-      .select(col(sourceCol), col("n").as("n_docs"), col("rate_pct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weighted = counts.map { case (src, n) =>
+      (src, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1000000L).toLong)) }
+    val tot = weighted.map(_._3).sum
+    val rates = weighted.map { case (src, n, w) =>
+      (src, n, (BigInt(100) * BigInt(budget) * w / (tot * BigInt(n)))
+        .min(BigInt(100)).toLong) }
+    val session = docs.sparkSession
+    import session.implicits._
+    val rateDim = rates.toSeq
+      .toDF(sourceCol, "n_docs", "__mix_rate") // internal name: a caller's
+      // own rate_pct column must not collide at the join below
     val kept = docs
-      .join(broadcast(rates.select(col(sourceCol), col("rate_pct"))), Seq(sourceCol))
-      .filter(deterministicKeepAt(col(keyCol), col("rate_pct")))
+      .join(broadcast(rateDim.select(col(sourceCol), col("__mix_rate"))),
+        Seq(sourceCol))
+      .filter(deterministicKeepAt(col(keyCol), col("__mix_rate")))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq(sourceCol), "left")
-      .select(col(sourceCol), col("n_docs"), col("rate_pct"),
+    rateDim.join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("__mix_rate").as("rate_pct"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
