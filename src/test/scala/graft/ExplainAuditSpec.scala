@@ -490,4 +490,54 @@ class ExplainAuditSpec extends SparkSpec {
         s"df-cap window stacked an extra g-exchange on the posting join:\n$p")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("ta_token_setops is ONE token-domain exchange with map-side combine") {
+    // VERDICT r13 #3: the EXCEPT ∪ EXCEPT ∪ INTERSECT form shuffled the
+    // token domain three times; the membership-aggregate rewrite must stay
+    // a single exchange, with the lang filter pushed to the scan and the
+    // partial max-aggregates combining before the shuffle.
+    val p = plan("ta_token_setops")
+    assert("Exchange".r.findAllMatchIn(p).size == 1,
+      s"token set-ops regressed past one exchange:\n$p")
+    assert(!p.contains("Join"), s"set-ops re-grew a join arm:\n$p")
+    assert(p.contains("partial_max"), s"no map-side combine before the shuffle:\n$p")
+    assert(p.contains("PushedFilters: [In(lang"),
+      s"lang filter not pushed to the documents scan:\n$p")
+  }
+
+  test("g2_cross_universe: calendar side broadcast, events scan prunes to user_id") {
+    // Bench-order insurance (VERDICT r13 #8): the r13 solo sweep read a
+    // 2.5x "regression" here after a testdata regeneration; best-of-3 showed
+    // it was measurement noise. Pin the plan so a FUTURE slowdown must show
+    // up as a plan diff (lost pruning / lost broadcast / extra exchange)
+    // rather than be re-adjudicated from timings.
+    val p = plan("g2_cross_universe")
+    // tiny trading-calendar side broadcasts; the |users| side never does
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft, Cross"),
+      s"calendar side no longer the broadcast build side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"universe went cartesian:\n$p")
+    // the ts cast in Tables.events must be pruned away entirely: user_id
+    // is the only column this query reads
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"events scan reads more than user_id:\n$p")
+    // one exchange total: the distinct on user_id
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"distinct(user_id) grew extra exchanges:\n$p")
+  }
+
+  test("ev_retention: all joins broadcast, events scans prune to (ts, user_id)") {
+    // Same insurance as g2 (VERDICT r13 #8): ev_retention read 2.1x in the
+    // one-run r13 sweep, best-of-3 recovered it. Its shape: three pruned
+    // events scans (active set, cohort-for-join, cohort-for-sizes), every
+    // join broadcast (cohort dim, sizes dim), never a sort-merge join or
+    // cartesian on the fact path.
+    val p = plan("ev_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"retention fact path lost its broadcast joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 2,
+      s"expected cohort + sizes broadcast joins:\n$p")
+    assert("ReadSchema: struct<ts:[a-z_]+,user_id:bigint>".r
+        .findAllMatchIn(p).size == 3,
+      s"events scans read beyond (ts, user_id):\n$p")
+  }
 }
