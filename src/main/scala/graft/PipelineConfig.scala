@@ -101,10 +101,25 @@ final case class PipelineConfig(
     // slice-of-full-space-centroid shortcut measured recall 0.13
     // (0.40 at 32 codewords, 0.27 cosine-trained) — re-measured by
     // sim_pq_recall.
+    //
+    // rerank=60 CHOSEN FROM A SWEEP (graft.PqSweep, r14): recall@3 over
+    // codewords {16,32} × rerank {10..100} measured 0.73 at the old
+    // (16,10) and ≥0.85 from (16,25)/(32,15) up; (16,60) reads 1.00 at
+    // sf0.01 / 0.93 at sf0.1. 16 codewords is kept because the ENCODE
+    // pass (corpus × m × k codeword distances — the term that scales
+    // with data) is 2× cheaper than 32, and widening only the re-rank
+    // shortlist (k·rerank = 180 exact-scored rows PER QUERY, broadcast-
+    // joined) buys the same recall at a cost that does not grow with
+    // the corpus.
     pqCodewords: Int = 16,
     pqM: Int = 8,
     pqSubDim: Int = 8,
-    pqRerank: Int = 10,
+    pqRerank: Int = 60,
+    // top-k of the PQ queries — referenced by BOTH the SparkEntry
+    // topKPqBlocks calls and pqCtesSql's shortlist CTE (rn <= pqK·pqRerank);
+    // a literal on one side would let the engines silently diverge if the
+    // other changed (ADVICE r13)
+    pqK: Int = 3,
     // codebook training reads only vectors with id < this bound (the
     // id-prefix calibration-sample trick sqScale uses: the predicate
     // pushes into the parquet scan, so the m·iters Lloyd passes read a

@@ -1268,7 +1268,7 @@ object SparkEntry {
           iters = Cfg.kmeansIters)
         .toDF("m", "cwid", "cwblk")
       Similarity.topKPqBlocks(emb.filter(col("id") < 5), emb, cwBlocks,
-        k = 3, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
+        k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
     }),
 
     // PQ recall gate: per-query fraction of the exact top-3 the
@@ -1279,19 +1279,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
-      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val brute = Similarity.topKBrute(q, emb, Cfg.pqK).select(col("q_id"), col("c_id"))
       val cwBlocks = Similarity.trainPqCodebooks(
           emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
           m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
           iters = Cfg.kmeansIters)
         .toDF("m", "cwid", "cwblk")
-      val pq = Similarity.topKPqBlocks(q, emb, cwBlocks, k = 3,
+      val pq = Similarity.topKPqBlocks(q, emb, cwBlocks, k = Cfg.pqK,
         m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
       brute.join(pq, Seq("q_id", "c_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("__hit")).as("hits"),
-          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+          Rounding.stable(count(col("__hit")).cast("double") / Cfg.pqK, 4).as("recall"))
     }),
 
     // Quantization-quality measurement: per-query recall of the int8
@@ -2785,7 +2785,7 @@ object SparkEntry {
        |short AS (
        |  SELECT q_id, c_id
        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn FROM pqsc)
-       |  WHERE rn <= ${3 * Cfg.pqRerank}),
+       |  WHERE rn <= ${Cfg.pqK * Cfg.pqRerank}),
        |pqx AS (
        |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
        |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
@@ -3676,7 +3676,7 @@ object SparkEntry {
       s"""WITH $pqCtesSql
          |SELECT q_id, c_id, score, CAST(rnk AS INT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqx)
-         |WHERE rnk <= 3""".stripMargin,
+         |WHERE rnk <= ${Cfg.pqK}""".stripMargin,
 
     // PQ recall gate: fraction of the exact top-3 the trained-codeword
     // reconstruction ranking recovers — completes the recall-gate
@@ -3686,16 +3686,16 @@ object SparkEntry {
          |pq AS (
          |  SELECT q_id, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqx)
-         |  WHERE rnk <= 3),
+         |  WHERE rnk <= ${Cfg.pqK}),
          |bs AS (
          |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
          |  FROM (SELECT * FROM eb WHERE id < 5) q, eb c WHERE q.id <> c.id),
          |brute AS (
          |  SELECT q_id, c_id
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
-         |  WHERE rnk <= 3)
+         |  WHERE rnk <= ${Cfg.pqK})
          |SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS hits,
-         |       ${Rounding.stableSql("count(p.c_id)::DOUBLE / 3", 4)} AS recall
+         |       ${Rounding.stableSql(s"count(p.c_id)::DOUBLE / ${Cfg.pqK}", 4)} AS recall
          |FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
          |GROUP BY b.q_id""".stripMargin,
 
@@ -3793,9 +3793,9 @@ object SparkEntry {
          |  FROM documents),
          |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY 1),
          |w AS (SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
-         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+         |t AS (SELECT sum(w) AS tot FROM w),
          |r AS (SELECT source, n AS n_docs,
-         |             least(100, (100 * ${Cfg.mixBudget} * w) // (tot * n)) AS rate_pct
+         |             least(100, (100 * ${Cfg.mixBudget} * CAST(w AS HUGEINT)) // (tot * n)) AS rate_pct
          |      FROM w, t),
          |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
          |      FROM s0 d JOIN r USING (source)

@@ -457,6 +457,14 @@ object Similarity {
     val seedCid = blocks.select(col("vec_id").cast("long").as("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getLong(0)).zipWithIndex
+    // loud failure over silent degradation (ADVICE r13): with fewer than
+    // k distinct vectors the blocks would train < k codewords per block
+    // and recall would quietly collapse — the cause is almost always a
+    // training slice (pqTrainBound) that no longer covers k vectors
+    require(seedCid.length == k,
+      s"PQ training slice has only ${seedCid.length} distinct vectors for " +
+      s"k=$k codewords — widen the training bound (Cfg.pqTrainBound) or " +
+      "lower pqCodewords")
     val cidExpr = seedCid.foldLeft(lit(null).cast("int")) {
       case (acc, (id, cid)) => when(col("vec_id") === id, cid).otherwise(acc) }
     val init = blocks.filter(col("vec_id").isin(seedCid.map(_._1): _*))

@@ -53,18 +53,24 @@ object StreamingContainment {
           var residents = state.getOption.map(_.residents).getOrElse(Nil)
           var n = residents.size
           val out = Seq.newBuilder[Collision]
-          for (r <- rows.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))) {
+          // The per-batch group is buffered and sorted for deterministic
+          // replay (transient memory is one micro-batch's arrivals for ONE
+          // shingle — bounded by trigger sizing, not by dfCap); iteration
+          // then STOPS at saturation: once n == dfCap no later-sorted
+          // arrival can enroll or pair, so a hot boilerplate shingle costs
+          // its sort and nothing further.
+          val it = rows.toSeq.sortBy(x => (x.ts.getTime, x.doc_id)).iterator
+          while (n < dfCap && it.hasNext) {
+            val r = it.next()
             // saturation-stop at dfCap: a boilerplate shingle's bucket
             // neither pairs nor enrolls past the cap, bounding state
             // and per-arrival comparisons (batch drops the whole
             // shingle retroactively; a stream cannot retract)
-            if (n < dfCap) {
-              for ((pid, pnsh) <- residents if pid != r.doc_id)
-                out += Collision(g, pid, pnsh, r.doc_id, r.n_sh)
-              if (!residents.exists(_._1 == r.doc_id)) {
-                residents = (r.doc_id, r.n_sh) :: residents
-                n += 1
-              }
+            for ((pid, pnsh) <- residents if pid != r.doc_id)
+              out += Collision(g, pid, pnsh, r.doc_id, r.n_sh)
+            if (!residents.exists(_._1 == r.doc_id)) {
+              residents = (r.doc_id, r.n_sh) :: residents
+              n += 1
             }
           }
           state.update(PostingState(residents))
