@@ -1427,13 +1427,35 @@ object SparkEntry {
     // reference pipeline).
     "e4_curation_full" -> ((s, dir) => {
       val corpus = recrawl(s, dir)
+      // EXACT-CANONICAL-FIRST staging (r13 applied it to containment;
+      // r14 extends it to minhash): identical texts carry identical
+      // shingle sets, so every near-dup relation among copies is implied
+      // by the relation between their exact canonicals plus a star of
+      // copy→canonical edges from the md5 groups. ALL expensive pair
+      // generation (tokenize, signatures, band join, posting join,
+      // verify intersects) therefore runs over |distinct texts|, not the
+      // re-crawled corpus — at 100 TB, where re-crawl duplication is
+      // routinely 2-5×, exact-dedup-before-near-dup is the only sane
+      // staging, and the hot-bucket/df caps read TRUE text frequencies
+      // instead of crawl-copy-inflated ones. The oracle states the same
+      // canonical-domain spec (sig/banded over exc, copyedges unioned).
+      val ex = corpus.select(col("doc_id"), md5(col("text")).as("__h"))
+      val canonIds = ex.join(
+          ex.groupBy(col("__h")).agg(min(col("doc_id")).as("cid")), Seq("__h"))
+        .filter(col("doc_id") === col("cid")).select("doc_id")
+      // canonDocs feeds FOUR subtrees (signatures, both minhash verify
+      // sides, the containment index) — checkpoint the joined (id, text)
+      // frame once instead of re-running parquet scan + union + join per
+      // consumer
+      val canonDocs = corpus.join(canonIds, Seq("doc_id"))
+        .localCheckpoint(eager = false)
       // lazily-checkpointed signatures shared by both band-join sides
       // (sigs, not the fatter shingleFrame — the full shingle arrays
       // measured slower to checkpoint and rescan than the narrow
       // re-derivations below; see dedup_minhash)
-      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+      val sig = Dedup.signatures(canonDocs, "doc_id", "text", Cfg.nSig)
         .localCheckpoint(eager = false)
-      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      val pairs = Dedup.minhashPairs(canonDocs, "doc_id", "text",
           numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
           maxBucket = Cfg.maxBucket, sigs = Some(sig))
         .select(col("doc_a"), col("doc_b"))
@@ -1441,47 +1463,50 @@ object SparkEntry {
       // ever collides and a minhash-only closure lets them survive
       // curation — union the asymmetric containment pairs as edges
       // (duplicateClusters symmetrizes), so the excerpt collapses into
-      // its source's cluster. Containment runs over the EXACT-CANONICAL
-      // text domain only (min doc_id per md5(text)): identical copies
-      // carry identical shingle sets, so a copy-level containment edge
-      // is always implied by a canonical edge plus the minhash J=1
-      // copy edges already in the closure — same components, and the
-      // posting self-join sees |distinct texts|, not the re-crawled
-      // corpus (measured 9.0 s → ~5 s at sf0.1; at 100 TB
-      // exact-dedup-before-containment is the only sane staging).
-      val edges = if (Cfg.curationContainmentEdges) {
-        val canonDocs = corpus.join(
-          corpus.groupBy(md5(col("text")).as("__h"))
-            .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-          Seq("doc_id"))
+      // its source's cluster.
+      val nearEdges = if (Cfg.curationContainmentEdges) {
         pairs.unionByName(
           Dedup.containmentPairs(s, canonDocs, "doc_id", "text",
             Cfg.containmentDfCap, Cfg.containmentThreshold)
           .select(col("doc_a"), col("doc_b")))
       } else pairs
+      // The closure runs over CANONICAL nodes and near-dup edges only —
+      // copies never enter the loop at all: a copy's id is strictly
+      // greater than its canonical's (cid = min of the md5 group), so a
+      // copy can never be a component minimum and the survivor set
+      // {id == label} is identical with or without the copy→canonical
+      // star edges. The oracle states the full-corpus closure WITH
+      // copyedges; both yield the same canonical survivors. At 100 TB
+      // this keeps the iterated label table at |distinct texts|, not
+      // |crawl|.
       val clusters = Dedup.duplicateClusters(
-        corpus.select(col("doc_id").as("id")), edges)
+        canonDocs.select(col("doc_id").as("id")), nearEdges)
       // canonical is consumed TWICE (the decontam shingle side and the
       // final quality chain) and sits downstream of the whole
       // pair-generation + propagation closure — without a checkpoint
       // the second consumer re-runs that closure end-to-end (measured
       // 22 s of the query's 21 s solo total at sf0.1; with it the tail
       // is ~4 s). Lazy, like the sig checkpoint above: materializes on
-      // first use, no extra action.
-      val canonical = corpus.join(
+      // first use, no extra action. Survivors are canonical ids, so the
+      // text join reads the cached canonDocs, not the corpus again.
+      val canonical = canonDocs.join(
         clusters.filter(col("id") === col("label"))
           .select(col("id").as("doc_id")), Seq("doc_id"))
         .localCheckpoint(eager = false)
       val sh = canonical
         .select(col("doc_id"), Dedup.tokenValues(col("text")).as("tv"))
         .select(col("doc_id"), Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
+      // no distinct on either side: `contaminated` only ever feeds the
+      // left_anti below, and an anti-join's result is unaffected by
+      // duplicate build-side rows — both distincts were pure exchange
+      // cost (the oracle's `cont` CTE keeps DISTINCT; result-equivalent)
       val benchG = Tables.documents(s, dir).filter(col("doc_id") < 20)
         .select(Dedup.tokenValues(col("text")).as("tv"))
         .select(Dedup.shingleValuesFromTokens(col("tv")).as("sh"))
-        .select(explode(col("sh")).as("g")).distinct()
+        .select(explode(col("sh")).as("g"))
       val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         .join(broadcast(benchG), Seq("g"))
-        .select("doc_id").distinct()
+        .select("doc_id")
       val q = TextAnalysis.qualityColumns(col("text")).toMap
       canonical.join(contaminated, Seq("doc_id"), "left_anti")
         .join(Tables.documents(s, dir)
@@ -2436,7 +2461,8 @@ object SparkEntry {
     */
   private def minhashCtes(numBands: Int, rowsPerBand: Int,
       pairPred: String, aName: String, bName: String,
-      maxBucket: Option[Int] = None): String = {
+      maxBucket: Option[Int] = None,
+      canonicalDomain: Boolean = false): String = {
     val P = Dedup.MinhashP
     val sigCols = (0 until numBands * rowsPerBand).map { k =>
       val (a, b) = (Dedup.minhashA(k), Dedup.minhashB(k))
@@ -2446,6 +2472,15 @@ object SparkEntry {
       val parts = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts)"
     }.mkString(" ")
+    // canonicalDomain (e4): sig/banding run over exact-canonical docs
+    // only (min doc_id per md5(text)); `exc`/`em` are exposed for the
+    // caller's copy-edge and canonical-id CTEs
+    val canonCtes = if (canonicalDomain)
+      s"""exc AS (SELECT md5(text) AS h, min(doc_id) AS cid FROM corpus GROUP BY md5(text)),
+         |em AS (SELECT doc_id, cid FROM (SELECT doc_id, md5(text) AS h FROM corpus) e0 JOIN exc USING (h)),
+         |""".stripMargin else ""
+    val sigSrc = if (canonicalDomain)
+      "sh JOIN (SELECT cid AS doc_id FROM exc) cd USING (doc_id)" else "sh"
     s"""$RecrawlCte,
        |tvals AS (
        |  SELECT doc_id, $TokenValsSql AS tv
@@ -2453,10 +2488,10 @@ object SparkEntry {
        |sh AS (
        |  SELECT doc_id, $ShingleValsSql AS sh
        |  FROM tvals),
-       |sig AS (
+       |${canonCtes}sig AS (
        |  SELECT doc_id,
        |         $sigCols
-       |  FROM sh),
+       |  FROM $sigSrc),
        |banded AS (
        |  SELECT doc_id, band_id,
        |         CASE band_id $bandCases END AS band_key
@@ -3858,12 +3893,13 @@ object SparkEntry {
 
     "e4_curation_full" ->
       (s"WITH RECURSIVE ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
-        Some(Cfg.maxBucket))},\n" +
+        Some(Cfg.maxBucket), canonicalDomain = true)},\n" +
         s"""verified AS (
            |  SELECT doc_a, doc_b
            |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-           |  WHERE $MinhashJaccardSql >= 0.8),${if (Cfg.curationContainmentEdges) s"""
-           |c_canon AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+           |  WHERE $MinhashJaccardSql >= 0.8),
+           |copyedges AS (SELECT cid AS doc_a, doc_id AS doc_b FROM em WHERE doc_id <> cid),${if (Cfg.curationContainmentEdges) s"""
+           |c_canon AS (SELECT cid AS doc_id FROM exc),
            |c_sh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN c_canon USING (doc_id)),
            |c_post AS (
            |  SELECT doc_id, g FROM (
@@ -3880,8 +3916,10 @@ object SparkEntry {
            |  WHERE ${Rounding.stableSql(
                "len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh)", 4)} >= ${Cfg.containmentThreshold}),
            |alledges AS (SELECT doc_a, doc_b FROM verified
-           |             UNION SELECT doc_a, doc_b FROM c_pairs),""" else """
-           |alledges AS (SELECT doc_a, doc_b FROM verified),"""}
+           |             UNION SELECT doc_a, doc_b FROM c_pairs
+           |             UNION SELECT doc_a, doc_b FROM copyedges),""" else """
+           |alledges AS (SELECT doc_a, doc_b FROM verified
+           |             UNION SELECT doc_a, doc_b FROM copyedges),"""}
            |nodes AS (SELECT DISTINCT doc_id FROM corpus),
            |edges AS (
            |  SELECT doc_a AS a, doc_b AS b FROM alledges

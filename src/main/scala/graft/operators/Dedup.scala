@@ -425,9 +425,17 @@ object Dedup {
     labels.unionByName(singletons)
   }
 
-  private def bothDirections(pairs: DataFrame): DataFrame =
-    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+  private def bothDirections(pairs: DataFrame): DataFrame = {
+    // Checkpoint the DIRECTED pairs before symmetrizing: a union of two
+    // projections of an unmaterialized `pairs` computes the entire
+    // pair-generation subtree once PER DIRECTION inside the edge
+    // checkpoint's first materialization (for e4_curation_full that is
+    // the minhash band join AND the containment posting join, twice
+    // each — measured ~2 s of its solo time). With the directed frame
+    // cached, symmetrizing is two scans of narrow cached rows.
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(eager = false)
+    p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
       // NOT pre-partitioned on the join key: the label table is tiny
       // relative to the corpus, so the per-round join broadcasts (or
       // shuffles only labels) — an up-front repartition of the edge list
@@ -435,6 +443,7 @@ object Dedup {
       // (init's distinct or round 1) materializes it; every later round
       // reads the checkpoint.
       .localCheckpoint(eager = false)
+  }
 
   /** Min-label fixpoint over `edges` starting from `init` (id, label):
     * every node repeatedly takes the min of its own and its neighbors'
@@ -465,14 +474,25 @@ object Dedup {
       // per checkpoint+count halves the rounds a given component
       // diameter needs. Monotone min-propagation makes step batching
       // safe — labels only decrease toward the unique fixpoint.
-      // carry the pre-round label through the checkpoint so the
-      // convergence check is a scan-only count, not another join; the
-      // checkpoint is LAZY so the count below materializes it in the
-      // same job — one action per round (measured ~35% off the loop)
-      val next = step(step(labels))
-        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+      // Convergence compares the round's SECOND step against its FIRST
+      // (not against the round's input): step(mid)==mid already proves
+      // mid is the fixpoint, so a near-clique graph (the shape dup
+      // clusters actually have — one step reaches the component min)
+      // converges in ONE materialized round instead of paying a
+      // whole extra confirm round. The price is evaluating mid's
+      // subtree twice inside the round's single job (label-table-sized
+      // join+agg; far cheaper than another checkpoint+count round).
+      // The carried __old keeps the convergence check a scan-only
+      // count on the LAZY checkpoint — one action per round.
+      val mid = step(labels)
+      val next = step(mid)
+        .join(mid.select(col("id"), col("label").as("__old")), Seq("id"))
         .localCheckpoint(eager = false)
+      val t0 = System.nanoTime()
       changed = next.filter(col("label") =!= col("__old")).count()
+      if (sys.env.contains("GRAFT_CLUSTER_DEBUG"))
+        System.err.println(f"propagateMin round ${iter + 1}: changed=$changed " +
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
       labels = next.drop("__old")
       iter += 1
     }
