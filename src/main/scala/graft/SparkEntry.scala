@@ -753,6 +753,44 @@ object SparkEntry {
         withTs, "doc_id", col("text"), "ts", Cfg.paraBlockTokens)
     }),
 
+    // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
+    // merge: dedup_spans' boilerplate fixture with st8's arrival layout
+    // (doc_id seconds past 2024-01-01), every window occurrence EXCEPT
+    // its hash's first arrival a hit. The arrival-earliest copy of each
+    // boilerplate phrase reads clean here while batch dedup_spans flags
+    // all copies — the oracle pins exactly that divergence.
+    "st11_spans_scan" -> ((s, dir) => {
+      val boiler = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(
+          " subscribe to our newsletter for the latest updates and follow us on all social media platforms today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(
+          " this article is for informational purposes only and not professional advice"))
+          .otherwise(lit("")))
+      val withTs = Tables.documents(s, dir)
+        .select(col("doc_id"), boiler.as("text"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingSpans.firstSeenSpanScan(
+        withTs, "doc_id", col("text"), "ts", Cfg.spanWindowTokens)
+    }),
+
+    // ST12 — batch shadow of StreamingMix.admitToTargets: per-source
+    // √-temperature document targets frozen from the corpus's own counts
+    // (ta_mix_temperature's skewed head/mid/tail fixture), admission =
+    // first target_s arrivals per source by (ts, doc_id). Bounded
+    // output: at most mixBudget rows at any corpus size.
+    "st12_mix_scan" -> ((s, dir) => {
+      val withTs = Tables.documents(s, dir).select(
+          when(col("doc_id") % 2 === 0, "head")
+            .when(col("doc_id") % 4 === 1, "mid")
+            .when(col("doc_id") % 8 === 3, "tail_a")
+            .otherwise("tail_b").as("source"),
+          col("doc_id"))
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingMix.mixAdmitScan(
+        withTs, "source", "doc_id", "ts", Cfg.mixBudget)
+    }),
+
     // Unicode NFC canonicalization over the corpus (native codegen'd
     // nfc_normalize vs DuckDB's nfc_normalize — both UAX #15): every
     // 3rd doc gets a DECOMPOSED accent suffix, every 3rd+1 the
@@ -3250,6 +3288,76 @@ object SparkEntry {
          |       FROM pdr GROUP BY doc_id)
          |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin
     },
+
+    // ST11 — dedup_spans' window/island chain with hit = every window
+    // occurrence EXCEPT its hash's first arrival (rn > 1 over
+    // (ts, doc, p), ts = doc_id seconds past 2024-01-01).
+    "st11_spans_scan" -> {
+      val w = Cfg.spanWindowTokens
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter for the latest updates and follow us on all social media platforms today' ELSE '' END
+         |              || CASE WHEN doc_id % 5 = 0 THEN ' this article is for informational purposes only and not professional advice' ELSE '' END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT doc_id, $TokenValsSql AS tv FROM base),
+         |wins AS (
+         |  SELECT doc_id, p,
+         |         md5(array_to_string(list_transform(tv[p : p+${w - 1}], x -> CAST(x AS VARCHAR)), '|')) AS whash
+         |  FROM (SELECT doc_id, tv, unnest(generate_series(1, len(tv) - ${w - 1})) AS p
+         |        FROM toks WHERE len(tv) >= $w) w0),
+         |arr AS (
+         |  SELECT doc_id, p,
+         |         row_number() OVER (PARTITION BY whash
+         |                            ORDER BY 1704067200 + doc_id, doc_id, p) AS rn
+         |  FROM wins),
+         |hits AS (SELECT doc_id, p FROM arr WHERE rn > 1),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |         sum(CASE WHEN prev IS NULL OR p > prev + ${w - 1} THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits) h0),
+         |spans AS (
+         |  SELECT doc_id, island, count(*) AS nh, max(p) + ${w - 1} - min(p) + 1 AS len
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, sum(nh) AS n_dup_windows, count(*) AS n_spans,
+         |         sum(len) AS dup_tokens, max(len) AS max_span_tokens
+         |  FROM spans GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CAST(CASE WHEN len(t.tv) >= $w THEN len(t.tv) - $w + 1 ELSE 0 END AS BIGINT) AS n_windows,
+         |       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+         |FROM toks t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    },
+
+    // ST12 — ta_mix_temperature's √-weight derivation in COUNT form
+    // (target = least(n, (budget·w) // Σw), HUGEINT end-to-end), then
+    // the first target_s arrivals per source by (ts, doc_id).
+    "st12_mix_scan" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0 THEN 'head'
+         |              WHEN doc_id % 4 = 1 THEN 'mid'
+         |              WHEN doc_id % 8 = 3 THEN 'tail_a'
+         |              ELSE 'tail_b' END AS source
+         |  FROM documents),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY 1),
+         |w AS (SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+         |t AS (SELECT sum(w) AS tot FROM w),
+         |tgt AS (SELECT source,
+         |               least(CAST(n AS HUGEINT), (CAST(${Cfg.mixBudget} AS HUGEINT) * w) // tot) AS target
+         |        FROM w, t),
+         |arr AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY 1704067200 + doc_id, doc_id) AS rn
+         |  FROM s0)
+         |SELECT a.source, CAST(g.target AS BIGINT) AS target, a.doc_id,
+         |       CAST(a.rn AS INT) AS adm_rank
+         |FROM arr a JOIN tgt g USING (source)
+         |WHERE a.rn <= g.target""".stripMargin,
 
     "st6_funnel_scan" ->
       """WITH s1 AS (

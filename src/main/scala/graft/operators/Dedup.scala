@@ -911,32 +911,54 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, docId: String, text: Column,
       w: Int, stride: Int = 1): DataFrame = {
-    require(w >= 2, s"window must be >= 2 tokens, got $w")
-    require(stride >= 1, s"stride must be >= 1, got $stride")
-    import org.apache.spark.sql.expressions.Window
-    // staged (lazy checkpoints): toks feeds the window explode AND the
-    // final n_windows select; wins — the operator's dominant cost, one
-    // md5 per window — feeds the dup-hash aggregate AND the hit join.
-    // Without staging both heavy subtrees run twice end-to-end.
-    val toks = df.filter(text.isNotNull)
-      .select(col(docId), tokenValues(text).as("tv"))
-      .localCheckpoint(eager = false)
-    // window positions 1 .. n-w+1 (docs shorter than w contribute none)
-    val wins = toks.filter(size(col("tv")) >= w)
-      .select(col(docId),
-        explode(sequence(lit(1), size(col("tv")) - (w - 1), lit(stride))).as("p"),
-        col("tv"))
-      .select(col(docId), col("p"),
-        md5(concat_ws("|",
-          transform(slice(col("tv"), col("p"), lit(w)), x => x.cast("string"))))
-          .as("whash"))
-      .localCheckpoint(eager = false)
+    val (toks, wins) = spanWindows(df, docId, text, w, stride)
     val dupHash = wins.groupBy(col("whash"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
       .select("whash")
     val hits = wins.join(dupHash, Seq("whash")).select(col(docId), col("p"))
-    // gaps-and-islands per doc: a hit overlaps the previous one iff its
-    // window starts inside it (p <= prev + w - 1)
+    spanProfile(toks, hits, docId, w, stride)
+  }
+
+  /** The (toks, wins) staging every span-dedup form starts from:
+    * `toks` = (docId, tv[, carry…]) — feeds the window explode AND the
+    * final n_windows select; `wins` = (docId, p, whash[, carry…]) — the
+    * operator's dominant cost, one md5 per `w`-token window at positions
+    * 1, 1+stride, … — feeds the hit detection AND the hit join. Both
+    * lazily checkpointed: without staging, both heavy subtrees run twice
+    * end-to-end. `carry` columns (e.g. an arrival timestamp for the
+    * streaming twin) ride along both frames.
+    */
+  def spanWindows(df: DataFrame, docId: String, text: Column,
+      w: Int, stride: Int = 1, carry: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val carryCols = carry.map(col)
+    val toks = df.filter(text.isNotNull)
+      .select(col(docId) +: tokenValues(text).as("tv") +: carryCols: _*)
+      .localCheckpoint(eager = false)
+    // window positions 1 .. n-w+1 (docs shorter than w contribute none)
+    val wins = toks.filter(size(col("tv")) >= w)
+      .select(col(docId) +:
+        explode(sequence(lit(1), size(col("tv")) - (w - 1), lit(stride))).as("p") +:
+        col("tv") +: carryCols: _*)
+      .select(col(docId) +: col("p") +:
+        md5(concat_ws("|",
+          transform(slice(col("tv"), col("p"), lit(w)), x => x.cast("string"))))
+          .as("whash") +: carryCols: _*)
+      .localCheckpoint(eager = false)
+    (toks, wins)
+  }
+
+  /** Per-doc span profile over detected hit windows: merge overlapping
+    * hits into maximal spans (gaps-and-islands — a hit overlaps the
+    * previous one iff its window starts inside it, p <= prev + w - 1;
+    * state bounded by the document's own hit count, never the corpus)
+    * and emit the [[duplicateSpans]] output shape with zeros for clean
+    * docs.
+    */
+  def spanProfile(toks: DataFrame, hits: DataFrame, docId: String,
+      w: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(docId)).orderBy(col("p"))
     val spans = hits
       .withColumn("__new", when(coalesce(

@@ -120,6 +120,27 @@ object Sampling {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-source document TARGETS under the same τ = 0.5 temperature rule
+    * as [[temperatureMix]], in COUNT form: target_s = min(n_s,
+    * floor(budget · w_s / Σw)) with w_s = floor(√n_s · 10⁶). This is the
+    * FROZEN calibration dim a streaming ingest enforces with per-source
+    * running counts ([[graft.streaming.StreamingMix]]): rates need the
+    * whole corpus to normalize, so production recomputes the dim
+    * periodically and admission between refreshes is
+    * first-target-arrivals per source. Same BigInt fixed-point
+    * derivation as the rate form — exact at any corpus size, and the
+    * DuckDB mirror's HUGEINT floor divisions land identically.
+    */
+  def temperatureTargets(counts: Seq[(String, Long)],
+      budget: Long): Seq[(String, Long, Long)] = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val weighted = counts.sortBy(_._1).map { case (src, n) =>
+      (src, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1000000L).toLong)) }
+    val tot = weighted.map(_._3).sum
+    weighted.map { case (src, n, w) =>
+      (src, n, (BigInt(budget) * w / tot).min(BigInt(n)).toLong) }
+  }
+
   /** Per-key cap with priority keep — the domain/source-mixing stage: at
     * most `cap` rows survive per `keyCol`, highest `score` first (ties
     * to the lower `idCol`), so an over-represented domain is trimmed to

@@ -586,6 +586,98 @@ class StreamingSpec extends SparkSpec {
         r.getLong(0) == 5L || r.getLong(1) == 5L))
     } finally q.stop()
   }
+
+  test("firstSeenWindows: first window arrival clean, later occurrences dup, state across batches") {
+    import graft.streaming.StreamingSpans
+    import graft.streaming.StreamingSpans.WinIn
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[WinIn]
+    def win(doc: Long, p: Long, hash: String, t: String) =
+      WinIn(doc, p, hash, java.sql.Timestamp.valueOf(t))
+    val q = StreamingSpans.firstSeenWindows(input.toDS())
+      .writeStream.format("memory").queryName("fsw").outputMode("append").start()
+    try {
+      input.addData(
+        win(2L, 5L, "hA", "2024-01-01 10:00:05"), // later ts: dup of doc 1's copy
+        win(1L, 1L, "hA", "2024-01-01 10:00:01"), // first arrival of hA -> clean
+        win(1L, 2L, "hB", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(
+        win(3L, 1L, "hA", "2024-01-01 10:00:00"), // EARLIER ts, later batch: dup (arrival order)
+        win(3L, 7L, "hC", "2024-01-01 10:00:09"))
+      q.processAllAvailable()
+      val got = spark.table("fsw").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted.toSeq
+      assert(got == Seq(("hA", 1L, 1L, false), ("hA", 2L, 5L, true), ("hA", 3L, 1L, true),
+        ("hB", 1L, 2L, false), ("hC", 3L, 7L, false)))
+    } finally q.stop()
+  }
+
+  test("firstSeenSpanScan: arrival-first occurrence excluded from hits, islands merge the rest") {
+    import graft.streaming.StreamingSpans
+    // w=2: doc 1 (earliest) owns "a b"/"b c"/"c d" clean; doc 11 repeats
+    // "a b c d" -> all 3 windows hit, merging into ONE span of 4 tokens;
+    // doc 12 repeats only "c d" -> one 1-window span of 2 tokens
+    val rows = Seq(
+      (1L, "a b c d", "2024-01-01 10:00:01"),
+      (11L, "a b c d", "2024-01-01 10:00:02"),
+      (12L, "x y c d", "2024-01-01 10:00:03")
+    ).map { case (i, t, ts) => (i, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts")
+    val got = StreamingSpans
+      .firstSeenSpanScan(rows, "doc_id",
+        org.apache.spark.sql.functions.col("text"), "ts", w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, 0L, 0L, 0L),
+      (11L, 3L, 3L, 1L, 4L, 4L),
+      (12L, 3L, 1L, 1L, 2L, 2L)))
+  }
+
+  test("admitToTargets: per-source running counts enforce frozen targets across batches") {
+    import graft.streaming.StreamingMix
+    import graft.streaming.StreamingMix.{Doc => MixDoc}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[MixDoc]
+    def d(src: String, id: Long, t: String) =
+      MixDoc(src, id, java.sql.Timestamp.valueOf(t))
+    val q = StreamingMix.admitToTargets(input.toDS(),
+        Map("head" -> 2L, "tail" -> 1L)) // "new" absent: admits nothing
+      .writeStream.format("memory").queryName("mix").outputMode("append").start()
+    try {
+      input.addData(
+        d("head", 10L, "2024-01-01 10:00:02"),
+        d("head", 11L, "2024-01-01 10:00:01"), // earlier ts: rank 1
+        d("tail", 20L, "2024-01-01 10:00:01"),
+        d("new", 30L, "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(
+        d("head", 12L, "2024-01-01 10:00:03"), // head at target: suppressed
+        d("tail", 21L, "2024-01-01 10:00:04")) // tail at target: suppressed
+      q.processAllAvailable()
+      val got = spark.table("mix").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      assert(got == Seq(("head", 10L, 2), ("head", 11L, 1), ("tail", 20L, 1)))
+    } finally q.stop()
+  }
+
+  test("mixAdmitScan: self-calibrated √-temperature targets cut each source to its arrival prefix") {
+    import graft.streaming.StreamingMix
+    import org.apache.spark.sql.functions._
+    // head 8 docs, tail 2 docs; budget 5: w_head = √8·1e6, w_tail = √2·1e6,
+    // targets = floor(5·w/Σw) = (3, 1)
+    val rows = (1L to 8L).map(i => ("head", i)) ++ Seq(("tail", 101L), ("tail", 102L))
+    val df = rows.toDF("source", "doc_id")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val got = StreamingMix.mixAdmitScan(df, "source", "doc_id", "ts", budget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(got == Seq(
+      ("head", 3L, 1L, 1), ("head", 3L, 2L, 2), ("head", 3L, 3L, 3),
+      ("tail", 1L, 101L, 1)))
+  }
 }
 
 /** Top-level so the MemoryStream encoder needs no outer instance. */
