@@ -16,8 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scan-side retry seam (M2 parity at the SOURCE boundary): the
+    * reference decorates both of its market fetches with `@with_retries`
+    * (src/providers/market.py:26,84); the Spark equivalent of that
+    * external call is ACQUIRING the DataFrame from the source connector
+    * — the driver-side listing/footer read here, a JDBC/HTTP handshake
+    * for a live quotes connector. Every [[apply]] acquisition runs
+    * through [[graft.sources.Resilience.withRetry]] with this policy.
+    * The default is ZERO retries and no sleeps — `withRetry` then
+    * rethrows the first failure immediately, so plans, timings, and
+    * oracles are untouched; a deployment fronting a flaky source
+    * installs a policy once at startup (e.g. the reference's 3×/2 s/×2
+    * via `Resilience.RetryPolicy()`).
+    */
+  @volatile var scanRetry: graft.sources.Resilience.RetryPolicy =
+    graft.sources.Resilience.RetryPolicy(maxRetries = 0, initialDelayMillis = 0L)
+  @volatile var scanSleeper: graft.sources.Resilience.Sleeper =
+    graft.sources.Resilience.SystemSleeper
+
+  /** The raw source acquisition behind the retry seam; ResilienceSpec
+    * swaps in a flaky double to exercise recovery and exhaustion without
+    * a real flaky filesystem.
+    */
+  @volatile private[graft] var acquire: (SparkSession, String, String) => DataFrame =
+    (spark, sfDir, name) => spark.read.parquet(s"$sfDir/$name.parquet")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.sources.Resilience.withRetry(scanRetry, scanSleeper)(
+      acquire(spark, sfDir, name))
 
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")

@@ -118,6 +118,77 @@ class ResilienceSpec extends SparkSpec {
     assert(e.getMessage.contains("transient") ||
       Option(e.getCause).exists(_.getMessage.contains("transient")))
   }
+
+  // --- M2 at the SCAN boundary (market.py:26,84 parity): every
+  // Tables.apply acquisition runs through the withRetry seam; default
+  // policy is zero retries (identity), a flaky double exercises
+  // recovery and exhaustion. Restores the shared seam in finally (the
+  // session — and Tables' globals — are shared across suites).
+
+  test("M2 scan seam: transient acquisition failures recover on the backoff schedule") {
+    val realAcquire = Tables.acquire
+    val (realPolicy, realSleeper) = (Tables.scanRetry, Tables.scanSleeper)
+    val sleeper = new RecordingSleeper
+    var calls = 0
+    try {
+      Tables.acquire = (s, dir, name) => {
+        calls += 1
+        if (calls < 3) throw new RuntimeException(s"transient listing failure $calls")
+        realAcquire(s, dir, name)
+      }
+      Tables.scanRetry = Resilience.RetryPolicy() // the reference's 3x/2s/x2
+      Tables.scanSleeper = sleeper
+      val n = Tables.documents(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0 && calls == 3)
+      assert(sleeper.sleeps.toSeq == Seq(2000L, 4000L))
+    } finally {
+      Tables.acquire = realAcquire
+      Tables.scanRetry = realPolicy
+      Tables.scanSleeper = realSleeper
+    }
+  }
+
+  test("M2 scan seam: exhausted retries rethrow the last acquisition failure") {
+    val realAcquire = Tables.acquire
+    val (realPolicy, realSleeper) = (Tables.scanRetry, Tables.scanSleeper)
+    val sleeper = new RecordingSleeper
+    var calls = 0
+    try {
+      Tables.acquire = (_, _, _) => {
+        calls += 1
+        throw new RuntimeException(s"transient listing failure $calls")
+      }
+      Tables.scanRetry = Resilience.RetryPolicy()
+      Tables.scanSleeper = sleeper
+      val e = intercept[RuntimeException] {
+        Tables.documents(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage == "transient listing failure 4") // initial + 3 retries
+      assert(sleeper.sleeps.toSeq == Seq(2000L, 4000L, 8000L))
+    } finally {
+      Tables.acquire = realAcquire
+      Tables.scanRetry = realPolicy
+      Tables.scanSleeper = realSleeper
+    }
+  }
+
+  test("M2 scan seam: default policy is pass-through — first failure propagates, no sleeps") {
+    val realAcquire = Tables.acquire
+    val sleeper = new RecordingSleeper
+    val realSleeper = Tables.scanSleeper
+    try {
+      Tables.acquire = (_, _, _) => throw new RuntimeException("hard failure")
+      Tables.scanSleeper = sleeper
+      val e = intercept[RuntimeException] {
+        Tables.documents(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage == "hard failure")
+      assert(sleeper.sleeps.isEmpty)
+    } finally {
+      Tables.acquire = realAcquire
+      Tables.scanSleeper = realSleeper
+    }
+  }
 }
 
 object ResilienceSpec {
