@@ -440,6 +440,29 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"quota lost the bounded aggregate:\n$p")
   }
 
+  test("st11_spans_scan: first-arrival via min(struct) aggregate; no cartesian; islands window per doc only") {
+    val p = plan("st11_spans_scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window-hash join-back degenerated:\n$p")
+    // min-(ts, doc, p) per hash is an aggregate + equi-join-back (the
+    // st9 shape); the only windows are the per-DOC island merges
+    assert(p.contains("min(struct"), s"first-arrival lost the min-struct aggregate:\n$p")
+  }
+
+  test("st12_mix_scan: frozen-target admission via bounded aggregate + broadcast dim, never a window") {
+    val p = plan("st12_mix_scan")
+    assert(!p.contains("Window"), s"mix admission ranks through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"admission lost the bounded aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"frozen target dim lost the broadcast:\n$p")
+  }
+
+  test("e4_curation_full: canonical-domain staging plans no cartesian and keeps the decontam probe broadcast") {
+    val p = plan("e4_curation_full")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e4 went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"e4 lost its broadcast dims:\n$p")
+  }
+
   test("dedup_bloom: the probe is a literal-array map — no join against the base filter") {
     val p = plan("dedup_bloom")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
