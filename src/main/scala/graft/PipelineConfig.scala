@@ -153,7 +153,18 @@ final case class PipelineConfig(
     // recall gate (j6_fuzzy_recall): the bounded ground-truth slice —
     // distinct names from parts with p_partkey at or below this, so the
     // all-pairs truth join stays O(slice²) at ANY corpus scale
-    fuzzyRecallKeys: Long = 500L) {
+    fuzzyRecallKeys: Long = 500L,
+    // DSIR importance resampling (ta_dsir / ta_dsir_select — Xie et al.
+    // 2023, arXiv:2302.03169): hashed unigram+bigram feature buckets
+    // (the hashing-trick dimension of the two bag-of-ngrams models),
+    // the source treated as the trusted target domain, and the top-k
+    // width of the selection step. 256 buckets ≈ the paper's 10k scaled
+    // to this corpus's ~200-token docs; the bucket table stays a
+    // broadcast dim at any corpus size because it is bounded by the
+    // BUCKET count, not the vocabulary.
+    dsirBuckets: Int = 256,
+    dsirTargetSource: String = "src0",
+    dsirKeep: Int = 100) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

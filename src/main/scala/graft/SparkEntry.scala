@@ -1833,6 +1833,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))),
 
+    // DSIR importance weights (Xie et al. 2023): every raw-pool doc
+    // scored by log p_target − log p_raw of its hashed unigram+bigram
+    // bag, with the Cfg.dsirTargetSource slice as the trusted target
+    // domain. Integer bit-length log-probs end-to-end (dsir_bits), so
+    // the hash cannot wobble — see TextAnalysis.dsirScores.
+    "ta_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === Cfg.dsirTargetSource, Cfg.dsirBuckets)),
+
+    // DSIR's selection step: the Cfg.dsirKeep docs whose bags look most
+    // target-like, ranked (dsir_bits DESC, doc_id ASC) via the bounded
+    // TopKByScore aggregate — k rows cross the exchange, not the scored
+    // corpus (the deterministic-rank form of the paper's importance
+    // resample; dsir_bits < 2^53 so the double-scored buffer is exact).
+    "ta_dsir_select" -> ((s, dir) => {
+      val top = graft.functions.TopK.topKByScore(Cfg.dsirKeep)
+      TextAnalysis.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+          col("source") === Cfg.dsirTargetSource, Cfg.dsirBuckets)
+        .groupBy()
+        .agg(top(col("dsir_bits").cast("double"), col("doc_id")).as("__top"))
+        .select(posexplode(col("__top")))
+        .select(col("col._2").as("doc_id"),
+          col("col._1").cast("long").as("dsir_bits"),
+          (col("pos") + 1).as("rnk"))
+    }),
+
     // Nearest-centroid classification over embeddings: fixed-point
     // (order-independent) per-label centroids, broadcast to a partition-
     // local scoring scan, argmax via one map-side-combinable max_by
@@ -2620,6 +2646,46 @@ object SparkEntry {
        |         ${Rounding.stableSql(
              "tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE)", 4)} AS nll_bits
        |  FROM d JOIN tot USING (lang))""".stripMargin
+
+  /** TextAnalysis.dsirScores as CTEs ending in
+    * `dsc(doc_id, n_grams, dsir_bits)` — shared by ta_dsir and
+    * ta_dsir_select. Mirrors the plan literally: unigrams++bigrams with
+    * multiplicity, 24-bit md5 buckets mod dsirBuckets, (+1)-Laplace
+    * integer bit-length weights, and the n_grams·(bits(totR)−bits(totT))
+    * Laplace-total shift. range(1, len(ts)) is end-EXCLUSIVE in DuckDB —
+    * exactly the 1..n−1 bigram starts Spark's sequence(1, n−1) yields,
+    * and empty for 1-token docs on both engines.
+    */
+  private lazy val DsirCtes: String = {
+    val nb = Cfg.dsirBuckets
+    s"""dt AS (
+       |  SELECT doc_id, (source = '${Cfg.dsirTargetSource}') AS t,
+       |         string_split(text, ' ') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |dg AS (
+       |  SELECT doc_id, t,
+       |         unnest(list_concat(ts,
+       |           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS g
+       |  FROM dt),
+       |db AS (SELECT doc_id, t,
+       |              ('0x' || substr(md5(g), 1, 6))::BIGINT % $nb AS b FROM dg),
+       |dm AS (SELECT b,
+       |              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |              CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |       FROM db GROUP BY 1),
+       |dw AS (SELECT b, CAST(length(bin(ct + 1)) - 1 AS BIGINT)
+       |               - CAST(length(bin(cr + 1)) - 1 AS BIGINT) AS w FROM dm),
+       |dsh AS (SELECT CAST(length(bin(CAST(sum(cr) AS BIGINT) + $nb)) - 1 AS BIGINT)
+       |             - CAST(length(bin(CAST(sum(ct) AS BIGINT) + $nb)) - 1 AS BIGINT) AS shift
+       |        FROM dm),
+       |dsg AS (
+       |  SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(dw.w) AS BIGINT) AS gsum
+       |  FROM db JOIN dw USING (b) WHERE NOT db.t GROUP BY 1),
+       |dsc AS (
+       |  SELECT doc_id, n_grams, gsum + n_grams * shift AS dsir_bits
+       |  FROM dsg CROSS JOIN dsh)""".stripMargin
+  }
 
   /** Similarity.kmeans unrolled for Cfg.kmeansIters = 2: seeds → assign
     * (a1) → fixed-point centroid update (c1) → final assign (a20; filter
@@ -4717,6 +4783,22 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM fl GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextAnalysis.dsirScores — integer bit-length importance
+    // weights over hashed unigram+bigram buckets, raw pool only.
+    "ta_dsir" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, n_grams, dsir_bits FROM dsc""".stripMargin,
+
+    // The selection step: deterministic (dsir_bits DESC, doc_id ASC)
+    // rank, cut at Cfg.dsirKeep.
+    "ta_dsir_select" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, dsir_bits, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT doc_id, dsir_bits,
+         |        row_number() OVER (ORDER BY dsir_bits DESC, doc_id ASC) AS rnk
+         |      FROM dsc)
+         |WHERE rnk <= ${Cfg.dsirKeep}""".stripMargin,
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the

@@ -337,4 +337,84 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** The DSIR feature stream of a doc: unigrams ++ word bigrams, WITH
+    * multiplicity (bag-of-hashed-ngrams counts occurrences, unlike the
+    * deduplicated minhash shingles). Built narrowly per row — no
+    * posexplode+lead window like [[bigrams]], so gram generation adds
+    * zero exchanges at any corpus size. Docs with <2 tokens contribute
+    * unigrams only; a null text emits no rows downstream of the explode
+    * (absent-from-output, the [[repetition]]/[[tfidf]] convention).
+    */
+  def dsirGrams(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val bi = when(n >= 2,
+        transform(sequence(lit(1), n - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bi)
+  }
+
+  /** Hashing-trick bucket of one n-gram: first 6 md5 hex chars (24 bits,
+    * engine-stable like every hash here) mod the bucket count.
+    * DuckDB mirror: `('0x' || substr(md5(g),1,6))::BIGINT % buckets`.
+    */
+  def dsirBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 6), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every RAW-pool doc by how much more likely its hashed-ngram bag is
+    * under the target-domain model than under the raw model,
+    * log w(x) = Σ_g [log p_target(b(g)) − log p_raw(b(g))]. The doc with
+    * the highest weight looks most like the trusted target domain —
+    * selection then keeps a weight-ranked resample ([[graft.SparkEntry]]
+    * `ta_dsir_select`).
+    *
+    * Exactness discipline (the [[lmSurprisal]] precedent): both models'
+    * per-bucket log-probs are quantized to INTEGER bit lengths of the
+    * (+1)-Laplace-smoothed counts, so a doc's score is
+    * `Σ_g (bits(ct[b]+1) − bits(cr[b]+1)) + n_grams·(bits(totR) − bits(totT))`
+    * — exact integer arithmetic end-to-end (`dsir_bits`), no float sum
+    * order anywhere, bit-identical in the DuckDB oracle.
+    *
+    * Scale shape: gram generation is narrow map work; the bucket model
+    * is ONE aggregate that map-side-combines to ≤`buckets` rows (a
+    * broadcast dim bounded by the hash width, not the vocabulary —
+    * lazily checkpointed because the weights and the Laplace totals both
+    * read it); scoring is a broadcast join + the per-doc aggregation,
+    * the only full-size exchange. Target docs score the model but are
+    * not scored themselves (DSIR resamples the raw pool), so every raw
+    * gram's bucket is guaranteed present in the model and the scoring
+    * join can stay inner.
+    *
+    * Output: (idCol, n_grams, dsir_bits) over raw-pool docs.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val g = docs
+      .select(col(idCol), targetPred.as("__t"),
+        explode(dsirGrams(col(textCol))).as("g"))
+      .select(col(idCol), col("__t"),
+        dsirBucket(col("g"), buckets).as("b"))
+    val model = g.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(eager = false)
+    val w = model.select(col("b"),
+      (bits(col("ct") + 1) - bits(col("cr") + 1)).as("w"))
+    val shift = model.agg(
+      (bits(sum(col("cr")) + buckets) - bits(sum(col("ct")) + buckets))
+        .as("shift"))
+    g.filter(!col("__t"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("w")).cast("long").as("gsum"))
+      .crossJoin(broadcast(shift))
+      .select(col(idCol), col("n_grams"),
+        (col("gsum") + col("n_grams") * col("shift")).as("dsir_bits"))
+  }
 }

@@ -548,6 +548,25 @@ class ExplainAuditSpec extends SparkSpec {
       s"distinct(user_id) grew extra exchanges:\n$p")
   }
 
+  test("ta_dsir: bucket model broadcast, pruned scans, map-side combine") {
+    val p = plan("ta_dsir")
+    // the ≤dsirBuckets-row weight table broadcasts onto the gram stream;
+    // the corpus side must never be a build side or a sort-merge arm
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scoring join degenerated to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir plans a cartesian:\n$p")
+    // both documents scans prune to the three referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"documents scan reads beyond (doc_id, text, source):\n$p")
+    // the bucket model and the per-doc score both partial-aggregate
+    // before their exchanges (map-side combine on the exploded grams)
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    // two hash exchanges total: the ≤buckets-row model aggregate and the
+    // per-doc aggregation — gram generation itself adds none
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2,
+      s"gram/scoring path grew extra exchanges:\n$p")
+  }
+
   test("ev_retention: all joins broadcast, events scans prune to (ts, user_id)") {
     // Same insurance as g2 (VERDICT r13 #8): ev_retention read 2.1x in the
     // one-run r13 sweep, best-of-3 recovered it. Its shape: three pruned

@@ -855,6 +855,59 @@ class TextAnalysisSpec extends SparkSpec {
       Rounding.stableVal((1.0 / 3) * (1.5 / 2.5), 4))
     assert(out.count(_.getLong(0) == 3L) == 1) // k caps at the doc's vocabulary
   }
+
+  test("dsir: integer importance weights match a reference reimplementation; " +
+      "target and null-text docs absent") {
+    val nb = 16
+    val docs = Seq(
+      (0L, "t", "a b a"),   // target: unigrams a,b,a + bigrams "a b","b a"
+      (3L, "t", "b"),       // 1-token target doc: no bigrams
+      (1L, "r", "a b c"),   // raw, overlaps the target vocabulary
+      (2L, "r", "x"),       // raw, fully out-of-domain
+      (4L, "r", null.asInstanceOf[String]) // null text: absent from output
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dsirScores(docs, "doc_id", "text",
+        col("source") === "t", nb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // reference reimplementation (plain Scala, same md5 buckets)
+    def grams(text: String): Seq[String] = {
+      val ts = text.split(" ", -1).toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.take(6), 16) % nb).toInt
+    }
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val target = Seq("a b a", "b").flatMap(grams).map(bucket)
+    val raw = Seq(1L -> "a b c", 2L -> "x")
+      .flatMap { case (id, t) => grams(t).map(id -> bucket(_)) }
+    val ct = target.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val shift = bits(raw.size.toLong + nb) - bits(target.size.toLong + nb)
+    val expected = raw.groupBy(_._1).map { case (id, gs) =>
+      val gsum = gs.map { case (_, b) =>
+        bits(ct.getOrElse(b, 0L) + 1) - bits(cr(b) + 1) }.sum
+      id -> ((gs.size.toLong, gsum + gs.size * shift))
+    }
+    assert(out == expected)
+    assert(!out.contains(0L) && !out.contains(3L)) // target docs not scored
+    assert(!out.contains(4L))                      // null text absent
+    // the in-domain doc outscores the out-of-domain one (per gram)
+    val (n1, s1) = out(1L); val (n2, s2) = out(2L)
+    assert(s1.toDouble / n1 > s2.toDouble / n2)
+  }
+
+  test("dsirGrams: unigrams plus adjacent bigrams with multiplicity") {
+    val g = Seq("a b a", "x", "").toDF("text")
+      .select(TextAnalysis.dsirGrams(col("text")).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(g(0) == Seq("a", "b", "a", "a b", "b a")) // counts kept, not a set
+    assert(g(1) == Seq("x"))                          // no bigrams under 2 tokens
+    assert(g(2) == Seq(""))                           // empty text is one empty token
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
