@@ -1477,15 +1477,20 @@ object SparkEntry {
       // staging, and the hot-bucket/df caps read TRUE text frequencies
       // instead of crawl-copy-inflated ones. The oracle states the same
       // canonical-domain spec (sig/banded over exc, copyedges unioned).
-      val ex = corpus.select(col("doc_id"), md5(col("text")).as("__h"))
-      val canonIds = ex.join(
-          ex.groupBy(col("__h")).agg(min(col("doc_id")).as("cid")), Seq("__h"))
-        .filter(col("doc_id") === col("cid")).select("doc_id")
       // canonDocs feeds FOUR subtrees (signatures, both minhash verify
-      // sides, the containment index) — checkpoint the joined (id, text)
-      // frame once instead of re-running parquet scan + union + join per
-      // consumer
-      val canonDocs = corpus.join(canonIds, Seq("doc_id"))
+      // sides, the containment index) — checkpoint the (id, text) frame
+      // once instead of re-deriving it per consumer. The canonical per
+      // md5 group is ONE min-struct aggregate (the dedup_paragraph
+      // pattern): doc_id leads the struct so min picks the lowest id,
+      // and the map-side combine keeps one candidate per hash per
+      // partition — versus the r13 shape (hash groupBy → canonical-id
+      // join back onto the corpus), one exchange instead of two plus a
+      // join.
+      val canonDocs = corpus
+        .select(md5(col("text")).as("__h"),
+          struct(col("doc_id"), col("text")).as("__s"))
+        .groupBy(col("__h")).agg(min(col("__s")).as("__s"))
+        .select(col("__s.doc_id").as("doc_id"), col("__s.text").as("text"))
         .localCheckpoint(eager = false)
       // lazily-checkpointed signatures shared by both band-join sides
       // (sigs, not the fatter shingleFrame — the full shingle arrays
