@@ -997,6 +997,28 @@ object SparkEntry {
       Similarity.topKLshMultiProbe(emb.filter(col("id") < 5), emb, k = 3)
     }),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // most similar corpus vectors with a DIFFERENT label, candidates
+    // from the multi-probe LSH buckets (partial recall by design, like
+    // the ANN queries). The label-mismatch filter rides the bucket
+    // join; same id never appears (same id ⇒ same label).
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      Similarity.hardNegatives(emb.filter(col("id") < 5), emb, k = 3)
+    }),
+
+    // kNN-vote weak labeling: majority label among the 5 brute nearest
+    // neighbors, ties to the lower label; argmax via one min-struct
+    // aggregate, never a window over the vote table.
+    "sim_knn_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      Similarity.knnClassify(emb.filter(col("id") < 20), emb, k = 5)
+    }),
+
     // E2 — the acceptance query: the reference's validator run over the
     // full pipeline output as ONE composed plan (validator.py:25-100 over
     // engine.py's CSV; here over the e1 DAG directly — no materialization
@@ -4587,6 +4609,40 @@ object SparkEntry {
          |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
          |WHERE rnk <= 3""".stripMargin,
+
+    // Mirrors Similarity.hardNegatives: multi-probe candidate buckets,
+    // label-mismatch filter on the bucket join, (cos DESC, c_id) rank.
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |b AS (SELECT id, v, label, ${lshBucketSql("v", 8, 64)} AS bucket FROM e),
+         |q0 AS (SELECT id AS q_id, v AS qv, label AS ql, bucket FROM b WHERE id < 5),
+         |q AS (
+         |  SELECT q_id, qv, ql, ${lshProbeSql("bucket", "pp.p")} AS bucket
+         |  FROM q0 CROSS JOIN (SELECT unnest(range(0, 9)) AS p) pp),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, c.label AS c_label, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.label <> q.ql)
+         |SELECT q_id, c_id, c_label, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // Mirrors Similarity.knnClassify: brute (cos DESC, c_id) top-5
+    // neighbor labels, majority vote with ties to the lower label.
+    "sim_knn_label" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 20),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, c.label AS c_label, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q, e c WHERE q.q_id <> c.id),
+         |nb AS (
+         |  SELECT q_id, c_label
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM s)
+         |  WHERE rn <= 5),
+         |v AS (SELECT q_id, c_label, CAST(count(*) AS BIGINT) AS votes
+         |      FROM nb GROUP BY 1, 2)
+         |SELECT q_id, c_label AS predicted_label, votes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label ASC) AS rn2 FROM v)
+         |WHERE rn2 = 1""".stripMargin,
 
     // NOTE: concatenation, not interpolation into a stripMargin string —
     // the embedded E1 SQL contains lines starting with "||" whose leading

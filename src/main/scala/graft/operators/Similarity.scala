@@ -797,4 +797,68 @@ object Similarity {
     rankTopK(scored, k, Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
   }
+
+  /** Hard-negative mining (the metric-learning / retriever-training
+    * pass: for each anchor, the most similar corpus items with a
+    * DIFFERENT label — the negatives a contrastive loss learns most
+    * from). Candidate generation is [[topKLshMultiProbe]]'s: the anchor
+    * probes its sign-bit bucket plus every Hamming-1 neighbor, the
+    * corpus is bucketed once, and the label-mismatch filter rides the
+    * bucket equality join — so mining cost per anchor is the probed
+    * buckets' population, never the corpus, and recall is partial by
+    * design exactly as in the ANN queries (the miss mode is a hard
+    * negative disagreeing on ≥2 hyperplanes). No self-match filter is
+    * needed: same id ⇒ same label ⇒ excluded by the mismatch predicate.
+    *
+    * `queries`/`corpus`: (id, vec, label). Output (q_id, c_id, c_label,
+    * cos, rnk ≤ k) — ranked by the bounded aggregate, not a window.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = queries.select(col("id").as("q_id"),
+        asDouble(col("vec")).as("q_vec"), col("label").as("q_label"))
+      .withColumn("bucket",
+        explode(probeBuckets(bucketKey(col("q_vec"), planes), numPlanes)))
+    val c = corpus.select(col("id").as("c_id"),
+        asDouble(col("vec")).as("c_vec"), col("label").as("c_label"))
+      .withColumn("bucket", bucketKey(col("c_vec"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    // c_label is a function of c_id, so re-attaching it to the ranked
+    // ids is a broadcast of the k·|queries| neighbor set — bounded by
+    // the mining batch, never the corpus
+    val nb = rankTopK(scored, k, Seq("q_id"))
+    c.select(col("c_id"), col("c_label"))
+      .join(broadcast(nb), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("c_label"), col("cos"), col("rnk"))
+  }
+
+  /** kNN majority-vote classification over the brute top-k neighbor set
+    * (the label-propagation / weak-labeling pass): predicted label =
+    * most common label among the k nearest, ties to the LOWER label —
+    * deterministic like every argmax here. The vote argmax is one
+    * min-struct aggregate ((−votes, label) ascending), not a window.
+    *
+    * Scale shape: neighbors come from [[topKBrute]]'s bounded aggregate
+    * (broadcast anchors × corpus scan); the label re-attach broadcasts
+    * the k·|queries| neighbor set onto the corpus's (id, label)
+    * projection, and the vote tables are ≤ k rows per anchor.
+    *
+    * `queries`/`corpus`: (id, vec, label). Output (q_id,
+    * predicted_label, votes).
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val nb = topKBrute(queries, corpus, k)
+    corpus.select(col("id").as("c_id"), col("label").as("c_label"))
+      .join(broadcast(nb.select(col("q_id"), col("c_id"))), Seq("c_id"))
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("c_label").as("lab")))
+        .as("__m"))
+      .select(col("q_id"), col("__m.lab").as("predicted_label"),
+        (-col("__m.nv")).cast("long").as("votes"))
+  }
 }

@@ -619,6 +619,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("hard negatives: same-label candidates excluded, ranked desc, label attached") {
+    val lv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f, 0.0f), 1), // nearest of all — but same label
+      (2L, Array(0.9f, 0.1f, 0.0f), 2),
+      (3L, Array(0.8f, 0.2f, 0.0f), 3)
+    ).toDF("id", "vec", "label")
+    // numPlanes = 1: the anchor probes its own bucket AND the flipped
+    // one, so candidate coverage is total and only the label filter
+    // decides membership
+    val out = Similarity.hardNegatives(lv.filter(col("id") === 0), lv, k = 3,
+        numPlanes = 1, dim = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(out.toSeq == Seq((2L, 2, 1), (3L, 3, 2))) // id 1 never appears
+  }
+
+  test("knn classify: majority vote wins; ties break to the lower label") {
+    val lv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 9),  // anchor's own label is irrelevant
+      (1L, Array(0.99f, 0.01f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f, 0.0f), 2),
+      (3L, Array(0.8f, 0.2f, 0.0f), 2),
+      (4L, Array(0.0f, 1.0f, 0.0f), 3)   // orthogonal: outside every k here
+    ).toDF("id", "vec", "label")
+    val anchors = lv.filter(col("id") === 0)
+    val k3 = Similarity.knnClassify(anchors, lv, k = 3).collect()(0)
+    assert((k3.getInt(1), k3.getLong(2)) == ((2, 2L))) // labels {1,2,2}
+    val k2 = Similarity.knnClassify(anchors, lv, k = 2).collect()(0)
+    assert((k2.getInt(1), k2.getLong(2)) == ((1, 1L))) // {1,2} tie -> lower label
+  }
+
   test("trainedCentroids: the codebook the final Lloyd pass scored against") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
