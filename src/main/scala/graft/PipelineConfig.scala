@@ -164,7 +164,17 @@ final case class PipelineConfig(
     // BUCKET count, not the vocabulary.
     dsirBuckets: Int = 256,
     dsirTargetSource: String = "src0",
-    dsirKeep: Int = 100) {
+    dsirKeep: Int = 100,
+    // BPE merge-candidate counting (ta_bpe_pairs): how many of the most
+    // frequent word-internal adjacent character pairs to report — the
+    // candidates the first tokenizer-training merge round chooses from
+    bpeTopK: Int = 20,
+    // winnowing fingerprints (ta_winnow — Schleimer et al., SIGMOD
+    // 2003): char k-gram width and the window of consecutive k-gram
+    // hashes each fingerprint is the minimum of. Guarantee: any match
+    // of length ≥ w + k − 1 shares a fingerprint
+    winnowK: Int = 5,
+    winnowW: Int = 4) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

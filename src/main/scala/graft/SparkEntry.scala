@@ -1886,6 +1886,32 @@ object SparkEntry {
           (col("pos") + 1).as("rnk"))
     }),
 
+    // BPE merge candidates (tokenizer training, round 1): count every
+    // word-internal adjacent character pair across the corpus, rank the
+    // top Cfg.bpeTopK — pair generation is narrow per-row work, the
+    // count is one map-side-combined aggregate over the pair domain
+    // (≤ alphabet², itself bounded), and the global rank is the
+    // k-bounded TopKByCount aggregate.
+    "ta_bpe_pairs" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.bpePairs(col("text"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val topk = graft.functions.TopK.topKByCount(Cfg.bpeTopK)
+      counts.groupBy()
+        .agg(topk(col("cnt"), col("pair")).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select(col("kv._2").as("pair"), col("kv._1").as("cnt"),
+          (col("pos") + 1).cast("int").as("rnk"))
+    }),
+
+    // Winnowing fingerprint profile (Schleimer et al.): per-doc k-gram
+    // count, distinct fingerprint count, and order-free integer summary
+    // stats of the fingerprint set — the selection layer a
+    // contamination screen indexes. Zero shuffle beyond the scan.
+    "ta_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowStats(Tables.documents(s, dir), "doc_id", "text",
+        Cfg.winnowK, Cfg.winnowW)),
+
     // Nearest-centroid classification over embeddings: fixed-point
     // (order-independent) per-label centroids, broadcast to a partition-
     // local scoring scan, argmax via one map-side-combinable max_by
@@ -4860,6 +4886,55 @@ object SparkEntry {
          |        row_number() OVER (ORDER BY dsir_bits DESC, doc_id ASC) AS rnk
          |      FROM dsc)
          |WHERE rnk <= ${Cfg.dsirKeep}""".stripMargin,
+
+    // Mirrors TextAnalysis.bpePairs + the k-bounded count rank
+    // ((cnt DESC, pair ASC) — TopKByCount's ordering).
+    "ta_bpe_pairs" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, length(tok)), i ->
+         |           substr(tok, CAST(i AS INT), 1) || ' ' ||
+         |           substr(tok, CAST(i + 1 AS INT), 1))) AS pair
+         |  FROM t),
+         |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+         |SELECT pair, cnt, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM c)
+         |WHERE rnk <= ${Cfg.bpeTopK}""".stripMargin,
+
+    // Mirrors TextAnalysis.winnowColumns: 48-bit md5 k-gram hashes,
+    // min-per-window fingerprints, order-free integer summary stats.
+    // hs[j : j + w − 1] is DuckDB's INCLUSIVE list slice of width w —
+    // Spark's slice(hs, j, w).
+    "ta_winnow" -> {
+      val (k, w) = (Cfg.winnowK, Cfg.winnowW)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n >= $k THEN
+         |           list_transform(range(1, n - $k + 2), i ->
+         |             ('0x' || substr(md5(substr(text, CAST(i AS INT), $k)), 1, 12))::BIGINT)
+         |         ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, hs,
+         |         list_distinct(
+         |           CASE WHEN len(hs) >= $w THEN
+         |             list_transform(range(1, len(hs) - $w + 2), j ->
+         |               list_min(hs[CAST(j AS INT) : CAST(j + $w - 1 AS INT)]))
+         |           ELSE [list_min(hs)] END) AS fps
+         |  FROM h)
+         |SELECT doc_id,
+         |       CAST(len(hs) AS INT) AS n_kgrams,
+         |       CAST(len(fps) AS INT) AS n_fps,
+         |       list_min(fps) AS fp_min,
+         |       list_max(fps) AS fp_max,
+         |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+         |FROM f""".stripMargin
+    },
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the

@@ -417,4 +417,78 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"),
         (col("gsum") + col("n_grams") * col("shift")).as("dsir_bits"))
   }
+
+  /** Word-internal adjacent character pairs WITH multiplicity — the
+    * statistic the first BPE merge round ranks (count every "a b"
+    * occurrence inside every token; the winning pair becomes the first
+    * merge). Built narrowly per row (one flatten of per-token transforms,
+    * no window); 1-char tokens contribute nothing. Each pair is the two
+    * characters space-joined, the standard merge-table notation.
+    */
+  def bpePairs(text: Column): Column = {
+    val toks = split(text, " ")
+    flatten(transform(toks, t => {
+      val n = length(t)
+      when(n >= 2,
+        transform(sequence(lit(1), n - 1), i =>
+          concat_ws(" ", t.substr(i, lit(1)), t.substr(i + 1, lit(1)))))
+        .otherwise(array().cast("array<string>"))
+    }))
+  }
+
+  /** Winnowing fingerprint columns (Schleimer et al., SIGMOD 2003 — the
+    * MOSS selection rule): hash every char k-gram (md5 → 48-bit, the
+    * engine-stable [[graft.operators.Dedup]] packing), then keep the
+    * MINIMUM hash of every window of w consecutive k-gram hashes,
+    * deduplicated. Guarantee: two docs sharing any substring of length
+    * ≥ w + k − 1 share at least one fingerprint — the robust
+    * contamination/plagiarism screen that position-sampling (every n-th
+    * k-gram) cannot give, at a fingerprint density of ~2/(w+1).
+    *
+    * Degenerate inputs follow the paper's intent: a doc shorter than k
+    * hashes as one whole-text gram; fewer than w hashes yield their
+    * single global minimum.
+    *
+    * All work is narrow per-row map stages (zero shuffle at any corpus
+    * size); the summary stats (min/max/sum over the DISTINCT
+    * fingerprint set) are order-free exact integers, so per-doc rows
+    * hash identically cross-engine without materializing the ~n/w
+    * fingerprint rows per doc.
+    *
+    * STAGED on purpose: the hash array and the fingerprint array are
+    * materialized as row fields in their own projections, because a
+    * higher-order-function lambda that CAPTURES an outer expression
+    * re-evaluates that expression's tree per element — inlining the
+    * n-element md5 array into the per-window `slice` lambda turns an
+    * O(n·w) pass into O(n²) md5 calls per document (measured as a hang
+    * at sf0.1). As row fields the lambda references are bound reads,
+    * and CollapseProject keeps the stages separate because the arrays
+    * are non-cheap and multiply referenced.
+    */
+  def winnowStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    def h48(c: Column): Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val text = col(textCol)
+    val n = length(text)
+    val hashes = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i => h48(text.substr(i, lit(k)))))
+      .otherwise(array(h48(text)))
+    val hs = col("__hs")
+    val fps = array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(1), size(hs) - (w - 1)), j =>
+          array_min(slice(hs, j, lit(w)))))
+      .otherwise(array(array_min(hs))))
+    val fp = col("__fps")
+    docs.filter(text.isNotNull)
+      .select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), hs, fps.as("__fps"))
+      .select(col(idCol),
+        size(hs).as("n_kgrams"),
+        size(fp).as("n_fps"),
+        array_min(fp).as("fp_min"),
+        array_max(fp).as("fp_max"),
+        aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
+  }
 }

@@ -932,6 +932,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1.toDouble / n1 > s2.toDouble / n2)
   }
 
+  test("bpePairs: word-internal char pairs with multiplicity; 1-char tokens empty") {
+    val out = Seq("aab ab x").toDF("text")
+      .select(TextAnalysis.bpePairs(col("text")).as("p"))
+      .collect()(0).getSeq[String](0)
+    // aab -> (a a), (a b); ab -> (a b); x -> nothing
+    assert(out == Seq("a a", "a b", "a b"))
+  }
+
+  test("winnowStats: min-per-window fingerprints; shared substrings share a fingerprint") {
+    // k=2, w=2 over hand-sized texts
+    val out = TextAnalysis.winnowStats(
+        Seq((1L, "abcd"), (2L, "a"), (3L, "zzzz")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 2, w = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(5)))).toMap
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(12), 16)
+    }
+    // doc 1: grams ab,bc,cd -> windows (ab,bc),(bc,cd) -> distinct mins
+    val g = Seq("ab", "bc", "cd").map(h48)
+    val fps1 = Seq(g(0) min g(1), g(1) min g(2)).distinct
+    assert(out(1L) == ((3, fps1.size, fps1.sum)))
+    // doc 2 shorter than k: one whole-text gram, one fingerprint
+    assert(out(2L) == ((1, 1, h48("a"))))
+    // doc 3: all grams equal -> one distinct fingerprint
+    assert(out(3L) == ((3, 1, h48("zz"))))
+    // the winnowing guarantee at these params: any shared substring of
+    // length >= w + k - 1 = 3 yields a shared fingerprint — "abc" in a
+    // new doc shares doc 1's first window minimum
+    val probe = TextAnalysis.winnowStats(
+        Seq((9L, "abc")).toDF("doc_id", "text"), "doc_id", "text", 2, 2)
+      .collect()(0)
+    assert(probe.getLong(5) == (g(0) min g(1))) // its one fp ∈ doc 1's set
+  }
+
   test("dsirGrams: unigrams plus adjacent bigrams with multiplicity") {
     val g = Seq("a b a", "x", "").toDF("text")
       .select(TextAnalysis.dsirGrams(col("text")).as("g"))
