@@ -1912,6 +1912,20 @@ object SparkEntry {
       TextAnalysis.winnowStats(Tables.documents(s, dir), "doc_id", "text",
         Cfg.winnowK, Cfg.winnowW)),
 
+    // ST13 — batch shadow of StreamingWinnow.firstSeenFingerprints +
+    // the per-doc rollup: docs arrive in doc_id order (st8's layout —
+    // doc_id seconds past 2024-01-01), a fingerprint's owner is its
+    // earliest arrival, and a doc is flagged when any of its winnow
+    // fingerprints was deposited earlier — the crawl-time
+    // contamination screen over the same fingerprint layer ta_winnow
+    // summarizes.
+    "st13_winnow_scan" -> ((s, dir) => {
+      val withTs = Tables.documents(s, dir)
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingWinnow.winnowContaminationScan(
+        withTs, "doc_id", "text", "ts", Cfg.winnowK, Cfg.winnowW)
+    }),
+
     // Nearest-centroid classification over embeddings: fixed-point
     // (order-independent) per-label centroids, broadcast to a partition-
     // local scoring scan, argmax via one map-side-combinable max_by
@@ -2699,6 +2713,37 @@ object SparkEntry {
        |         ${Rounding.stableSql(
              "tot.tbits - d.bits / CAST(d.n_tokens AS DOUBLE)", 4)} AS nll_bits
        |  FROM d JOIN tot USING (lang))""".stripMargin
+
+  /** TextAnalysis.winnowFrame as CTEs ending in `f(doc_id[, at], hs,
+    * fps)` — shared by ta_winnow and st13_winnow_scan. 48-bit md5
+    * k-gram hashes, min per INCLUSIVE list slice `hs[j : j+w−1]`
+    * (≡ Spark's slice(hs, j, w)), deduplicated. `withAt` carries the
+    * st8-layout arrival second (1704067200 + doc_id) for the
+    * first-arrival ownership CTEs.
+    */
+  private def winnowCtes(withAt: Boolean): String = {
+    val (k, w) = (Cfg.winnowK, Cfg.winnowW)
+    val at = if (withAt) ", at" else ""
+    val atDef = if (withAt) ", 1704067200 + doc_id AS at" else ""
+    s"""d AS (
+       |  SELECT doc_id$atDef, text, length(text) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT doc_id$at,
+       |         CASE WHEN n >= $k THEN
+       |           list_transform(range(1, n - $k + 2), i ->
+       |             ('0x' || substr(md5(substr(text, CAST(i AS INT), $k)), 1, 12))::BIGINT)
+       |         ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id$at, hs,
+       |         list_distinct(
+       |           CASE WHEN len(hs) >= $w THEN
+       |             list_transform(range(1, len(hs) - $w + 2), j ->
+       |               list_min(hs[CAST(j AS INT) : CAST(j + $w - 1 AS INT)]))
+       |           ELSE [list_min(hs)] END) AS fps
+       |  FROM h)""".stripMargin
+  }
 
   /** TextAnalysis.dsirScores as CTEs ending in
     * `dsc(doc_id, n_grams, dsir_bits)` — shared by ta_dsir and
@@ -4903,38 +4948,32 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM c)
          |WHERE rnk <= ${Cfg.bpeTopK}""".stripMargin,
 
-    // Mirrors TextAnalysis.winnowColumns: 48-bit md5 k-gram hashes,
-    // min-per-window fingerprints, order-free integer summary stats.
-    // hs[j : j + w − 1] is DuckDB's INCLUSIVE list slice of width w —
-    // Spark's slice(hs, j, w).
-    "ta_winnow" -> {
-      val (k, w) = (Cfg.winnowK, Cfg.winnowW)
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) AS n
-         |  FROM documents WHERE text IS NOT NULL),
-         |h AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n >= $k THEN
-         |           list_transform(range(1, n - $k + 2), i ->
-         |             ('0x' || substr(md5(substr(text, CAST(i AS INT), $k)), 1, 12))::BIGINT)
-         |         ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
-         |  FROM d),
-         |f AS (
-         |  SELECT doc_id, hs,
-         |         list_distinct(
-         |           CASE WHEN len(hs) >= $w THEN
-         |             list_transform(range(1, len(hs) - $w + 2), j ->
-         |               list_min(hs[CAST(j AS INT) : CAST(j + $w - 1 AS INT)]))
-         |           ELSE [list_min(hs)] END) AS fps
-         |  FROM h)
+    // Mirrors TextAnalysis.winnowStats over the shared winnow CTEs:
+    // order-free integer summary stats of the fingerprint sets.
+    "ta_winnow" ->
+      s"""WITH ${winnowCtes(withAt = false)}
          |SELECT doc_id,
          |       CAST(len(hs) AS INT) AS n_kgrams,
          |       CAST(len(fps) AS INT) AS n_fps,
          |       list_min(fps) AS fp_min,
          |       list_max(fps) AS fp_max,
          |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
-         |FROM f""".stripMargin
-    },
+         |FROM f""".stripMargin,
+
+    // Mirrors StreamingWinnow.winnowContaminationScan: a fingerprint's
+    // owner is its lexicographic-min [arrival, doc] pair (DuckDB list
+    // compare ≡ Spark's min-struct), every other occurrence is shared.
+    "st13_winnow_scan" ->
+      s"""WITH ${winnowCtes(withAt = true)},
+         |x AS (SELECT doc_id, at, unnest(fps) AS fp FROM f),
+         |o AS (SELECT fp, min([at, doc_id]) AS ofirst FROM x GROUP BY 1),
+         |r AS (
+         |  SELECT x.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_fps,
+         |         CAST(sum(CASE WHEN [x.at, x.doc_id] <> o.ofirst
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM x JOIN o USING (fp) GROUP BY 1)
+         |SELECT doc_id, n_fps, n_shared, n_shared > 0 AS flagged FROM r""".stripMargin,
 
     // Fixed-point centroids (see Similarity.labelCentroids): integer
     // component sums are order-independent, so both engines build the

@@ -467,6 +467,23 @@ object TextAnalysis {
     */
   def winnowStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
+    val (hs, fp) = (col("__hs"), col("__fps"))
+    winnowFrame(docs, idCol, textCol, k, w)
+      .select(col(idCol),
+        size(hs).as("n_kgrams"),
+        size(fp).as("n_fps"),
+        array_min(fp).as("fp_min"),
+        array_max(fp).as("fp_max"),
+        aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
+  }
+
+  /** The staged per-doc winnow frame: (idCol, carry..., __hs, __fps) —
+    * the [[winnowStats]] summary and the streaming contamination screen
+    * ([[graft.streaming.StreamingWinnow]]) both read it. See
+    * [[winnowStats]] for why the arrays MUST be row fields.
+    */
+  def winnowFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, carry: Seq[String] = Nil): DataFrame = {
     def h48(c: Column): Column =
       conv(substring(md5(c), 1, 12), 16, 10).cast("long")
     val text = col(textCol)
@@ -480,15 +497,9 @@ object TextAnalysis {
         transform(sequence(lit(1), size(hs) - (w - 1)), j =>
           array_min(slice(hs, j, lit(w)))))
       .otherwise(array(array_min(hs))))
-    val fp = col("__fps")
+    val keep = col(idCol) +: carry.map(col)
     docs.filter(text.isNotNull)
-      .select(col(idCol), hashes.as("__hs"))
-      .select(col(idCol), hs, fps.as("__fps"))
-      .select(col(idCol),
-        size(hs).as("n_kgrams"),
-        size(fp).as("n_fps"),
-        array_min(fp).as("fp_min"),
-        array_max(fp).as("fp_max"),
-        aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
+      .select(keep :+ hashes.as("__hs"): _*)
+      .select(keep ++ Seq(hs, fps.as("__fps")): _*)
   }
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming winnowing contamination screen — the live-ingest form of
+  * [[graft.operators.TextAnalysis.winnowStats]]'s fingerprint layer: an
+  * arriving document is flagged when any of its winnow fingerprints was
+  * already deposited by an EARLIER arrival (the plagiarism/benchmark-
+  * leak screen run at crawl time, where the winnowing guarantee makes a
+  * shared fingerprint equivalent to a shared substring of length
+  * ≥ w + k − 1). First-arrival-wins, like every streaming twin here: a
+  * stream cannot see future arrivals, so the batch "lowest doc owns the
+  * print" rule becomes "earliest (ts, doc) owns it" — the scan twin
+  * pins exactly that divergence.
+  *
+  * State per distinct fingerprint is ONE boolean, keyed by the 48-bit
+  * fingerprint and sharded by the groupByKey hash — the same
+  * cardinality an exact-dedup state carries, ~2/(w+1) of the corpus's
+  * k-gram count. Per-batch work is the batch's own fingerprints.
+  */
+object StreamingWinnow {
+
+  case class FpIn(doc_id: Long, fp: Long, ts: java.sql.Timestamp)
+  case class FpDecision(fp: Long, doc_id: Long, seen_before: Boolean)
+
+  /** Use with `outputMode("append")`. Fingerprints inside one
+    * micro-batch are processed in (ts, doc_id) order per fingerprint
+    * (Spark does not order the group iterator), so replays are
+    * deterministic. Feed DISTINCT (doc, fp) rows — the winnow frame's
+    * `__fps` is already deduplicated per doc.
+    */
+  def firstSeenFingerprints(ds: Dataset[FpIn]): Dataset[FpDecision] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, FpDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[FpIn], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            .map { r =>
+              val before = seen
+              seen = true
+              FpDecision(fp, r.doc_id, before)
+            }
+          state.update(true)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[firstSeenFingerprints]] + the per-doc rollup, so
+    * the DuckDB oracle can hash-check the streaming semantics over a
+    * bounded table: the owner of a fingerprint is its min-(timeCol,
+    * docId) arrival, every other occurrence counts as shared, and a doc
+    * is flagged when it shares ≥ 1 fingerprint with an earlier arrival.
+    *
+    * Scale shape: one explode of the per-doc distinct fingerprint sets,
+    * one fingerprint-keyed aggregate for the owners, and the join back
+    * rides the same fingerprint partitioning before the per-doc rollup
+    * — the exact-dedup cost class, never pairwise.
+    *
+    * @return (docId, n_fps, n_shared, flagged)
+    */
+  def winnowContaminationScan(df: DataFrame, docId: String, textCol: String,
+      timeCol: String, k: Int, w: Int): DataFrame = {
+    val fps = graft.operators.TextAnalysis
+      .winnowFrame(df, docId, textCol, k, w, carry = Seq(timeCol))
+      .select(col(docId), col(timeCol), explode(col("__fps")).as("fp"))
+    val owners = fps.groupBy(col("fp"))
+      .agg(min(struct(col(timeCol), col(docId))).as("_first"))
+    fps.join(owners, Seq("fp"))
+      .withColumn("_own", col(timeCol) === col(s"_first.$timeCol") &&
+        col(docId) === col(s"_first.$docId"))
+      .groupBy(col(docId))
+      .agg(
+        count(lit(1)).as("n_fps"),
+        count(when(!col("_own"), 1)).as("n_shared"))
+      .withColumn("flagged", col("n_shared") > 0)
+  }
+}

@@ -238,6 +238,73 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, "a b c d"), (11L, 2L, 1L, "x y")))
   }
 
+  test("firstSeenFingerprints: a fingerprint deposits once, later arrivals read seen_before") {
+    import graft.streaming.StreamingWinnow
+    import graft.streaming.StreamingWinnow.FpIn
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[FpIn]
+    def f(doc: Long, fp: Long, t: String) =
+      FpIn(doc, fp, java.sql.Timestamp.valueOf(t))
+    val q = StreamingWinnow.firstSeenFingerprints(input.toDS())
+      .writeStream.format("memory").queryName("fsw").outputMode("append").start()
+    try {
+      input.addData(
+        f(2L, 7L, "2024-01-01 10:00:05"), // later ts in SAME batch — not the owner
+        f(1L, 7L, "2024-01-01 10:00:01"),
+        f(1L, 9L, "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(
+        f(3L, 7L, "2024-01-01 10:00:00"), // earlier ts, LATER batch: still shared (arrival order)
+        f(3L, 5L, "2024-01-01 10:00:09"))
+      q.processAllAvailable()
+      val got = spark.table("fsw").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+      assert(got == Seq((5L, 3L, false), (7L, 1L, false), (7L, 2L, true),
+        (7L, 3L, true), (9L, 1L, false)))
+    } finally q.stop()
+  }
+
+  test("winnowContaminationScan: first-arrival ownership matches the streamed replay's rollup") {
+    import graft.streaming.StreamingWinnow
+    import graft.streaming.StreamingWinnow.FpIn
+    import org.apache.spark.sql.functions._
+    // doc 1 arrives first; doc 11 embeds doc 1's opening substring
+    // (>= w + k - 1 = 8 chars) so it MUST share a fingerprint; doc 20 is
+    // disjoint text
+    val rows = Seq(
+      (1L, "the quick brown fox jumps", "2024-01-01 10:00:01"),
+      (11L, "the quick brown dog sleeps", "2024-01-01 10:00:02"),
+      (20L, "zzzz yyyy xxxx wwww vvvv", "2024-01-01 10:00:03")
+    ).map { case (i, t, ts) => (i, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts")
+    val scan = StreamingWinnow.winnowContaminationScan(
+        rows, "doc_id", "text", "ts", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(scan(1L)._3 == false)            // first arrival owns everything
+    assert(scan(11L)._2 >= 1L && scan(11L)._3) // shared prefix -> flagged
+    assert(scan(20L)._3 == false)           // disjoint text stays clean
+    // replay the same fingerprints through the streaming operator: the
+    // per-doc rollup of its decisions must match the scan exactly
+    implicit val ctx = spark.sqlContext
+    val fpRows = graft.operators.TextAnalysis
+      .winnowFrame(rows, "doc_id", "text", 5, 4, carry = Seq("ts"))
+      .select(col("doc_id"), col("ts"), explode(col("__fps")).as("fp"))
+      .collect().map(r => FpIn(r.getLong(0), r.getLong(2), r.getTimestamp(1)))
+    val input = MemoryStream[FpIn]
+    val q = StreamingWinnow.firstSeenFingerprints(input.toDS())
+      .writeStream.format("memory").queryName("fsw2").outputMode("append").start()
+    try {
+      input.addData(fpRows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("fsw2").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2)))
+        .groupBy(_._1).map { case (d, xs) =>
+          d -> ((xs.size.toLong, xs.count(_._2).toLong, xs.exists(_._2))) }
+      assert(streamed == scan)
+    } finally q.stop()
+  }
+
   test("collisions: posting enrollment saturates at dfCap, pairs emitted vs earlier residents only") {
     import graft.streaming.StreamingContainment
     import graft.streaming.StreamingContainment.ShingleIn
