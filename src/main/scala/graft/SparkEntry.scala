@@ -2723,18 +2723,29 @@ object SparkEntry {
     */
   private def winnowCtes(withAt: Boolean): String = {
     val (k, w) = (Cfg.winnowK, Cfg.winnowW)
+    val (b, p) = (graft.operators.TextAnalysis.WinnowBase,
+      graft.operators.TextAnalysis.WinnowMod)
+    // pow(j) = B^j mod P — the same plan-time table the Spark side bakes
+    val pow = Array.iterate(1L, k)(x => x * b % p)
+    val kTerms = (0 until k)
+      .map(j => s"cs[i + $j] * ${pow(k - 1 - j)} % $p").mkString(" + ")
     val at = if (withAt) ", at" else ""
     val atDef = if (withAt) ", 1704067200 + doc_id AS at" else ""
     s"""d AS (
        |  SELECT doc_id$atDef, text, length(text) AS n
        |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id$at, n,
+       |         list_transform(range(1, n + 1), i ->
+       |           CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |  FROM d),
        |h AS (
        |  SELECT doc_id$at,
        |         CASE WHEN n >= $k THEN
-       |           list_transform(range(1, n - $k + 2), i ->
-       |             ('0x' || substr(md5(substr(text, CAST(i AS INT), $k)), 1, 12))::BIGINT)
-       |         ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
-       |  FROM d),
+       |           list_transform(range(1, n - $k + 2), i -> ($kTerms) % $p)
+       |         WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+       |         ELSE [list_reduce(cs, (a, x) -> (a * $b + x) % $p)] END AS hs
+       |  FROM c),
        |f AS (
        |  SELECT doc_id$at, hs,
        |         list_distinct(

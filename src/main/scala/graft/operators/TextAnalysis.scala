@@ -346,8 +346,17 @@ object TextAnalysis {
     * unigrams only; a null text emits no rows downstream of the explode
     * (absent-from-output, the [[repetition]]/[[tfidf]] convention).
     */
-  def dsirGrams(text: Column): Column = {
-    val toks = split(text, " ")
+  def dsirGrams(text: Column): Column = dsirGramsFromTokens(split(text, " "))
+
+  /** [[dsirGrams]] over an ALREADY-MATERIALIZED token array column. The
+    * bigram lambda references `toks` — if that is an inline
+    * `split(text)` tree the HOF re-evaluates the split per bigram
+    * (O(tokens²) per doc, the [[winnowStats]] capture trap; measured
+    * 5.4 s → 1.6 s at sf0.1 for ta_dsir when staged). [[dsirScores]]
+    * stages the tokens as a row field and calls this form; the
+    * one-argument [[dsirGrams]] is for bounded fixtures.
+    */
+  def dsirGramsFromTokens(toks: Column): Column = {
     val n = size(toks)
     val bi = when(n >= 2,
         transform(sequence(lit(1), n - 1), i =>
@@ -396,7 +405,9 @@ object TextAnalysis {
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val g = docs
       .select(col(idCol), targetPred.as("__t"),
-        explode(dsirGrams(col(textCol))).as("g"))
+        split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__t"),
+        explode(dsirGramsFromTokens(col("__toks"))).as("g"))
       .select(col(idCol), col("__t"),
         dsirBucket(col("g"), buckets).as("b"))
     val model = g.groupBy(col("b"))
@@ -437,8 +448,9 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprint columns (Schleimer et al., SIGMOD 2003 — the
-    * MOSS selection rule): hash every char k-gram (md5 → 48-bit, the
-    * engine-stable [[graft.operators.Dedup]] packing), then keep the
+    * MOSS selection rule): hash every char k-gram (Karp-Rabin — the
+    * paper's own rolling-hash family, [[WinnowBase]]/[[WinnowMod]],
+    * exact integers in both engines), then keep the
     * MINIMUM hash of every window of w consecutive k-gram hashes,
     * deduplicated. Guarantee: two docs sharing any substring of length
     * ≥ w + k − 1 share at least one fingerprint — the robust
@@ -477,28 +489,53 @@ object TextAnalysis {
         aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
   }
 
+  /** Karp-Rabin hash parameters for the winnow k-gram hashes — the
+    * paper's own rolling-hash family, and ~5× cheaper per position than
+    * an md5 round: a k-gram hashes to Σ c_j·B^(k−1−j) mod P over its
+    * char codes, pure integer multiply-adds that both engines compute
+    * exactly (terms < 256·P, sums < 5·2P — far inside BIGINT).
+    */
+  val WinnowBase = 131L
+  val WinnowMod = 1000000007L
+
   /** The staged per-doc winnow frame: (idCol, carry..., __hs, __fps) —
     * the [[winnowStats]] summary and the streaming contamination screen
     * ([[graft.streaming.StreamingWinnow]]) both read it. See
-    * [[winnowStats]] for why the arrays MUST be row fields.
+    * [[winnowStats]] for why the arrays MUST be row fields: the char
+    * codes, the k-gram hashes, and the fingerprints are each
+    * materialized before the next stage's lambdas reference them.
+    * Degenerate docs (shorter than k, including empty) hash as one
+    * whole-text Horner fold — the length-k formula is that fold
+    * specialized to k chars, so the scheme is uniform.
     */
   def winnowFrame(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, carry: Seq[String] = Nil): DataFrame = {
-    def h48(c: Column): Column =
-      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
     val text = col(textCol)
     val n = length(text)
-    val hashes = when(n >= k,
-        transform(sequence(lit(1), n - (k - 1)), i => h48(text.substr(i, lit(k)))))
-      .otherwise(array(h48(text)))
+    val chars = transform(sequence(lit(1), n), i =>
+      ascii(text.substr(i, lit(1))).cast("long"))
+    val cs = col("__cs")
+    // pow(j) = B^j mod P, a k-entry plan-time constant table
+    val pow = Array.iterate(1L, k)(x => x * WinnowBase % WinnowMod)
+    def kHash(i: Column): Column =
+      (0 until k).map(j =>
+          element_at(cs, i + j) * lit(pow(k - 1 - j)) % lit(WinnowMod))
+        .reduce((a, b) => (a + b) % lit(WinnowMod))
+    val hashes = when(size(cs) >= k,
+        transform(sequence(lit(1), size(cs) - (k - 1)), i => kHash(i)))
+      .otherwise(array(aggregate(cs, lit(0L),
+        (acc, c) => (acc * WinnowBase + c) % WinnowMod)))
     val hs = col("__hs")
+    // per-window minimum as least() over w bound reads — no per-window
+    // slice allocation (~13% off the st13 scan vs array_min(slice))
     val fps = array_distinct(
       when(size(hs) >= w,
         transform(sequence(lit(1), size(hs) - (w - 1)), j =>
-          array_min(slice(hs, j, lit(w)))))
+          least((0 until w).map(o => element_at(hs, j + o)): _*)))
       .otherwise(array(array_min(hs))))
     val keep = col(idCol) +: carry.map(col)
     docs.filter(text.isNotNull)
+      .select(keep :+ chars.as("__cs"): _*)
       .select(keep :+ hashes.as("__hs"): _*)
       .select(keep ++ Seq(hs, fps.as("__fps")): _*)
   }

@@ -15,8 +15,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * print" rule becomes "earliest (ts, doc) owns it" — the scan twin
   * pins exactly that divergence.
   *
-  * State per distinct fingerprint is ONE boolean, keyed by the 48-bit
-  * fingerprint and sharded by the groupByKey hash — the same
+  * State per distinct fingerprint is ONE boolean, keyed by the
+  * Karp-Rabin fingerprint and sharded by the groupByKey hash — the same
   * cardinality an exact-dedup state carries, ~2/(w+1) of the corpus's
   * k-gram count. Per-batch work is the batch's own fingerprints.
   */
@@ -56,20 +56,26 @@ object StreamingWinnow {
     * is flagged when it shares ≥ 1 fingerprint with an earlier arrival.
     *
     * Scale shape: one explode of the per-doc distinct fingerprint sets,
-    * one fingerprint-keyed aggregate for the owners, and the join back
-    * rides the same fingerprint partitioning before the per-doc rollup
-    * — the exact-dedup cost class, never pairwise.
+    * ownership as an unordered window min on the fp partition (one
+    * exchange, no per-group sort), then the per-doc rollup — the
+    * exact-dedup cost class, never pairwise.
     *
     * @return (docId, n_fps, n_shared, flagged)
     */
   def winnowContaminationScan(df: DataFrame, docId: String, textCol: String,
       timeCol: String, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fps = graft.operators.TextAnalysis
       .winnowFrame(df, docId, textCol, k, w, carry = Seq(timeCol))
       .select(col(docId), col(timeCol), explode(col("__fps")).as("fp"))
-    val owners = fps.groupBy(col("fp"))
-      .agg(min(struct(col(timeCol), col(docId))).as("_first"))
-    fps.join(owners, Seq("fp"))
+    // ownership via an UNORDERED window min over the fp partition — no
+    // ORDER BY, so no per-group sort, ONE exchange on fp. The
+    // aggregate-then-join-back alternative re-evaluates the
+    // fingerprint subtree on both join sides and shuffles the exploded
+    // frame twice (measured 6.4 s join-back vs 3.0 s here at sf0.1).
+    val first = min(struct(col(timeCol), col(docId)))
+      .over(Window.partitionBy(col("fp")))
+    fps.withColumn("_first", first)
       .withColumn("_own", col(timeCol) === col(s"_first.$timeCol") &&
         col(docId) === col(s"_first.$docId"))
       .groupBy(col(docId))

@@ -947,11 +947,10 @@ class TextAnalysisSpec extends SparkSpec {
         "doc_id", "text", k = 2, w = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getLong(5)))).toMap
-    def h48(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(d.take(12), 16)
-    }
+    // Karp-Rabin reference: the Horner fold both engines compute
+    def h48(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * TextAnalysis.WinnowBase + c.toLong) %
+        TextAnalysis.WinnowMod)
     // doc 1: grams ab,bc,cd -> windows (ab,bc),(bc,cd) -> distinct mins
     val g = Seq("ab", "bc", "cd").map(h48)
     val fps1 = Seq(g(0) min g(1), g(1) min g(2)).distinct
