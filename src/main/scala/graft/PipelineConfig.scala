@@ -174,7 +174,14 @@ final case class PipelineConfig(
     // hashes each fingerprint is the minimum of. Guarantee: any match
     // of length ≥ w + k − 1 shares a fingerprint
     winnowK: Int = 5,
-    winnowW: Int = 4) {
+    winnowW: Int = 4,
+    // BM25 retrieval (ta_bm25_topk): the standing query's terms, the
+    // result width, and the standard Robertson parameters. The idf is
+    // the same rational BM25 form ta_tfidf uses (no ln — exactness)
+    bm25Terms: Seq[String] = Seq("spark", "stream", "window"),
+    bm25TopK: Int = 15,
+    bm25K1: Double = 1.2,
+    bm25B: Double = 0.75) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

@@ -1904,6 +1904,14 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // BM25 retrieval for a standing query-term set (benchmark-query
+    // doc mining): candidates only — the term filter rides inside the
+    // token array before the explode — integer micro-unit
+    // contributions summed exactly per doc, k-bounded rank.
+    "ta_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Cfg.bm25Terms, Cfg.bm25TopK, Cfg.bm25K1, Cfg.bm25B)),
+
     // Winnowing fingerprint profile (Schleimer et al.): per-doc k-gram
     // count, distinct fingerprint count, and order-free integer summary
     // stats of the fingerprint set — the selection layer a
@@ -4942,6 +4950,46 @@ object SparkEntry {
          |        row_number() OVER (ORDER BY dsir_bits DESC, doc_id ASC) AS rnk
          |      FROM dsc)
          |WHERE rnk <= ${Cfg.dsirKeep}""".stripMargin,
+
+    // Mirrors TextAnalysis.bm25TopK: same operation order per term, the
+    // k1/b-derived float constants interpolated from the SAME Scala
+    // doubles, integer micro-unit sum, (score DESC, doc ASC) rank.
+    "ta_bm25_topk" -> {
+      val (k1, b) = (Cfg.bm25K1, Cfg.bm25B)
+      val termList = Cfg.bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH dtl AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |  WHERE text IS NOT NULL),
+         |occ AS (
+         |  SELECT doc_id, len(ts) AS dl,
+         |         unnest(list_filter(ts, t -> list_contains($termList, t))) AS term
+         |  FROM dtl),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         |         max(dl) AS dl
+         |  FROM occ GROUP BY 1, 2),
+         |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(ts)) AS BIGINT) AS tot_dl
+         |  FROM dtl),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round((tot.n_docs - dfd.df + 0.5) / (dfd.df + 0.5)
+         |           * (tf.tf * ${k1 + 1})
+         |           / (tf.tf + ${k1} * (${1 - b} + ${b} * tf.dl
+         |                / (CAST(tot.tot_dl AS DOUBLE) / tot.n_docs)))
+         |           * 1000000.0) AS BIGINT) AS contrib_u
+         |  FROM tf JOIN dfd USING (term) CROSS JOIN tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(contrib_u) AS BIGINT) AS score_u
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(score_u AS DOUBLE) / 1000000.0 AS bm25,
+         |       CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rnk
+         |      FROM agg)
+         |WHERE rnk <= ${Cfg.bm25TopK}""".stripMargin
+    },
 
     // Mirrors TextAnalysis.bpePairs + the k-bounded count rank
     // ((cnt DESC, pair ASC) — TopKByCount's ordering).

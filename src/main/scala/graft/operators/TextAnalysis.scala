@@ -489,6 +489,63 @@ object TextAnalysis {
         aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
   }
 
+  /** BM25 retrieval over a standing query-term set — the eval-set /
+    * benchmark-query mining pass (rank the corpus docs most relevant to
+    * a benchmark question before a decontamination or citation audit).
+    * Standard Robertson scoring with the RATIONAL idf form
+    * `(N − df + 0.5)/(df + 0.5)` ([[tfidf]]'s exactness argument: order-
+    * isomorphic to the log form, bit-identical across engines).
+    *
+    * Exactness: each (doc, term) contribution is quantized to integer
+    * MICRO-units via `round(x·10⁶)` (both engines round the same
+    * product double — the [[Rounding.stable]] construction), the
+    * per-doc sum is exact long arithmetic immune to float-fold order,
+    * and the reported score is one final division of that integer.
+    * Float constants derived from k1/b are interpolated from the SAME
+    * Scala doubles into the oracle SQL (shortest-repr round-trip), so
+    * `k1+1` cannot diverge from a retyped literal.
+    *
+    * Scale shape: the term filter rides INSIDE the token array before
+    * the explode, so only matching occurrences become rows (candidates,
+    * not the corpus); df is a ≤|terms|-row broadcast; the corpus-wide
+    * (N, Σdl) pair is one 1-row aggregate from a column-pruned second
+    * scan; ranking is the k-bounded aggregate. The only keyed exchange
+    * carries the candidate (doc, term) rows.
+    *
+    * Output: (idCol, bm25, rnk ≤ k), ranked (score DESC, id ASC).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val termArr = array(terms.map(lit): _*)
+    val occ = docs
+      .select(col(idCol), size(toks).as("dl"),
+        explode(filter(toks, t => array_contains(termArr, t))).as("term"))
+    val tf = occ.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfDim = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = docs.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot_dl"))
+    val scored = tf.join(broadcast(dfDim), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1e6)).cast("long"))
+    val top = graft.functions.TopK.topKByScore(k)
+    scored.groupBy(col(idCol))
+      .agg(sum(col("contrib_u")).cast("long").as("score_u"))
+      .groupBy()
+      .agg(top(col("score_u").cast("double"), col(idCol)).as("__top"))
+      .select(posexplode(col("__top")))
+      .select(col("col._2").as(idCol),
+        (col("col._1") / lit(1e6)).as("bm25"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Karp-Rabin hash parameters for the winnow k-gram hashes — the
     * paper's own rolling-hash family, and ~5× cheaper per position than
     * an md5 round: a k-gram hashes to Σ c_j·B^(k−1−j) mod P over its

@@ -68,8 +68,9 @@ object StreamingWinnow {
     val fps = graft.operators.TextAnalysis
       .winnowFrame(df, docId, textCol, k, w, carry = Seq(timeCol))
       .select(col(docId), col(timeCol), explode(col("__fps")).as("fp"))
-    // ownership via an UNORDERED window min over the fp partition — no
-    // ORDER BY, so no per-group sort, ONE exchange on fp. The
+    // ownership via an UNORDERED window min over the fp partition: ONE
+    // exchange on fp plus the key-only grouping sort WindowExec inserts
+    // (a single-long-key sort — no (ts, doc) ordering). The
     // aggregate-then-join-back alternative re-evaluates the
     // fingerprint subtree on both join sides and shuffles the exploded
     // frame twice (measured 6.4 s join-back vs 3.0 s here at sf0.1).

@@ -567,6 +567,26 @@ class ExplainAuditSpec extends SparkSpec {
       s"gram/scoring path grew extra exchanges:\n$p")
   }
 
+  test("ta_winnow: pure per-row map work — zero exchanges beyond the scan") {
+    val p = plan("ta_winnow")
+    assert(!p.contains("Exchange"), s"winnow stats grew a shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan reads beyond (doc_id, text):\n$p")
+  }
+
+  test("st13_winnow_scan: one fp exchange + key-only window sort + the doc rollup") {
+    val p = plan("st13_winnow_scan")
+    // WindowExec inserts a grouping sort even with no ORDER BY — pin
+    // that it stays KEY-ONLY (one sort, on fp alone, never (ts, doc))
+    val sorts = """Sort \[([^\]]*)\]""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(sorts.size == 1 && sorts.head.matches("fp#\\d+L ASC NULLS FIRST"),
+      s"fp ownership window sort is not key-only:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 2,
+      s"contamination scan grew extra exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"scan joined pairwise:\n$p")
+  }
+
   test("ev_retention: all joins broadcast, events scans prune to (ts, user_id)") {
     // Same insurance as g2 (VERDICT r13 #8): ev_retention read 2.1x in the
     // one-run r13 sweep, best-of-3 recovered it. Its shape: three pruned

@@ -932,6 +932,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1.toDouble / n1 > s2.toDouble / n2)
   }
 
+  test("bm25TopK: matches a reference reimplementation; non-candidates absent") {
+    val docs = Seq(
+      (1L, "spark spark table"),  // tf(spark)=2, dl=3
+      (2L, "spark window"),       // both terms, dl=2
+      (3L, "table value key"),    // no query terms -> not a candidate
+      (4L, "window")              // tf(window)=1, dl=1
+    ).toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "window"), k = 10, k1, b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // reference: N=4 docs, avgdl=(3+2+3+1)/4, df(spark)=2, df(window)=2
+    val avgdl = 9.0 / 4
+    def contrib(tf: Long, dl: Long, df: Long): Long =
+      math.round((4 - df + 0.5) / (df + 0.5) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)) * 1e6)
+    val exp = Map(
+      1L -> contrib(2, 3, 2),
+      2L -> (contrib(1, 2, 2) + contrib(1, 2, 2)),
+      4L -> contrib(1, 1, 2))
+    val expRanked = exp.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s / 1e6, i + 1) }
+    assert(out.toSeq == expRanked)
+    assert(!out.exists(_._1 == 3L)) // zero-term doc never becomes a row
+  }
+
   test("bpePairs: word-internal char pairs with multiplicity; 1-char tokens empty") {
     val out = Seq("aab ab x").toDF("text")
       .select(TextAnalysis.bpePairs(col("text")).as("p"))
