@@ -45,6 +45,59 @@ object TextProps extends Properties("text") {
     }
 }
 
+object WinnowProps extends Properties("winnow") {
+  import graft.operators.TextAnalysis.{WinnowBase, WinnowMod}
+
+  /** Driver-side twin of TextAnalysis.winnowFrame's fingerprint layer. */
+  def krHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * WinnowBase + c.toLong) % WinnowMod)
+  def fingerprints(text: String, k: Int, w: Int): Seq[Long] = {
+    val hs =
+      if (text.length >= k)
+        (0 to text.length - k).map(i => krHash(text.substring(i, i + k)))
+      else IndexedSeq(krHash(text))
+    val fps =
+      if (hs.length >= w) (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+      else IndexedSeq(hs.min)
+    fps.distinct
+  }
+
+  // small alphabet so random texts actually collide
+  private val text: Gen[String] = for {
+    n <- Gen.chooseNum(0, 60)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val (k, w) = (5, 4)
+
+  property("fingerprint count within [1, n_kgrams]") = forAll(text) { t =>
+    val fps = fingerprints(t, k, w)
+    val nk = math.max(1, t.length - k + 1)
+    fps.nonEmpty && fps.size <= nk
+  }
+
+  property("the winnowing guarantee: docs sharing >= w+k-1 chars share a fingerprint") =
+    forAll(text, text, text, text, text) { (shared0, p1, s1, p2, s2) =>
+      val shared = (shared0 + "x" * (w + k - 1)).take(w + k - 1 + shared0.length)
+      val (d1, d2) = (p1 + shared + s1, p2 + shared + s2)
+      fingerprints(d1, k, w).intersect(fingerprints(d2, k, w)).nonEmpty
+    }
+
+  property("fingerprints are insensitive to appending after a full window") =
+    // every fingerprint of the original text's CLOSED windows survives a
+    // suffix append (new windows only ADD prints at the boundary)
+    forAll(text, text) { (t0, sfx) =>
+      val t = t0 + "x" * (w + k - 1) // ensure at least one closed window
+      val before = fingerprints(t, k, w).toSet
+      val after = fingerprints(t + sfx, k, w).toSet
+      // all but the last w-1 windows are untouched by the append
+      val hs = (0 to t.length - k).map(i => krHash(t.substring(i, i + k)))
+      val closed = (0 to hs.length - w - (w - 1))
+        .map(j => hs.slice(j, j + w).min).toSet
+      closed.subsetOf(before) && closed.subsetOf(after)
+    }
+}
+
 object RoundingProps extends Properties("rounding") {
   private val reasonable = Gen.chooseNum(-1e6, 1e6)
 
@@ -90,6 +143,58 @@ class SparkAlgebraSpec extends SparkSpec {
         case _ =>
       }
       assert(got((k, sorted.head._2)).isEmpty) // first row null
+    }
+  }
+
+  test("property: winnowStats equals the driver-side twin on random small-alphabet docs") {
+    val docs = (0 until 120).map { i =>
+      val len = rng.nextInt(60) // includes len < k and < w+k-1 degenerates
+      (i.toLong, (0 until len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+    }
+    val got = TextAnalysis.winnowStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    docs.foreach { case (id, t) =>
+      val fps = WinnowProps.fingerprints(t, 5, 4)
+      val nk = if (t.length >= 5) t.length - 4 else 1
+      assert(got(id) == ((nk, fps.size, fps.min, fps.max, fps.sum)),
+        s"doc $id '${t.take(20)}…'")
+    }
+  }
+
+  test("property: dsir weights match the driver-side twin on random corpora") {
+    val words = Seq("aa", "bb", "cc", "dd")
+    val docs = (0 until 80).map { i =>
+      val n = 1 + rng.nextInt(8)
+      (i.toLong, if (i % 7 == 0) "t" else "r",
+        (0 until n).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val nb = 32
+    val got = TextAnalysis.dsirScores(docs.toDF("doc_id", "source", "text"),
+        "doc_id", "text", col("source") === "t", nb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def grams(t: String) = {
+      val ts = t.split(" ", -1).toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.take(6), 16) % nb).toInt
+    }
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val tgt = docs.filter(_._2 == "t").flatMap(d => grams(d._3)).map(bucket)
+    val raw = docs.filter(_._2 == "r")
+      .flatMap(d => grams(d._3).map(d._1 -> bucket(_)))
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val shift = bits(raw.size.toLong + nb) - bits(tgt.size.toLong + nb)
+    raw.groupBy(_._1).foreach { case (id, gs) =>
+      val gsum = gs.map { case (_, b) =>
+        bits(ct.getOrElse(b, 0L) + 1) - bits(cr(b) + 1) }.sum
+      assert(got(id) == ((gs.size.toLong, gsum + gs.size * shift)))
     }
   }
 
