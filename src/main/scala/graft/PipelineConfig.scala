@@ -81,6 +81,9 @@ final case class PipelineConfig(
     // fixed-budget shard packing layout (ta_shard_pack)
     shardBudget: Long = 20000L,
     shardBucketSize: Long = 100L,
+    // deterministic global training-order shuffle (ta_shuffle): rows
+    // per output shard
+    shuffleShardSize: Long = 64L,
     // unigram-LM fluency reference slice: docs with doc_id % mod == 0
     lmRefMod: Int = 10,
     // CCNet-style perplexity buckets: head < fluencyHead <= middle <

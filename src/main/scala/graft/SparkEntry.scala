@@ -943,6 +943,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // SoftDeDup (Xue et al. 2024): duplicates are REWEIGHTED, not
+    // dropped — every doc keeps sampling weight 1/|cluster| over the
+    // same minhash closure dedup_clusters computes, so each duplicate
+    // group contributes total mass 1 to the training mix while unique
+    // docs keep weight 1. Sizing the clusters is one count aggregate +
+    // one label-keyed join on top of the closure — nothing pairwise.
+    "dedup_soft" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.softWeights(corpus.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("weight"))
+    }),
+
     // ANN recall measurement: per-query fraction of the exact top-3
     // recovered by the LSH-bucketed index, single-probe AND multi-probe
     // side by side — "measure, don't guess" as a first-class query (the
@@ -1638,6 +1657,24 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
         part = "lang", orderCol = "doc_id", weight = col("n_chars"),
         budget = Cfg.shardBudget, bucketSize = Cfg.shardBucketSize)),
+
+    // Deterministic global training-order shuffle: every doc gets a
+    // reproducible pseudo-random (shard_id, shard_pos) slot — the
+    // epoch-shuffle layout training jobs resume from. The global rank
+    // in scrambled-key order is the same two-phase prefix count
+    // ta_shard_pack uses (bucket by key range → tiny offsets table →
+    // bounded per-bucket windows); the oracle states the one-window
+    // row_number SPEC the two-phase plan must reproduce exactly.
+    "ta_shuffle" -> ((s, dir) =>
+      Packing.shuffleLayout(Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", shardSize = Cfg.shuffleShardSize)),
+
+    // Sequence-length bucketing for batch assembly: power-of-two token
+    // buckets with per-bucket padding-waste accounting — the
+    // measurement behind length-bucketed batching. One narrow map, one
+    // ~40-row aggregate.
+    "ta_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(Tables.documents(s, dir), col("text"))),
 
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
@@ -2663,7 +2700,7 @@ object SparkEntry {
     * component-min id — the unique fixpoint the Spark label-propagation
     * loop also converges to.
     */
-  private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
+  private def clustersWalkCtes(numBands: Int, rowsPerBand: Int, threshold: Double): String =
     s"WITH RECURSIVE ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
       Some(Cfg.maxBucket))},\n" +
       s"""verified AS (
@@ -2677,9 +2714,23 @@ object SparkEntry {
          |walk(node, lab) AS (
          |  SELECT doc_id, doc_id FROM nodes
          |  UNION
-         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
-         |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
-         |FROM walk GROUP BY node""".stripMargin
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node),
+         |cl AS (
+         |  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY node)""".stripMargin
+
+  private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"${clustersWalkCtes(numBands, rowsPerBand, threshold)}\n" +
+      "SELECT doc_id, cluster_id FROM cl"
+
+  /** SoftDeDup weights over the same closure: 1/|cluster| per member. */
+  private def softWeightsOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"${clustersWalkCtes(numBands, rowsPerBand, threshold)},\n" +
+      s"""sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |       ${Rounding.stableSql("1.0 / cluster_size", 6)} AS weight
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin
 
   private def simhashOracle(bits: Int): String = {
     val bitExprs = (0 until bits).map(j =>
@@ -3705,6 +3756,9 @@ object SparkEntry {
     "dedup_clusters" -> clustersOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
       threshold = Cfg.nearDupThreshold),
 
+    "dedup_soft" -> softWeightsOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+      threshold = Cfg.nearDupThreshold),
+
     "ta_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:]) AS w2 FROM t),
@@ -4157,6 +4211,13 @@ object SparkEntry {
     "ta_shard_pack" ->
       graft.operators.Packing.packShardsSql("documents", "lang", "doc_id",
         "n_chars", budget = Cfg.shardBudget, selectCols = "doc_id, lang, n_chars"),
+
+    "ta_shuffle" ->
+      graft.operators.Packing.shuffleLayoutSql("documents", "doc_id",
+        shardSize = Cfg.shuffleShardSize),
+
+    "ta_length_buckets" ->
+      graft.operators.Packing.lengthBucketsSql("documents", "text"),
 
     "ta_token_topk" ->
       """WITH c AS (

@@ -985,6 +985,34 @@ object Dedup {
         coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
   }
 
+  /** SoftDeDup-style duplicate reweighting: instead of DROPPING
+    * near-duplicates, every document keeps a sampling weight
+    * 1/|cluster| where the cluster is the transitive closure of the
+    * verified near-dup pairs ([[duplicateClusters]]). A doc that exists
+    * in N near-identical copies contributes total mass 1 to the
+    * training mix (the soft analogue of keep-one-canonical), while
+    * unique docs keep weight 1 — the "rethink dedup as reweighting"
+    * move of Xue et al. 2024 (SoftDedup), at cluster granularity.
+    *
+    * Scale shape: the closure is the same bounded label-propagation
+    * loop the hard dedup uses; sizing it is ONE count aggregate over
+    * the (id, label) table and one shuffle join back on `label` — both
+    * keyed on cluster label, never pairwise. Weight is stable-rounded
+    * so the hash matches the SQL mirror exactly.
+    *
+    * @return (id, cluster_id, cluster_size, weight)
+    */
+  def softWeights(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val cl = duplicateClusters(nodes, pairs, maxIter)
+    val sizes = cl.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, Seq("label"))
+      .select(col("id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        Rounding.stable(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** SimHash bit votes over the chunk representation. The j-th hex char's
     * nibble is `(chunk(j/8) >> 4*(7-j%8)) & 15`; its ASCII parity is
     * `v%2` for digits and `(v+1)%2` for letters (ascii 48+v vs 87+v) —

@@ -148,4 +148,118 @@ object Packing {
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |         // $budget AS BIGINT) AS shard_id
        |FROM $table""".stripMargin
+
+  /** glibc-LCG affine scramble mod 2^31 — odd multiplier ⇒ a bijection
+    * on ids below 2^31, so the shuffle order is a true permutation of
+    * the id order there (above, ties fall back to the id tie-break).
+    */
+  val ShuffleMul = 1103515245L
+  val ShuffleAdd = 12345L
+  val ShuffleMod = 2147483648L // 2^31
+
+  /** Deterministic global training-order shuffle: every epoch of LLM
+    * training reads the corpus in a pseudo-random order that must be
+    * reproducible (resume-from-step) and materializable WITHOUT a
+    * global sort through one task. Each row gets a scrambled key
+    * h(id) = (id·$ShuffleMul + $ShuffleAdd) mod 2^31, its global rank
+    * in (h, id) order, and a (shard_id, shard_pos) layout slot of
+    * `shardSize` rows per shard — the "shuffled shards" layout
+    * (Megatron/GPT-style index files) as one declarative pass.
+    *
+    * Scale shape: the global rank is the same TWO-PHASE prefix count
+    * [[packShards]] uses — rows bucket by `h div hBucketSize` (the h
+    * domain is fixed 2^31, so the bucket table is ≤ 2^31/hBucketSize
+    * rows no matter the corpus); phase 1 window-sums per-bucket COUNTS
+    * into bucket start offsets (tiny), phase 2 row_numbers inside each
+    * h-bucket only. No window ever sees more than one bucket's rows,
+    * and the only fact shuffle is the phase-2 bucket partition.
+    *
+    * @return (idCol, shard_id, shard_pos)
+    */
+  def shuffleLayout(df: DataFrame, idCol: String, shardSize: Long,
+      hBucketSize: Long = 1L << 21): DataFrame = {
+    require(shardSize > 0 && hBucketSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(idCol),
+      ((col(idCol) * ShuffleMul + ShuffleAdd) % ShuffleMod).as("_h"))
+      .withColumn("_bucket", expr(s"_h div $hBucketSize"))
+    val totals = h.groupBy(col("_bucket")).agg(count(lit(1)).as("_w"))
+    val woff = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("_bucket").as("_b"),
+      coalesce(sum(col("_w")).over(woff), lit(0L)).as("_offset"))
+    val wloc = Window.partitionBy(col("_bucket"))
+      .orderBy(col("_h"), col(idCol))
+    h.join(broadcast(offsets), col("_bucket") === col("_b"))
+      .withColumn("_rank", col("_offset") + row_number().over(wloc) - 1)
+      .select(col(idCol),
+        expr(s"_rank div $shardSize").as("shard_id"),
+        (col("_rank") % shardSize).as("shard_pos"))
+  }
+
+  /** SQL mirror of [[shuffleLayout]] — the spec is ONE global
+    * row_number over (h, id); the two-phase plan must equal it.
+    */
+  def shuffleLayoutSql(table: String, idCol: String, shardSize: Long): String =
+    s"""WITH h AS (
+       |  SELECT $idCol, ($idCol * $ShuffleMul + $ShuffleAdd) % $ShuffleMod AS h
+       |  FROM $table),
+       |r AS (
+       |  SELECT $idCol, row_number() OVER (ORDER BY h, $idCol) - 1 AS rnk
+       |  FROM h)
+       |SELECT $idCol, rnk // $shardSize AS shard_id, rnk % $shardSize AS shard_pos
+       |FROM r""".stripMargin
+
+  /** Sequence-length bucketing for batch assembly: documents group into
+    * power-of-two token-length buckets (n ∈ (2^(b−1), 2^b] → bucket b,
+    * pad target 2^b) and each bucket reports its doc count, true token
+    * mass, padded mass, and padding-waste ratio — the measurement that
+    * justifies length-bucketed batching over naive fixed-length padding
+    * (waste_pct of the naive single-bucket layout is what bucketing
+    * saves). One narrow map + ONE aggregate over ≤ ~40 bucket rows.
+    *
+    * @return (bucket_bits, pad_target, n_docs, sum_tokens,
+    *         padded_tokens, waste_pct)
+    */
+  def lengthBuckets(df: DataFrame, text: Column): DataFrame = {
+    val n = size(split(text, " "))
+    // bits(n-1) = ceil(log2 n) for n ≥ 1 (n=1 → 0 → pad 2^0 = 1);
+    // bin() of a long is exact where log2 on doubles can mis-round
+    val b = when(n <= 1, lit(0))
+      .otherwise(length(bin((n - 1).cast("long"))))
+    // SQL-form shiftleft: the Scala wrapper only takes a literal shift
+    val padT = expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_bits AS INT))")
+    df.filter(text.isNotNull)
+      .select(b.cast("long").as("bucket_bits"), n.cast("long").as("_n"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("sum_tokens"))
+      .select(col("bucket_bits"), padT.as("pad_target"),
+        col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * padT).as("padded_tokens"),
+        Rounding.stable(
+          (col("n_docs") * padT - col("sum_tokens")).cast("double") /
+            (col("n_docs") * padT), 4).as("waste_pct"))
+  }
+
+  /** SQL mirror of [[lengthBuckets]]. */
+  def lengthBucketsSql(table: String, textExpr: String): String =
+    s"""WITH t AS (
+       |  SELECT len(string_split($textExpr, ' ')) AS n FROM $table
+       |  WHERE $textExpr IS NOT NULL),
+       |b AS (
+       |  SELECT CASE WHEN n <= 1 THEN 0
+       |              ELSE length(bin(n - 1)) END AS bucket_bits, n
+       |  FROM t),
+       |g AS (
+       |  SELECT CAST(bucket_bits AS BIGINT) AS bucket_bits,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n) AS BIGINT) AS sum_tokens
+       |  FROM b GROUP BY 1)
+       |SELECT bucket_bits, CAST(2 ** bucket_bits AS BIGINT) AS pad_target,
+       |       n_docs, sum_tokens,
+       |       CAST(n_docs * (2 ** bucket_bits) AS BIGINT) AS padded_tokens,
+       |       ${Rounding.stableSql(
+             "CAST(n_docs * (2 ** bucket_bits) - sum_tokens AS DOUBLE) / (n_docs * (2 ** bucket_bits))",
+             4)} AS waste_pct
+       |FROM g""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Packing
+import graft.operators.{Packing, Rounding}
 
 /** Layout-pass semantics: sliding-window chunk boundaries (overlap,
   * clipped tail, degenerate docs) and the two-phase distributed prefix
@@ -90,5 +90,47 @@ class PackingSpec extends SparkSpec {
         ("en", 0L, 0L), ("en", 1L, 0L), ("en", 2L, 1L), ("en", 3L, 2L),
         ("en", 4L, 2L), ("en", 5L, 5L), ("zh", 0L, 0L), ("zh", 1L, 1L),
         ("zh", 5L, 2L)))
+  }
+
+  test("shuffleLayout: a true permutation equal to the one-window rank spec") {
+    // ids crossing several h-buckets at a tiny bucket size so phase-2
+    // windows and phase-1 offsets both do real work
+    val ids = (0L until 257L).toDF("doc_id")
+    val out = Packing.shuffleLayout(ids, "doc_id", shardSize = 10L,
+        hBucketSize = 1L << 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver twin of the spec: sort by (h, id), rank positionally
+    val want = (0L until 257L)
+      .map(i => (i, (i * Packing.ShuffleMul + Packing.ShuffleAdd) % Packing.ShuffleMod))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex
+      .map { case ((id, _), r) => (id, r.toLong / 10, r.toLong % 10) }
+      .toSet
+    assert(out.toSet == want)
+    // layout is a permutation: every (shard, pos) slot distinct, shards
+    // full except the last
+    assert(out.map(t => (t._2, t._3)).distinct.length == 257)
+    assert(out.map(_._2).max == 25L && out.count(_._2 == 25L) == 7)
+    // and genuinely shuffled: not the identity order
+    assert(out.sortBy(t => (t._2, t._3)).map(_._1).take(10).toSeq !=
+      (0L until 10L).toSeq)
+  }
+
+  test("lengthBuckets: power-of-two boundaries and waste accounting") {
+    // token counts 1, 2, 3, 4, 5, 8, 9 → buckets 0, 1, 2, 2, 3, 3, 4
+    val docs = Seq("a", "a b", "a b c", "a b c d", "a b c d e",
+      "a b c d e f g h", "a b c d e f g h i").toDF("text")
+    val out = Packing.lengthBuckets(docs, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == Seq(
+      (0L, 1L, 1L, 1L, 1L),       // n=1 pads to 1: zero waste
+      (1L, 2L, 1L, 2L, 2L),       // n=2 pads to 2
+      (2L, 4L, 2L, 7L, 8L),       // n=3,4 pad to 4: waste 1/8
+      (3L, 8L, 2L, 13L, 16L),     // n=5,8 pad to 8
+      (4L, 16L, 1L, 9L, 16L)))    // n=9 pads to 16
+    assert(out.map(_._6).toSeq ==
+      Seq(0.0, 0.0, 0.125, Rounding.stableVal(3.0 / 16, 4),
+        Rounding.stableVal(7.0 / 16, 4)))
   }
 }

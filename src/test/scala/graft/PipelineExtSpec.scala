@@ -139,6 +139,21 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("softWeights: 1/|cluster| per member; singletons keep weight 1; mass sums to cluster count") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val w = Dedup.softWeights(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // chain 1-2-3 → weight 1/3 each; pair 4-5 → 1/2; singleton 6 → 1
+    assert(w(1L) == ((1L, 3L, Rounding.stableVal(1.0 / 3, 6))))
+    assert(w(3L) == ((1L, 3L, Rounding.stableVal(1.0 / 3, 6))))
+    assert(w(4L) == ((4L, 2L, 0.5)))
+    assert(w(6L) == ((6L, 1L, 1.0)))
+    // total mass ≈ number of clusters (3), up to the 6-dp rounding
+    val mass = w.values.map(_._3).sum
+    assert(math.abs(mass - 3.0) < 1e-4, s"mass $mass")
+  }
+
   test("hot-bucket cap bounds a degenerate all-identical corpus; normal buckets untouched") {
     // 50 identical docs: every band key is shared by all 50 — the
     // boilerplate shape whose Σ|bucket|² term explodes at 100 TB
