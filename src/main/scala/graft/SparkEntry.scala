@@ -1373,6 +1373,52 @@ object SparkEntry {
           Rounding.stable(count(col("__hit")).cast("double") / Cfg.pqK, 4).as("recall"))
     }),
 
+    // IVF-PQ composite ANN — the FAISS IVFADC+refine layout, the shape
+    // that actually ships at 100 TB: trained coarse lists route the ADC
+    // pass to the probed lists' codes only (~nProbe/nLists of the
+    // corpus), then the k·rerank shortlist re-ranks exact. Reuses the
+    // verified coarse chain (sim_ivf_ann) and codes chain (sim_pq_ann).
+    "sim_ivfpq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
+        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
+      val cwBlocks = Similarity.trainPqCodebooks(
+          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
+          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+          iters = Cfg.kmeansIters)
+        .toDF("m", "cwid", "cwblk")
+      Similarity.topKIvfPq(emb.filter(col("id") < 5), emb, cwBlocks,
+        k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank,
+        centroids = codebook, nProbe = 2)
+    }),
+
+    // IVF-PQ recall gate: the list probe cuts candidates BEFORE the ADC
+    // shortlist, so its recall can only be ≤ plain PQ's — measure it.
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, Cfg.pqK).select(col("q_id"), col("c_id"))
+      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
+        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
+      val cwBlocks = Similarity.trainPqCodebooks(
+          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
+          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+          iters = Cfg.kmeansIters)
+        .toDF("m", "cwid", "cwblk")
+      val ivfpq = Similarity.topKIvfPq(q, emb, cwBlocks,
+          k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank,
+          centroids = codebook, nProbe = 2)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(ivfpq, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / Cfg.pqK, 4).as("recall"))
+    }),
+
     // Quantization-quality measurement: per-query recall of the int8
     // top-3 against the exact-cosine top-3 — completes the
     // "measure, don't guess" trio (LSH recall, minhash estimate
@@ -3059,7 +3105,11 @@ object SparkEntry {
     * scores sim_pq_ann ranks). Margin-bearing raw text for a
     * stripMargin consumer, like [[ivfCtesSql]].
     */
-  private def pqCtesSql: String = {
+  /** The codes-and-reconstruction prefix shared by [[pqCtesSql]] and
+    * [[ivfPqCtesSql]]: eb → per-block Lloyd chains → cw → nearest-
+    * codeword codes → `rec(id, rv)`.
+    */
+  private def pqCodesCtes: String = {
     val sd = Cfg.pqSubDim
     val blockChains = (0 until Cfg.pqM).map { b =>
       kmeansCtesOver(
@@ -3084,7 +3134,11 @@ object SparkEntry {
        |rec AS (
        |  SELECT codes.id, flatten(list(cw.cwblk ORDER BY codes.m)) AS rv
        |  FROM codes JOIN cw ON cw.m = codes.m AND cw.cwid = codes.code
-       |  GROUP BY codes.id),
+       |  GROUP BY codes.id)"""
+  }
+
+  private def pqCtesSql: String =
+    s"""$pqCodesCtes,
        |pqq AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
        |pqsc AS (
        |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
@@ -3096,7 +3150,45 @@ object SparkEntry {
        |pqx AS (
        |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
        |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
-  }
+
+  /** IVF-PQ composite (sim_ivfpq_ann / sim_ivfpq_recall): the PQ codes
+    * prefix + the trained k=8 coarse chain (prefix cg_, the exact
+    * [[ivfCtesSql]] assignment pattern) — ADC scores only the probed
+    * lists' codes (`ipadc`), then the k·rerank shortlist re-ranks by
+    * exact 6-dp cosine (`ipx`).
+    */
+  private def ivfPqCtesSql: String =
+    s"""$pqCodesCtes,
+       |${kmeansCtesOver(
+           "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+           k = 8, p = "cg_")},
+       |cgcent AS (SELECT cid, cv FROM cg_c1),
+       |cgcs AS (
+       |  SELECT c.id AS c_id, cgcent.cid, ${sqlCos("c.v", "cgcent.cv")} AS ccos
+       |  FROM eb c CROSS JOIN cgcent),
+       |cassign AS (
+       |  SELECT c_id, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cgcs)
+       |  WHERE rn = 1),
+       |cgqs AS (
+       |  SELECT q.id AS q_id, q.v AS qv, cgcent.cid, ${sqlCos("q.v", "cgcent.cv")} AS qcos
+       |  FROM (SELECT * FROM eb WHERE id < 5) q CROSS JOIN cgcent),
+       |qassign AS (
+       |  SELECT q_id, qv, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM cgqs)
+       |  WHERE rn <= 2),
+       |ipadc AS (
+       |  SELECT q.q_id, c.c_id, round(${sqlDot("q.qv", "rec.rv")}, 6) AS score
+       |  FROM qassign q JOIN cassign c USING (list_id)
+       |       JOIN rec ON rec.id = c.c_id
+       |  WHERE q.q_id <> c.c_id),
+       |ipshort AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rn FROM ipadc)
+       |  WHERE rn <= ${Cfg.pqK * Cfg.pqRerank}),
+       |ipx AS (
+       |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
+       |  FROM ipshort s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
 
   /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
     * given a probe index column `p` in [0, numPlanes], p = 0 is the
@@ -4077,6 +4169,30 @@ object SparkEntry {
          |SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS hits,
          |       ${Rounding.stableSql(s"count(p.c_id)::DOUBLE / ${Cfg.pqK}", 4)} AS recall
          |FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
+         |GROUP BY b.q_id""".stripMargin,
+
+    "sim_ivfpq_ann" ->
+      s"""WITH $ivfPqCtesSql
+         |SELECT q_id, c_id, score, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM ipx)
+         |WHERE rnk <= ${Cfg.pqK}""".stripMargin,
+
+    "sim_ivfpq_recall" ->
+      s"""WITH $ivfPqCtesSql,
+         |ip AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM ipx)
+         |  WHERE rnk <= ${Cfg.pqK}),
+         |bs AS (
+         |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
+         |  FROM (SELECT * FROM eb WHERE id < 5) q, eb c WHERE q.id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= ${Cfg.pqK})
+         |SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql(s"count(p.c_id)::DOUBLE / ${Cfg.pqK}", 4)} AS recall
+         |FROM brute b LEFT JOIN ip p ON b.q_id = p.q_id AND b.c_id = p.c_id
          |GROUP BY b.q_id""".stripMargin,
 
     "sim_sq_recall" ->

@@ -548,6 +548,17 @@ object Similarity {
     val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
     val scored = rec.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    rankAdcThenExact(scored, corpus, q, k, rerank)
+  }
+
+  /** Shared PQ search tail ([[topKPqBlocks]] / [[topKIvfPq]]): bounded
+    * top-(k·rerank) ADC shortlist per query, then (when rerank > 1)
+    * exact 6-dp cosine over only the shortlisted full-precision vectors
+    * and a final bounded top-k. `scored` carries (q_id, c_id, score);
+    * `q` must be ONE row per query (q_id, q_v).
+    */
+  private def rankAdcThenExact(scored: DataFrame, corpus: DataFrame,
+      q: DataFrame, k: Int, rerank: Int): DataFrame = {
     val top = graft.functions.TopK.topKByScore(if (rerank > 1) k * rerank else k)
     val adcTop = scored.groupBy(col("q_id"))
       .agg(top(col("score"), col("c_id")).as("__top"))
@@ -705,26 +716,7 @@ object Similarity {
     */
   def topKIvfWith(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
-    def centroidCos(vecd: Column, c: Seq[Double]): Column = {
-      val cCol = array(c.map(lit): _*)
-      cosine(vecd, cCol)
-    }
-    // argmax over centroid cosines; ties break to the lowest list id
-    // (strict > in the fold keeps the first).
-    def assignRank(vecd: Column): Seq[(Int, Column)] =
-      centroids.map { case (cid, c) => cid -> centroidCos(vecd, c) }
-
-    def topLists(vecd: Column, n: Int): Column = {
-      // rank centroid ids by cosine desc (id asc on ties) via a sorted
-      // struct array — all plan-time width, no shuffle. Cosines rounded
-      // to 6 dp BEFORE ranking: the oracle ranks by its 6-dp sqlCos, so
-      // an unrounded rank here would break 6-dp centroid-cosine ties
-      // differently and assign different inverted lists.
-      val scored = array(assignRank(vecd).map { case (i, c) =>
-        struct((-round(c, 6)).as("negCos"), lit(i).as("list_id"))
-      }: _*)
-      slice(transform(array_sort(scored), s => s.getField("list_id")), 1, n)
-    }
+    def topLists(vecd: Column, n: Int): Column = coarseTopLists(vecd, centroids, n)
 
     val c = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_vec"))
       .withColumn("list_id", element_at(topLists(col("c_vec"), 1), 1))
@@ -735,6 +727,62 @@ object Similarity {
       .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
     rankTopK(scored, k, Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("cos"), col("rnk"))
+  }
+
+  /** The `n` best inverted-list ids for a vector against a plan-time
+    * coarse codebook: centroid cosines ranked desc (list id asc on
+    * ties) via a sorted struct array — all plan-time width, no shuffle.
+    * Cosines are rounded to 6 dp BEFORE ranking: the oracle ranks by
+    * its 6-dp sqlCos, so an unrounded rank here would break 6-dp
+    * centroid-cosine ties differently and assign different lists.
+    */
+  private def coarseTopLists(vecd: Column,
+      centroids: Seq[(Int, Seq[Double])], n: Int): Column = {
+    val scored = array(centroids.map { case (cid, c) =>
+      struct((-round(cosine(vecd, array(c.map(lit): _*)), 6)).as("negCos"),
+        lit(cid).as("list_id"))
+    }: _*)
+    slice(transform(array_sort(scored), s => s.getField("list_id")), 1, n)
+  }
+
+  /** IVF-PQ composite ANN (the FAISS IVFADC+refine shape — the index
+    * layout that actually ships at 100 TB): the coarse codebook routes
+    * each corpus vector into ONE inverted list and each query probes
+    * its `nProbe` best lists, so the ADC pass scores only the probed
+    * lists' codes instead of the whole corpus; the k·rerank shortlist
+    * is then re-scored with full-precision vectors exactly like
+    * [[topKPqBlocks]]. Composition of the two verified paths: coarse
+    * assignment ≡ [[topKIvfWith]]'s, codes/reconstruction ≡
+    * [[pqEncodeBlocks]]/[[pqReconstructBlocks]].
+    *
+    * Scale shape: centroids are plan-time literals (narrow per-row
+    * assignment, no join); codes ride an id-keyed equi-join to their
+    * list assignment; the probe itself is a broadcast equality join on
+    * list_id (the fan-out multiplies only the query side); exact
+    * re-rank touches k·rerank rows per query. Nothing scans the corpus
+    * more than the encode + assign passes, and nothing is pairwise.
+    */
+  def topKIvfPq(queries: DataFrame, corpus: DataFrame, cwBlocks: DataFrame,
+      k: Int, m: Int, subDim: Int, rerank: Int,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    val rec = pqReconstructBlocks(pqEncodeBlocks(corpus, cwBlocks, m, subDim),
+      cwBlocks)
+      .select(col("id").as("c_id"), col("rv"))
+    val cAssign = corpus
+      .select(col("id").as("c_id"), asDouble(col("vec")).as("c_vecd"))
+      .select(col("c_id"),
+        element_at(coarseTopLists(col("c_vecd"), centroids, 1), 1).as("list_id"))
+    // qBase stays one row per query — the probe explode below must not
+    // leak into the exact-re-rank join (duplicate q rows would clone
+    // shortlist candidates into the final top-k)
+    val qBase = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val q = qBase
+      .withColumn("list_id", explode(coarseTopLists(col("q_v"), centroids, nProbe)))
+    val scored = rec.join(cAssign, Seq("c_id"))
+      .join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    rankAdcThenExact(scored, corpus, qBase, k, rerank)
   }
 
   /** LSH-bucketed approximate top-k: candidates limited to the query's

@@ -634,6 +634,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("IVF-PQ with full probe reproduces plain PQ exactly; narrow probe only prunes") {
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)))
+      .toDF("id", "vec")
+    val codebook = Similarity.collectCentroids(
+      Similarity.trainedCentroids(emb, "id", "vec", k = 3, iters = 2))
+    val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = 2, subDim = 2, k = 4, iters = 2).toDF("m", "cwid", "cwblk")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "score", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val q = emb.filter(col("id") < 3)
+    // probing every list = the list filter never prunes = plain PQ
+    val full = rows(Similarity.topKIvfPq(q, emb, cwBlocks, k = 2, m = 2,
+      subDim = 2, rerank = 3, centroids = codebook, nProbe = 3))
+    val pq = rows(Similarity.topKPqBlocks(q, emb, cwBlocks, k = 2, m = 2,
+      subDim = 2, rerank = 3))
+    assert(full == pq)
+    // nProbe = 1 only PRUNES candidates: ≤ k rows per query, and every
+    // returned score is the exact 6-dp cosine of that pair (the
+    // re-rank stage scores full-precision vectors, never the codes)
+    val narrow = Similarity.topKIvfPq(q, emb, cwBlocks, k = 2, m = 2,
+        subDim = 2, rerank = 3, centroids = codebook, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(narrow.nonEmpty)
+    assert(narrow.groupBy(_._1).values.forall(_.length <= 2))
+    val exactCos = Similarity.topKBrute(q, emb, 11)
+      .select("q_id", "c_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    narrow.foreach { case (qi, ci, s) => assert(exactCos((qi, ci)) == s) }
+  }
+
   test("hard negatives: same-label candidates excluded, ranked desc, label attached") {
     val lv = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
