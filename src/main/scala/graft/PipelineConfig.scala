@@ -172,6 +172,10 @@ final case class PipelineConfig(
     // frequent word-internal adjacent character pairs to report — the
     // candidates the first tokenizer-training merge round chooses from
     bpeTopK: Int = 20,
+    // iterative BPE merge learning (ta_bpe_merges): how many greedy
+    // merge rounds to train — the oracle unrolls exactly this many CTE
+    // stages
+    bpeMergeRounds: Int = 3,
     // winnowing fingerprints (ta_winnow — Schleimer et al., SIGMOD
     // 2003): char k-gram width and the window of consecutive k-gram
     // hashes each fingerprint is the minimum of. Guarantee: any match

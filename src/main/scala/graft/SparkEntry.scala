@@ -1987,6 +1987,16 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ITERATIVE BPE merge learning — the actual tokenizer-training
+    // loop (Sennrich et al.): each round counts adjacent-symbol pairs
+    // over the word-frequency table, takes the argmax (one min-struct
+    // aggregate + 1-row collect, the kmeans-codebook pattern), and
+    // greedily merges it everywhere via the wrapped-symbol replace.
+    // The oracle unrolls the same rounds as CTE stages.
+    "ta_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, dir), "text",
+        rounds = Cfg.bpeMergeRounds)),
+
     // BM25 retrieval for a standing query-term set (benchmark-query
     // doc mining): candidates only — the term filter rides inside the
     // token array before the explode — integer micro-unit
@@ -5167,6 +5177,10 @@ object SparkEntry {
          |      FROM agg)
          |WHERE rnk <= ${Cfg.bm25TopK}""".stripMargin
     },
+
+    "ta_bpe_merges" ->
+      graft.operators.TextAnalysis.bpeMergesSql("documents", "text",
+        rounds = Cfg.bpeMergeRounds),
 
     // Mirrors TextAnalysis.bpePairs + the k-bounded count rank
     // ((cnt DESC, pair ASC) — TopKByCount's ordering).

@@ -447,6 +447,114 @@ object TextAnalysis {
     }))
   }
 
+  /** ITERATIVE BPE merge learning (Sennrich et al. 2016 — the actual
+    * tokenizer-training loop, not just round-1 candidate counting):
+    * starting from character symbols, each round counts adjacent-symbol
+    * pairs over the word-frequency table, picks the most frequent pair
+    * (ties to the lexicographically smaller), and merges every
+    * non-overlapping occurrence left-to-right in every word — exactly
+    * the greedy single-pass application real BPE trainers run.
+    *
+    * Words are wrapped-symbol encoded — every symbol framed as
+    * `~sym~`, so a word's symbol string is `~c~~h~…` — which makes a
+    * plain leftmost non-overlapping `replace(s, "~a~~b~", "~ab~")`
+    * EXACTLY the greedy BPE merge pass: a pattern can only match whole
+    * symbols (both frames must be present), consecutive occurrences
+    * can never share a boundary character (each symbol carries its own
+    * frames), and left-to-right non-overlap is the scan order both
+    * Spark's and DuckDB's `replace` implement. The vocabulary is
+    * lower-cased `[a-z]+` words, so `~` cannot collide with content.
+    *
+    * Scale shape: training runs over the WORD-FREQUENCY table (vocab
+    * rows, not corpus rows) — one corpus-scan aggregate up front, then
+    * every round is one narrow pair-explode + one map-side-combined
+    * count over the bounded pair domain + ONE argmin-struct row
+    * collected driver-side (the kmeans-codebook pattern; loop control
+    * only). The per-round symbol re-write is a narrow map over vocab
+    * rows with per-round lineage truncation.
+    *
+    * @return one row per learned merge: (round, left_sym, right_sym,
+    *         pair_count), rounds 1..`rounds` (fewer if the pair domain
+    *         drains first)
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    val spark = docs.sparkSession
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .select(lower(col("__t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms = words.select(
+      concat_ws("", transform(split(col("w"), ""),
+        c => concat(lit("~"), c, lit("~")))).as("s"),
+      col("freq"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var drained = false
+    for (r <- 1 to rounds if !drained) {
+      val pc = syms
+        .select(filter(split(col("s"), "~"), x => x =!= "").as("syms"), col("freq"))
+        .select(explode(filter(
+          zip_with(col("syms"),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            (a, b) => struct(a.as("pa"), b.as("pb"))),
+          p => p.getField("pb").isNotNull)).as("p"), col("freq"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+      // argmax(count) with (pa, pb) ascending tie-break, as ONE bounded
+      // min-struct aggregate — never a global sort
+      val best = pc.agg(min(struct((-col("cnt")).as("neg"),
+        col("pa"), col("pb"))).as("b")).collect()(0)
+      if (best.isNullAt(0)) drained = true
+      else {
+        val b = best.getStruct(0)
+        val pa: String = b.getString(1)
+        val pb: String = b.getString(2)
+        val cnt: Long = -b.getLong(0)
+        merges += ((r, pa, pb, cnt))
+        // pa/pb are [a-z]+ by construction — literal-safe in the expr
+        syms = syms.select(
+          expr(s"replace(s, '~$pa~~$pb~', '~$pa$pb~')").as("s"), col("freq"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** SQL mirror of [[bpeMerges]]: the rounds unrolled as CTE stages
+    * (the kmeans-oracle pattern), same wrapped-symbol replace.
+    */
+  def bpeMergesSql(table: String, textExpr: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""u$r AS (
+         |  SELECT syms, freq, UNNEST(range(1, len(syms))) AS i
+         |  FROM (SELECT list_filter(string_split(s, '~'), x -> x <> '') AS syms, freq
+         |        FROM s${r - 1}) t),
+         |e$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, freq FROM u$r),
+         |p$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         |s$r AS (SELECT replace(s, '~' || pa || '~~' || pb || '~', '~' || pa || pb || '~') AS s, freq
+         |        FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, pa AS left_sym, pb AS right_sym, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lower(unnest(string_split($textExpr, ' '))) AS w
+       |        FROM $table WHERE $textExpr IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT array_to_string(list_transform(string_split(w, ''), c -> '~' || c || '~'), '') AS s,
+       |         freq
+       |  FROM w0),
+       |$roundCtes
+       |$out""".stripMargin
+  }
+
   /** Winnowing fingerprint columns (Schleimer et al., SIGMOD 2003 — the
     * MOSS selection rule): hash every char k-gram (Karp-Rabin — the
     * paper's own rolling-hash family, [[WinnowBase]]/[[WinnowMod]],

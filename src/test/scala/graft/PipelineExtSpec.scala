@@ -800,6 +800,43 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bpeMerges: multi-round greedy merges match a hand-derived trace") {
+    // corpus (after lowercase + [a-z]+ filter): "abab" ×3, "abc" ×2,
+    // "aaa" ×1 — "Zz9" and null are dropped by the filter
+    val docs = Seq(
+      Some("abab abc ABAB"), Some("abab abc aaa"), None
+    ).toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // round 1 pairs: abab(f3): (a,b)x2 (b,a)x1 → (a,b)=6+2=8 with abc(f2)
+    //   (a,b): 3*2 + 2*1 = 8 ; (b,a): 3 ; (b,c): 2 ; (a,a): "aaa" greedy
+    //   adjacent = (a,a)x2 = 2. argmax = (a,b) 8
+    assert(out(0) == ((1, "a", "b", 8L)))
+    // round 2: "abab"→[ab,ab], "abc"→[ab,c], "aaa" unchanged [a,a,a]
+    //   pairs: (ab,ab)=3, (ab,c)=2, (a,a)=2 → argmax (ab,ab) 3
+    assert(out(1) == ((2, "ab", "ab", 3L)))
+    // round 3: "abab"→[abab], "abc" still [ab,c], "aaa" [a,a,a]
+    //   pairs: (ab,c)=2, (a,a)=2 → tie breaks lexicographically: (a,a)
+    assert(out(2) == ((3, "a", "a", 2L)))
+  }
+
+  test("bpeMerges: greedy left-to-right within-word overlap (aaa -> [aa, a])") {
+    // one word "aaaa" ×1: round 1 (a,a)=3 (all adjacent pairs counted);
+    // merging leaves [aa, aa] — greedy non-overlapping left-to-right
+    val docs = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1, "a", "a", 3L)))   // freq 1 word, 3 adjacent pairs
+    assert(out(1) == ((2, "aa", "aa", 1L))) // [aa, aa] → one (aa,aa) pair
+  }
+
+  test("bpeMerges: drains cleanly when no pairs remain") {
+    val docs = Seq("a b c").toDF("text") // all 1-char words: no pairs ever
+    assert(TextAnalysis.bpeMerges(docs, "text", rounds = 3).count() == 0)
+  }
+
   test("quality columns: counts and clamped linear score") {
     val r = Seq("the cat sat on a mat!").toDF("text")
       .select(TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
