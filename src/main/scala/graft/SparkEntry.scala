@@ -753,6 +753,21 @@ object SparkEntry {
         withTs, "doc_id", col("text"), "ts", Cfg.paraBlockTokens)
     }),
 
+    // ST14 — batch shadow of StreamingSoftWeights.occurrenceWeights:
+    // the live SoftDeDup rule — every copy admitted with weight
+    // 1/arrival-rank of its content hash (batch dedup_soft weights the
+    // FINISHED cluster uniformly at 1/|cluster|; a stream can't see
+    // future copies, so mass is front-loaded instead — the scan pins
+    // that divergence). st9's arrival layout: re-crawl copies an hour
+    // after their originals.
+    "st14_soft_scan" -> ((s, dir) => {
+      val withTs = recrawl(s, dir).withColumn("ts", timestamp_seconds(
+        lit(1704067200L) + (col("doc_id") % 1000000) +
+          expr("doc_id div 1000000") * 3600))
+      graft.streaming.StreamingSoftWeights.occurrenceWeightScan(
+        withTs, "doc_id", col("text"), "ts")
+    }),
+
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
     // merge: dedup_spans' boilerplate fixture with st8's arrival layout
     // (doc_id seconds past 2024-01-01), every window occurrence EXCEPT
@@ -3624,6 +3639,22 @@ object SparkEntry {
          |       FROM pdr GROUP BY doc_id)
          |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin
     },
+
+    // ST14 — occurrence rank per content hash in arrival order; weight
+    // 1/rank (the stream's front-loaded SoftDeDup mass).
+    "st14_soft_scan" ->
+      s"""WITH $RecrawlCte,
+         |tsd AS (
+         |  SELECT doc_id, md5(text) AS text_hash,
+         |         make_timestamp((1704067200 + doc_id % 1000000 + (doc_id // 1000000) * 3600) * 1000000) AS ts
+         |  FROM corpus),
+         |r AS (
+         |  SELECT doc_id, text_hash,
+         |         CAST(row_number() OVER (PARTITION BY text_hash ORDER BY ts, doc_id) AS BIGINT) AS occurrence
+         |  FROM tsd)
+         |SELECT doc_id, text_hash, occurrence,
+         |       ${Rounding.stableSql("1.0 / occurrence", 6)} AS weight
+         |FROM r""".stripMargin,
 
     // ST11 — dedup_spans' window/island chain with hit = every window
     // occurrence EXCEPT its hash's first arrival (rn > 1 over

@@ -238,6 +238,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, "a b c d"), (11L, 2L, 1L, "x y")))
   }
 
+  test("occurrenceWeights: 1/arrival-rank per hash, count state carried across batches") {
+    import graft.streaming.StreamingSoftWeights
+    import graft.streaming.StreamingSoftWeights.DocIn
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    def d(doc: Long, hash: String, t: String) =
+      DocIn(doc, hash, java.sql.Timestamp.valueOf(t))
+    val q = StreamingSoftWeights.occurrenceWeights(input.toDS())
+      .writeStream.format("memory").queryName("osw").outputMode("append").start()
+    try {
+      input.addData(
+        d(2L, "hA", "2024-01-01 10:00:05"), // later ts — ranks AFTER doc 1 in-batch
+        d(1L, "hA", "2024-01-01 10:00:01"),
+        d(1L, "hB", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(
+        d(3L, "hA", "2024-01-01 10:00:00")) // earlier ts, later batch: rank 3 (arrival order)
+      q.processAllAvailable()
+      val got = spark.table("osw").collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+      assert(got == Seq(
+        ("hA", 1L, 1L, 1.0), ("hA", 2L, 2L, 0.5),
+        ("hA", 3L, 3L, graft.operators.Rounding.stableVal(1.0 / 3, 6)),
+        ("hB", 1L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("occurrenceWeightScan: (ts, doc) arrival rank matches the streamed replay") {
+    import graft.streaming.StreamingSoftWeights
+    val rows = Seq(
+      (1L, "same text", "2024-01-01 10:00:01"),
+      (2L, "same text", "2024-01-01 10:00:05"),
+      (3L, "same text", "2024-01-01 10:00:03"),
+      (4L, "other", "2024-01-01 10:00:02")
+    ).map { case (i, t, ts) => (i, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts")
+    val got = StreamingSoftWeights.occurrenceWeightScan(rows, "doc_id",
+        org.apache.spark.sql.functions.col("text"), "ts")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // ts order ranks doc 3 ahead of doc 2 despite the lower doc_id
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(3L) == ((2L, 0.5)))
+    assert(got(2L) == ((3L, graft.operators.Rounding.stableVal(1.0 / 3, 6))))
+    assert(got(4L) == ((1L, 1.0)))
+  }
+
   test("firstSeenFingerprints: a fingerprint deposits once, later arrivals read seen_before") {
     import graft.streaming.StreamingWinnow
     import graft.streaming.StreamingWinnow.FpIn
