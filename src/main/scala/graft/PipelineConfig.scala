@@ -148,6 +148,12 @@ final case class PipelineConfig(
     cosMaxCell: Int = graft.operators.Similarity.DefaultMaxCell,
     // per-cluster row target for diversity sampling (sim_diversity_sample)
     diversityTarget: Int = 50,
+    // MMR diversity re-rank (sim_mmr): selections per query, relevance
+    // shortlist width, and the relevance-vs-redundancy trade λ. The
+    // oracle unrolls exactly mmrK greedy steps — keep in sync.
+    mmrK: Int = 3,
+    mmrShortlist: Int = 10,
+    mmrLambda: Double = 0.7,
     // blocked record linkage (j6_fuzzy_join): inclusive edit-distance
     // threshold for the banded levenshtein, plus the hot-block guard
     // (blocks above this size are dropped from pair generation)

@@ -1388,6 +1388,18 @@ object SparkEntry {
           Rounding.stable(count(col("__hit")).cast("double") / Cfg.pqK, 4).as("recall"))
     }),
 
+    // MMR diversity re-rank — the post-retrieval pass that trades
+    // relevance against redundancy: greedy λ·rel − (1−λ)·max-sim-to-
+    // selected over the brute top-10 shortlist, k=3 picks per query.
+    // Each greedy step is one broadcast-bounded plan stage (the
+    // selected set is ≤ k rows per query); no collects, no windows.
+    "sim_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.mmrRerank(emb.filter(col("id") < 5), emb,
+        k = Cfg.mmrK, shortlist = Cfg.mmrShortlist, lam = Cfg.mmrLambda)
+    }),
+
     // IVF-PQ composite ANN — the FAISS IVFADC+refine layout, the shape
     // that actually ships at 100 TB: trained coarse lists route the ADC
     // pass to the probed lists' codes only (~nProbe/nLists of the
@@ -3176,6 +3188,58 @@ object SparkEntry {
        |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
        |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
 
+  /** MMR greedy re-rank (sim_mmr) unrolled to Cfg.mmrK CTE steps: each
+    * step scores the not-yet-selected shortlist rows by
+    * λ·rel − (1−λ)·max-sim-to-selected (stable-rounded, ties to lower
+    * c_id) and picks rank 1. λ and 1−λ are interpolated from the SAME
+    * Scala doubles the Spark plan multiplies by (1−0.7 is not the
+    * literal 0.3 in binary — emitting the round-tripped value keeps the
+    * products bit-identical).
+    */
+  private def mmrOracleSql: String = {
+    val lam = Cfg.mmrLambda
+    val oneMinus = 1 - Cfg.mmrLambda
+    val steps = (2 to Cfg.mmrK).map { r =>
+      val selUnion = (1 until r).map(i => s"SELECT q_id, c_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS ($selUnion),
+         |m$r AS (
+         |  SELECT cand.q_id, cand.c_id, cand.rel,
+         |         max(round(${sqlCos("cv.v", "sv.v")}, 6)) AS maxsim
+         |  FROM cand
+         |  JOIN eb cv ON cv.id = cand.c_id
+         |  JOIN sel$r s ON s.q_id = cand.q_id
+         |  JOIN eb sv ON sv.id = s.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$r x
+         |                    WHERE x.q_id = cand.q_id AND x.c_id = cand.c_id)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS (SELECT q_id, c_id,
+         |               ${Rounding.stableSql(s"rel * $lam - maxsim * $oneMinus", 6)} AS obj
+         |        FROM m$r),
+         |s$r AS (SELECT q_id, c_id, obj
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY obj DESC, c_id ASC) AS rn FROM p$r)
+         |        WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to Cfg.mmrK).map(r =>
+      s"SELECT q_id, c_id, obj AS mmr_score, CAST($r AS INT) AS rnk FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |mq AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
+       |bs AS (
+       |  SELECT q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS rel
+       |  FROM mq, eb c WHERE q_id <> c.id),
+       |cand AS (
+       |  SELECT q_id, c_id, rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id ASC) AS rn FROM bs)
+       |  WHERE rn <= ${Cfg.mmrShortlist}),
+       |p1 AS (SELECT q_id, c_id, ${Rounding.stableSql(s"rel * $lam", 6)} AS obj FROM cand),
+       |s1 AS (SELECT q_id, c_id, obj
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY obj DESC, c_id ASC) AS rn FROM p1)
+       |       WHERE rn = 1),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** IVF-PQ composite (sim_ivfpq_ann / sim_ivfpq_recall): the PQ codes
     * prefix + the trained k=8 coarse chain (prefix cg_, the exact
     * [[ivfCtesSql]] assignment pattern) — ADC scores only the probed
@@ -4211,6 +4275,8 @@ object SparkEntry {
          |       ${Rounding.stableSql(s"count(p.c_id)::DOUBLE / ${Cfg.pqK}", 4)} AS recall
          |FROM brute b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
          |GROUP BY b.q_id""".stripMargin,
+
+    "sim_mmr" -> mmrOracleSql,
 
     "sim_ivfpq_ann" ->
       s"""WITH $ivfPqCtesSql

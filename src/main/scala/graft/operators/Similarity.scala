@@ -785,6 +785,63 @@ object Similarity {
     rankAdcThenExact(scored, corpus, qBase, k, rerank)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998 —
+    * the diversity pass retrieval pipelines run AFTER similarity
+    * search): from each query's `shortlist`-wide relevance candidates,
+    * greedily select `k` items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — relevance traded against
+    * redundancy with what is already selected (S = ∅ on the first pick,
+    * so its objective is λ·rel).
+    *
+    * The greedy loop is inherently sequential in k, so each of the k
+    * driver-loop steps is one plan stage over the BOUNDED per-query
+    * shortlist: an anti-join against the ≤(step−1)-row selected set, a
+    * broadcast join to attach selected vectors, one max-sim aggregate,
+    * and one argmax min-struct aggregate — no collects, no windows, and
+    * every join input is candidate- or selection-bounded (k·|queries|
+    * rows), never corpus-sized. Objectives are stable-rounded at 6 dp
+    * (ties to the lower c_id) so the unrolled-CTE oracle agrees.
+    *
+    * @return (q_id, c_id, mmr_score, rnk) — rnk = selection order 1..k
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, lam: Double): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist, got $k/$shortlist")
+    val cVecs = corpus.select(col("id").as("c_id"), asDouble(col("vec")).as("c_v"))
+    val cands = topKBrute(queries, corpus, shortlist)
+      .select(col("q_id"), col("c_id"), col("cos").as("rel"))
+      .join(cVecs, Seq("c_id"))
+      .localCheckpoint(eager = false)
+    var selected: DataFrame = null
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null)
+          cands.select(col("q_id"), col("c_id"), col("c_v"),
+            Rounding.stable(col("rel") * lam, 6).as("obj"))
+        else {
+          val sel = selected.select(col("q_id"), col("c_id"), col("c_v"))
+          val selV = sel.select(col("q_id"), col("c_v").as("s_v"))
+          cands.join(broadcast(sel.select(col("q_id"), col("c_id"))),
+              Seq("q_id", "c_id"), "left_anti")
+            .join(broadcast(selV), Seq("q_id"))
+            .groupBy(col("q_id"), col("c_id"))
+            .agg(first(col("rel")).as("rel"), first(col("c_v")).as("c_v"),
+              max(round(cosine(col("c_v"), col("s_v")), 6)).as("maxsim"))
+            .select(col("q_id"), col("c_id"), col("c_v"),
+              Rounding.stable(col("rel") * lam - col("maxsim") * (1 - lam), 6)
+                .as("obj"))
+        }
+      val pick = scored.groupBy(col("q_id"))
+        .agg(min(struct((-col("obj")).as("neg"), col("c_id"))).as("b"),
+          min_by(col("c_v"), struct((-col("obj")).as("neg"), col("c_id"))).as("c_v"))
+        .select(col("q_id"), col("b.c_id").as("c_id"), col("c_v"),
+          (-col("b.neg")).as("mmr_score"), lit(step).cast("int").as("rnk"))
+      selected = (if (selected == null) pick else selected.unionByName(pick))
+        .localCheckpoint(eager = false)
+    }
+    selected.select(col("q_id"), col("c_id"), col("mmr_score"), col("rnk"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates limited to the query's
     * bucket, then exact cosine + rank within. Same output shape as
     * [[topKBrute]] (bucket column added); recall is partial by design.

@@ -666,6 +666,28 @@ class SimilaritySpec extends SparkSpec {
     narrow.foreach { case (qi, ci, s) => assert(exactCos((qi, ci)) == s) }
   }
 
+  test("mmrRerank: near-duplicate of the first pick loses to a diverse candidate") {
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),     // the query
+      (1L, Array(0.9f, 0.43589f, 0.0f)),   // most relevant — picked first
+      (2L, Array(0.88f, 0.47f, 0.01f)),    // 2nd by relevance but ~duplicate of 1
+      (3L, Array(0.8f, -0.6f, 0.0f))       // less relevant, diverse
+    ).toDF("id", "vec")
+    val q = emb.filter(col("id") === 100L)
+    // plain relevance would rank 1, 2, 3 …
+    val brute = Similarity.topKBrute(q, emb, 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(brute == Seq(1L, 2L, 3L))
+    // … MMR demotes the near-duplicate: 1, 3, 2
+    val mmr = Similarity.mmrRerank(q, emb, k = 3, shortlist = 3, lam = 0.7)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(mmr == Seq((1L, 1), (3L, 2), (2L, 3)))
+    // λ = 1 is pure relevance: MMR degenerates to the brute order
+    val pureRel = Similarity.mmrRerank(q, emb, k = 3, shortlist = 3, lam = 1.0)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(pureRel == brute)
+  }
+
   test("hard negatives: same-label candidates excluded, ranked desc, label attached") {
     val lv = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
