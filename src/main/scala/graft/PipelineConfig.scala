@@ -194,7 +194,14 @@ final case class PipelineConfig(
     bm25Terms: Seq[String] = Seq("spark", "stream", "window"),
     bm25TopK: Int = 15,
     bm25K1: Double = 1.2,
-    bm25B: Double = 0.75) {
+    bm25B: Double = 0.75,
+    // reciprocal-rank fusion (ta_rrf_fusion): the RRF smoothing
+    // constant (60 — Cormack et al.'s standard), the dense side's
+    // standing query vector id + top-k width, and the fused list width
+    rrfK: Int = 60,
+    rrfDenseQueryId: Long = 0L,
+    rrfDenseK: Int = 10,
+    rrfTopK: Int = 10) {
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

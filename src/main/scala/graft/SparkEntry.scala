@@ -2032,6 +2032,24 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Cfg.bm25Terms, Cfg.bm25TopK, Cfg.bm25K1, Cfg.bm25B)),
 
+    // Reciprocal-rank fusion (Cormack et al.) — the hybrid-retrieval
+    // combiner: the BM25 standing-query list fused with the dense
+    // cosine list for the standing query vector by Σ 1/(K+rank). Both
+    // inputs are k-bounded rankings, so the fusion join and final rank
+    // touch ≤ k₁+k₂ rows at any corpus size.
+    "ta_rrf_fusion" -> ((s, dir) => {
+      val bm = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Cfg.bm25Terms, Cfg.bm25TopK, Cfg.bm25K1, Cfg.bm25B)
+        .select(col("doc_id"), col("rnk").as("bm25_rnk"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = Similarity.topKBrute(
+          emb.filter(col("id") === Cfg.rrfDenseQueryId), emb, Cfg.rrfDenseK)
+        .select(col("c_id").as("doc_id"), col("rnk").cast("int").as("cos_rnk"))
+      TextAnalysis.rrfFuse(bm, "bm25_rnk", dense, "cos_rnk", "doc_id",
+        kConst = Cfg.rrfK, topK = Cfg.rrfTopK)
+    }),
+
     // Winnowing fingerprint profile (Schleimer et al.): per-doc k-gram
     // count, distinct fingerprint count, and order-free integer summary
     // stats of the fingerprint set — the selection layer a
@@ -3187,6 +3205,48 @@ object SparkEntry {
        |pqx AS (
        |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
        |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
+
+  /** BM25 CTE chain (ta_bm25_topk / ta_rrf_fusion): candidate-term
+    * occurrences → integer micro-unit Robertson contributions → exact
+    * per-doc sums → `bmr(doc_id, bm25, rnk)` (rnk ≤ bm25TopK).
+    */
+  private def bm25CtesSql: String = {
+    val (k1, b) = (Cfg.bm25K1, Cfg.bm25B)
+    val termList = Cfg.bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""dtl AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE text IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, len(ts) AS dl,
+       |         unnest(list_filter(ts, t -> list_contains($termList, t))) AS term
+       |  FROM dtl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |         max(dl) AS dl
+       |  FROM occ GROUP BY 1, 2),
+       |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(ts)) AS BIGINT) AS tot_dl
+       |  FROM dtl),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         CAST(round((tot.n_docs - dfd.df + 0.5) / (dfd.df + 0.5)
+       |           * (tf.tf * ${k1 + 1})
+       |           / (tf.tf + ${k1} * (${1 - b} + ${b} * tf.dl
+       |                / (CAST(tot.tot_dl AS DOUBLE) / tot.n_docs)))
+       |           * 1000000.0) AS BIGINT) AS contrib_u
+       |  FROM tf JOIN dfd USING (term) CROSS JOIN tot),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(contrib_u) AS BIGINT) AS score_u
+       |  FROM sc GROUP BY 1),
+       |bmr AS (
+       |  SELECT doc_id, CAST(score_u AS DOUBLE) / 1000000.0 AS bm25,
+       |         CAST(rnk AS INT) AS rnk
+       |  FROM (SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rnk
+       |        FROM agg)
+       |  WHERE rnk <= ${Cfg.bm25TopK})""".stripMargin
+  }
 
   /** MMR greedy re-rank (sim_mmr) unrolled to Cfg.mmrK CTE steps: each
     * step scores the not-yet-selected shortlist rows by
@@ -5238,42 +5298,37 @@ object SparkEntry {
     // Mirrors TextAnalysis.bm25TopK: same operation order per term, the
     // k1/b-derived float constants interpolated from the SAME Scala
     // doubles, integer micro-unit sum, (score DESC, doc ASC) rank.
-    "ta_bm25_topk" -> {
-      val (k1, b) = (Cfg.bm25K1, Cfg.bm25B)
-      val termList = Cfg.bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
-      s"""WITH dtl AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-         |  WHERE text IS NOT NULL),
-         |occ AS (
-         |  SELECT doc_id, len(ts) AS dl,
-         |         unnest(list_filter(ts, t -> list_contains($termList, t))) AS term
-         |  FROM dtl),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-         |         max(dl) AS dl
-         |  FROM occ GROUP BY 1, 2),
-         |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |tot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(len(ts)) AS BIGINT) AS tot_dl
-         |  FROM dtl),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |         CAST(round((tot.n_docs - dfd.df + 0.5) / (dfd.df + 0.5)
-         |           * (tf.tf * ${k1 + 1})
-         |           / (tf.tf + ${k1} * (${1 - b} + ${b} * tf.dl
-         |                / (CAST(tot.tot_dl AS DOUBLE) / tot.n_docs)))
-         |           * 1000000.0) AS BIGINT) AS contrib_u
-         |  FROM tf JOIN dfd USING (term) CROSS JOIN tot),
-         |agg AS (
-         |  SELECT doc_id, CAST(sum(contrib_u) AS BIGINT) AS score_u
-         |  FROM sc GROUP BY 1)
-         |SELECT doc_id, CAST(score_u AS DOUBLE) / 1000000.0 AS bm25,
-         |       CAST(rnk AS INT) AS rnk
-         |FROM (SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rnk
-         |      FROM agg)
-         |WHERE rnk <= ${Cfg.bm25TopK}""".stripMargin
-    },
+    "ta_bm25_topk" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, bm25, rnk FROM bmr""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 standing-query list with the
+    // dense cosine list for the standing query vector — Σ 1/(K+rank),
+    // absent list contributes 0, fused rank over the ≤ k₁+k₂ union.
+    "ta_rrf_fusion" ->
+      s"""WITH $bm25CtesSql,
+         |deb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |dq AS (SELECT v AS qv FROM deb WHERE id = ${Cfg.rrfDenseQueryId}),
+         |dsc AS (
+         |  SELECT c.id AS doc_id, round(${sqlCos("qv", "c.v")}, 6) AS cos
+         |  FROM dq, deb c WHERE c.id <> ${Cfg.rrfDenseQueryId}),
+         |dr AS (
+         |  SELECT doc_id, CAST(rnk AS INT) AS rnk
+         |  FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk FROM dsc)
+         |  WHERE rnk <= ${Cfg.rrfDenseK}),
+         |fj AS (
+         |  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |         b.rnk AS bm25_rnk, d.rnk AS cos_rnk
+         |  FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id),
+         |fs AS (
+         |  SELECT doc_id, bm25_rnk, cos_rnk,
+         |         ${Rounding.stableSql(
+               s"coalesce(1.0 / (bm25_rnk + ${Cfg.rrfK}), 0) + coalesce(1.0 / (cos_rnk + ${Cfg.rrfK}), 0)",
+               6)} AS rrf
+         |  FROM fj)
+         |SELECT doc_id, bm25_rnk, cos_rnk, rrf, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk FROM fs)
+         |WHERE rnk <= ${Cfg.rrfTopK}""".stripMargin,
 
     "ta_bpe_merges" ->
       graft.operators.TextAnalysis.bpeMergesSql("documents", "text",

@@ -523,6 +523,34 @@ object TextAnalysis {
     merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard hybrid-
+    * retrieval combiner): two ranked lists over the same id domain fuse
+    * by Σ 1/(K + rank), a document missing from one list contributing 0
+    * from it. The inputs are already k-bounded rankings (BM25 top-k,
+    * dense top-k), so the full-outer join and the final top-k rank are
+    * bounded by k₁+k₂ rows regardless of corpus size; the fused rank is
+    * the same bounded TopKByScore aggregate every ANN path uses.
+    *
+    * @param a,b  ranked lists carrying (`idCol`, `aRank`/`bRank`)
+    * @return (idCol, aRank, bRank, rrf, rnk) for the fused top `topK`
+    */
+  def rrfFuse(a: DataFrame, aRank: String, b: DataFrame, bRank: String,
+      idCol: String, kConst: Int, topK: Int): DataFrame = {
+    val joined = a.select(col(idCol), col(aRank))
+      .join(b.select(col(idCol), col(bRank)), Seq(idCol), "full_outer")
+    val scored = joined.select(col(idCol), col(aRank), col(bRank),
+      Rounding.stable(
+        coalesce(lit(1.0) / (col(aRank) + kConst), lit(0.0)) +
+          coalesce(lit(1.0) / (col(bRank) + kConst), lit(0.0)), 6).as("rrf"))
+    val top = graft.functions.TopK.topKByScore(topK)
+    val picked = scored.groupBy()
+      .agg(top(col("rrf"), col(idCol)).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("pos", "kv")))
+      .select(col("kv._2").as(idCol), (col("pos") + 1).cast("int").as("rnk"))
+    picked.join(scored, Seq(idCol))
+      .select(col(idCol), col(aRank), col(bRank), col("rrf"), col("rnk"))
+  }
+
   /** SQL mirror of [[bpeMerges]]: the rounds unrolled as CTE stages
     * (the kmeans-oracle pattern), same wrapped-symbol replace.
     */

@@ -602,4 +602,67 @@ class ExplainAuditSpec extends SparkSpec {
         .findAllMatchIn(p).size == 3,
       s"events scans read beyond (ts, user_id):\n$p")
   }
+
+  test("ta_shuffle: two-phase rank — offsets broadcast back, per-bucket windows only") {
+    val p = plan("ta_shuffle")
+    // phase 2's window partitions by the h-bucket (bounded rows); the
+    // only single-partition window is phase 1's over the tiny bucket-
+    // totals table — the fact side must never sort through one task
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets lost the broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the docs scan reads only the id column
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"shuffle scan reads beyond doc_id:\n$p")
+  }
+
+  test("ta_length_buckets: one narrow map + one partial-aggregated exchange") {
+    val p = plan("ta_length_buckets")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // map-side combine before the ~40-row bucket exchange
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bucket aggregate lost map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"bucket scan reads beyond text:\n$p")
+  }
+
+  test("sim_ivfpq_ann: probe is equi-join on list_id; shortlist rank via bounded aggregate") {
+    val p = plan("sim_ivfpq_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidate generation degenerated:\n$p")
+    assert(p.contains("list_id"), s"probe lost the list_id equi-join:\n$p")
+    assert(!p.contains("Window"), s"ranking fell back to a window sort:\n$p")
+  }
+
+  test("sim_mmr: greedy steps are broadcast joins over the bounded shortlist") {
+    val p = plan("sim_mmr")
+    assert(!p.contains("CartesianProduct"), s"MMR planned a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"selection joins lost their broadcast (selected set is <=k rows/query):\n$p")
+    assert(!p.contains("Window"), s"argmax fell back to a window sort:\n$p")
+  }
+
+  test("dedup_soft: weights via one count aggregate + label-keyed join on the closure") {
+    val p = plan("dedup_soft")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"soft weights degenerated:\n$p")
+    assert(!p.contains("Window"), s"cluster sizing ranks through a window:\n$p")
+  }
+
+  test("ta_bpe_merges trains on the word-frequency table with map-side combine") {
+    // the plan of the FIRST round's pair count (the per-round shape):
+    // corpus scan → explode → partial count (vocab compression) →
+    // exchange → pair aggregate; no window, no join
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val words = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("__t"))
+      .select(lower(col("__t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val p = words.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"word-frequency aggregate lost map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"BPE corpus scan reads beyond text:\n$p")
+  }
 }

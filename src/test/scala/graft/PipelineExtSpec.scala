@@ -859,6 +859,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(docs, "text", rounds = 3).count() == 0)
   }
 
+  test("rrfFuse: reciprocal ranks sum, single-list docs keep one term, ties to lower id") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "a_rnk")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "b_rnk")
+    val out = TextAnalysis.rrfFuse(a, "a_rnk", b, "b_rnk", "doc_id",
+        kConst = 60, topK = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getDouble(3), r.getInt(4)))).toMap
+    def s(v: Double) = Rounding.stableVal(v, 6)
+    // doc 20 appears in both lists: 1/62 + 1/61
+    assert(out(20L) == ((Some(2), Some(1), s(1.0 / 62 + 1.0 / 61), 1)))
+    assert(out(10L) == ((Some(1), None, s(1.0 / 61), 2)))
+    assert(out(40L) == ((None, Some(2), s(1.0 / 62), 3)))
+    assert(out(30L) == ((Some(3), None, s(1.0 / 63), 4)))
+  }
+
   test("quality columns: counts and clamped linear score") {
     val r = Seq("the cat sat on a mat!").toDF("text")
       .select(TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
