@@ -90,6 +90,16 @@ for i, n in enumerate(names):
           (f" FLAKY {err}" if best is not None and err else ""), flush=True)
 
 sf_name = [p for p in sf_dir.split("/") if p][-1]
+# A name-subset run MERGES into the existing dump (same sf only) —
+# clobbering the other ~140 baselines would silently disable Bench's
+# de-contention ordering and stall detection for every other query.
+if only and os.path.exists(out_json):
+    try:
+        prev = json.load(open(out_json))
+        if prev.get("sf") == sf_name:
+            res = {**prev.get("queries_ms", {}), **res}
+    except Exception:
+        pass
 body = {
     "sf": sf_name, "unit": "ms",
     "mode": f"solo (one JVM per query, min over {runs} run(s))",
