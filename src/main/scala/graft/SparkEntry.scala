@@ -2385,6 +2385,41 @@ object SparkEntry {
         bucketSize = Cfg.shardBucketSize)
     }),
 
+    // E7 — the training-mix assembly flagship (the round-15 stages in
+    // ONE DAG): (1) SoftDeDup weights over the re-crawl's minhash
+    // closure (duplicates reweighted 1/|cluster|, never dropped),
+    // (2) heuristic quality gate, (3) power-of-two length-bucket tag
+    // for batch assembly, (4) deterministic epoch-shuffle layout over
+    // the SURVIVORS — the (weight, quality, bucket, shard slot) tuple a
+    // training job consumes per document. The closure is the bounded
+    // label-propagation loop; everything downstream is one quality
+    // projection, one id-keyed join, and the two-phase shuffle rank.
+    "e7_training_mix" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+          threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
+        .select(col("doc_a"), col("doc_b"))
+      val sw = Dedup.softWeights(corpus.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster_size"), col("weight"))
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      val n = size(split(col("text"), " "))
+      val bits = when(n <= 1, lit(0))
+        .otherwise(length(bin((n - 1).cast("long")))).cast("long")
+      val gated = corpus
+        .select(col("doc_id"), q("quality").as("quality"), bits.as("bucket_bits"))
+        .filter(col("quality") >= Cfg.qualityMin)
+      val base = gated.join(sw, Seq("doc_id"))
+      val laid = Packing.shuffleLayout(base.select(col("doc_id")), "doc_id",
+        shardSize = Cfg.shuffleShardSize)
+      base.join(laid, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("weight"),
+          col("quality"), col("bucket_bits"), col("shard_id"), col("shard_pos"))
+    }),
+
     // GROUPING SETS profile with grouping_id — the per-lang, per-source,
     // and per-(lang,source) corpus rollout in ONE Expand pass (three
     // separate aggregations would scan the corpus three times;
@@ -4015,6 +4050,34 @@ object SparkEntry {
 
     "dedup_soft" -> softWeightsOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
       threshold = Cfg.nearDupThreshold),
+
+    // E7 — soft weights (recursive closure) ⨝ quality gate ⨝ length
+    // bucket, then the one-window shuffle-rank SPEC over the survivors.
+    "e7_training_mix" ->
+      (s"${clustersWalkCtes(Cfg.numBands, Cfg.rowsPerBand, Cfg.nearDupThreshold)},\n" +
+      s"""sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1),
+         |swt AS (SELECT doc_id, cluster_size,
+         |               ${Rounding.stableSql("1.0 / cluster_size", 6)} AS weight
+         |        FROM cl JOIN sz USING (cluster_id)),
+         |qc AS (${qualityCteSql("corpus")}),
+         |qq AS (SELECT doc_id, $QualitySql AS quality,
+         |              CAST(CASE WHEN len(string_split(text, ' ')) <= 1 THEN 0
+         |                   ELSE length(bin(len(string_split(text, ' ')) - 1))
+         |                   END AS BIGINT) AS bucket_bits
+         |       FROM qc),
+         |keep AS (SELECT doc_id, quality, bucket_bits FROM qq
+         |         WHERE quality >= ${Cfg.qualityMin}),
+         |eb7 AS (SELECT k.doc_id, s.cluster_size, s.weight, k.quality, k.bucket_bits
+         |        FROM keep k JOIN swt s USING (doc_id)),
+         |hh AS (SELECT *, (doc_id * ${graft.operators.Packing.ShuffleMul}
+         |                  + ${graft.operators.Packing.ShuffleAdd})
+         |                 % ${graft.operators.Packing.ShuffleMod} AS h FROM eb7),
+         |rr AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) - 1 AS rnk FROM hh)
+         |SELECT doc_id, cluster_size, weight, quality, bucket_bits,
+         |       rnk // ${Cfg.shuffleShardSize} AS shard_id,
+         |       rnk % ${Cfg.shuffleShardSize} AS shard_pos
+         |FROM rr""".stripMargin),
 
     "ta_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -648,6 +648,13 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"cluster sizing ranks through a window:\n$p")
   }
 
+  test("e7_training_mix: no cartesian; shuffle offsets broadcast; joins id-keyed") {
+    val p = plan("e7_training_mix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e7 degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"e7 lost the offsets broadcast:\n$p")
+  }
+
   test("ta_bpe_merges trains on the word-frequency table with map-side combine") {
     // the plan of the FIRST round's pair count (the per-round shape):
     // corpus scan → explode → partial count (vocab compression) →
