@@ -4070,7 +4070,8 @@ object SparkEntry {
          |         WHERE quality >= ${Cfg.qualityMin}),
          |eb7 AS (SELECT k.doc_id, s.cluster_size, s.weight, k.quality, k.bucket_bits
          |        FROM keep k JOIN swt s USING (doc_id)),
-         |hh AS (SELECT *, (doc_id * ${graft.operators.Packing.ShuffleMul}
+         |hh AS (SELECT *, ((doc_id % ${graft.operators.Packing.ShuffleMod})
+         |                  * ${graft.operators.Packing.ShuffleMul}
          |                  + ${graft.operators.Packing.ShuffleAdd})
          |                 % ${graft.operators.Packing.ShuffleMod} AS h FROM eb7),
          |rr AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) - 1 AS rnk FROM hh)

@@ -149,13 +149,21 @@ object Packing {
        |         // $budget AS BIGINT) AS shard_id
        |FROM $table""".stripMargin
 
-  /** glibc-LCG affine scramble mod 2^31 — odd multiplier ⇒ a bijection
-    * on ids below 2^31, so the shuffle order is a true permutation of
-    * the id order there (above, ties fall back to the id tie-break).
+  /** glibc-LCG affine scramble of (id mod 2^31) — odd multiplier ⇒ a
+    * bijection on the reduced domain, so the shuffle order is a true
+    * permutation of the id order below 2^31 (above, the (h, id)
+    * tie-break keeps the order total). The id is reduced BEFORE the
+    * multiply: `id * mul` on a raw 2^40-range id overflows long (ANSI
+    * mode throws — caught by the rank-model property test), while
+    * (id % 2^31) * mul ≤ 2^62 stays exact in both engines.
     */
   val ShuffleMul = 1103515245L
   val ShuffleAdd = 12345L
   val ShuffleMod = 2147483648L // 2^31
+
+  /** The scramble on a driver-side id — the model both engines mirror. */
+  def shuffleHash(id: Long): Long =
+    ((id % ShuffleMod) * ShuffleMul + ShuffleAdd) % ShuffleMod
 
   /** Deterministic global training-order shuffle: every epoch of LLM
     * training reads the corpus in a pseudo-random order that must be
@@ -181,7 +189,7 @@ object Packing {
     require(shardSize > 0 && hBucketSize > 0)
     import org.apache.spark.sql.expressions.Window
     val h = df.select(col(idCol),
-      ((col(idCol) * ShuffleMul + ShuffleAdd) % ShuffleMod).as("_h"))
+      (((col(idCol) % ShuffleMod) * ShuffleMul + ShuffleAdd) % ShuffleMod).as("_h"))
       .withColumn("_bucket", expr(s"_h div $hBucketSize"))
     val totals = h.groupBy(col("_bucket")).agg(count(lit(1)).as("_w"))
     val woff = Window.orderBy(col("_bucket"))
@@ -202,7 +210,7 @@ object Packing {
     */
   def shuffleLayoutSql(table: String, idCol: String, shardSize: Long): String =
     s"""WITH h AS (
-       |  SELECT $idCol, ($idCol * $ShuffleMul + $ShuffleAdd) % $ShuffleMod AS h
+       |  SELECT $idCol, (($idCol % $ShuffleMod) * $ShuffleMul + $ShuffleAdd) % $ShuffleMod AS h
        |  FROM $table),
        |r AS (
        |  SELECT $idCol, row_number() OVER (ORDER BY h, $idCol) - 1 AS rnk

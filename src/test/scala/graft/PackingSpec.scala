@@ -101,7 +101,7 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // driver twin of the spec: sort by (h, id), rank positionally
     val want = (0L until 257L)
-      .map(i => (i, (i * Packing.ShuffleMul + Packing.ShuffleAdd) % Packing.ShuffleMod))
+      .map(i => (i, Packing.shuffleHash(i)))
       .sortBy { case (id, h) => (h, id) }
       .zipWithIndex
       .map { case ((id, _), r) => (id, r.toLong / 10, r.toLong % 10) }

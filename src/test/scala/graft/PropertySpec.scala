@@ -307,6 +307,92 @@ class SparkAlgebraSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("property: shuffleLayout equals the driver rank model; invariant to bucket size") {
+    // sparse non-contiguous ids exercise uneven h-bucket population
+    val ids = (0 until 300).map(_ => rng.nextLong(1L << 40)).distinct
+    def model(shard: Long): Set[(Long, Long, Long)] = ids
+      .map(i => (i, Packing.shuffleHash(i)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex
+      .map { case ((id, _), r) => (id, r.toLong / shard, r.toLong % shard) }
+      .toSet
+    val df = ids.toDF("doc_id")
+    for (bucketSize <- Seq(1L << 16, 1L << 21, 1L << 28)) {
+      val got = Packing.shuffleLayout(df, "doc_id", shardSize = 17L,
+          hBucketSize = bucketSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == model(17L), s"bucketSize=$bucketSize diverged from the rank spec")
+    }
+  }
+
+  test("property: bpeMerges equals an independent driver BPE trainer on random corpora") {
+    // independent reimplementation: word-freq map, symbol lists, greedy
+    // left-to-right merge — NO shared code with the operator
+    def driverBpe(words: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+      val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var syms: Map[List[String], Long] =
+        freq.map { case (w, f) => w.toList.map(_.toString) -> f }
+          .groupBy(_._1).view.mapValues(_.values.sum).toMap
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var go = true
+      while (r <= rounds && go) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        if (counts.isEmpty) go = false
+        else {
+          val (pa, pb) = counts.keys.toSeq
+            .sortBy { case (a, b) => (-counts((a, b)), a, b) }.head
+          out += ((r, pa, pb, counts((pa, pb))))
+          def mergeOne(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == pa && b == pb => (a + b) :: mergeOne(rest)
+            case a :: rest => a :: mergeOne(rest)
+            case Nil => Nil
+          }
+          syms = syms.toSeq.map { case (s, f) => mergeOne(s) -> f }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          r += 1
+        }
+      }
+      out.result()
+    }
+    for (trial <- 1 to 5) {
+      val vocab = Seq("aa", "aab", "abab", "ba", "bb", "aaa", "abc", "cab")
+      val words = (1 to 40).map(_ => vocab(rng.nextInt(vocab.length)))
+      val docs = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+      val got = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == driverBpe(words, 4), s"trial $trial: $got vs ${driverBpe(words, 4)}")
+    }
+  }
+
+  test("property: rrfFuse equals the driver fusion model on random rankings") {
+    for (_ <- 1 to 5) {
+      val aList = rng.shuffle((1L to 30L).toList).take(8).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }
+      val bList = rng.shuffle((1L to 30L).toList).take(6).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }
+      val am = aList.toMap
+      val bm = bList.toMap
+      val fused = (am.keySet ++ bm.keySet).toSeq
+        .map { id =>
+          val s = am.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+            bm.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+          (id, Rounding.stableVal(s, 6))
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) => (id, s, i + 1) }.toSet
+      val got = TextAnalysis.rrfFuse(
+          aList.toDF("doc_id", "a_rnk"), "a_rnk",
+          bList.toDF("doc_id", "b_rnk"), "b_rnk",
+          "doc_id", kConst = 60, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(4))).toSet
+      assert(got == fused)
+    }
+  }
+
   test("property: salted aggregation equals direct aggregation") {
     val df = series.toDF("k", "t", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
