@@ -84,6 +84,9 @@ final case class PipelineConfig(
     // deterministic global training-order shuffle (ta_shuffle): rows
     // per output shard
     shuffleShardSize: Long = 64L,
+    // curriculum ordering (ta_curriculum): docs per curriculum phase
+    // (quality-descending global order cut into fixed-size phases)
+    curriculumPhaseSize: Long = 100L,
     // unigram-LM fluency reference slice: docs with doc_id % mod == 0
     lmRefMod: Int = 10,
     // CCNet-style perplexity buckets: head < fluencyHead <= middle <

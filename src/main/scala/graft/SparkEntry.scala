@@ -1749,6 +1749,26 @@ object SparkEntry {
     "ta_length_buckets" -> ((s, dir) =>
       Packing.lengthBuckets(Tables.documents(s, dir), col("text"))),
 
+    // Curriculum ordering — quality-descending global order cut into
+    // fixed-size training phases (easy/high-quality docs first, the
+    // curriculum-learning data layout). The order key is the 4-dp
+    // quality score inverted into a small non-negative integer domain,
+    // ranked by the same two-phase global rank as ta_shuffle — no
+    // global sort through one task; ties to the lower doc_id.
+    "ta_curriculum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      val scored = docs.select(col("doc_id"), q("quality").as("quality"))
+      // quality ∈ [0,1] at 4 dp → key = 10000 − round(q·10⁴) ∈ [0,10⁴]
+      val keyed = scored.withColumn("_key",
+        (lit(10000L) - round(col("quality") * 10000).cast("long")))
+      Packing.globalRank(keyed, "doc_id", col("_key"), bucketSize = 256L)
+        .join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("quality"),
+          expr(s"_rank div ${Cfg.curriculumPhaseSize}").as("phase"),
+          (col("_rank") % Cfg.curriculumPhaseSize).as("phase_pos"))
+    }),
+
     // Positional rolling-hash document fingerprint (full + 16-token
     // prefix).
     "ta_fingerprint" -> ((s, dir) =>
@@ -4565,6 +4585,23 @@ object SparkEntry {
 
     "ta_length_buckets" ->
       graft.operators.Packing.lengthBucketsSql("documents", "text"),
+
+    // Quality-descending global order (ties to lower doc_id) cut into
+    // fixed-size phases — the one-window rank SPEC of the two-phase
+    // curriculum layout.
+    "ta_curriculum" ->
+      s"""WITH qc AS (${qualityCteSql("documents WHERE text IS NOT NULL")}),
+         |qs AS (SELECT doc_id, $QualitySql AS quality FROM qc),
+         |kk AS (SELECT doc_id, quality,
+         |              10000 - CAST(round(quality * 10000) AS BIGINT) AS k
+         |       FROM qs),
+         |rr AS (SELECT doc_id, quality,
+         |              row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+         |       FROM kk)
+         |SELECT doc_id, quality,
+         |       rnk // ${Cfg.curriculumPhaseSize} AS phase,
+         |       rnk % ${Cfg.curriculumPhaseSize} AS phase_pos
+         |FROM rr""".stripMargin,
 
     "ta_token_topk" ->
       """WITH c AS (

@@ -186,23 +186,46 @@ object Packing {
     */
   def shuffleLayout(df: DataFrame, idCol: String, shardSize: Long,
       hBucketSize: Long = 1L << 21): DataFrame = {
-    require(shardSize > 0 && hBucketSize > 0)
+    require(shardSize > 0)
+    globalRank(df, idCol,
+      ((col(idCol) % ShuffleMod) * ShuffleMul + ShuffleAdd) % ShuffleMod,
+      hBucketSize)
+      .select(col(idCol),
+        expr(s"_rank div $shardSize").as("shard_id"),
+        (col("_rank") % shardSize).as("shard_pos"))
+  }
+
+  /** Generalized TWO-PHASE global rank over a NON-NEGATIVE long key:
+    * each row's dense 0-based position in (key, id) order, without a
+    * global sort through one task. Rows bucket by `key div bucketSize`
+    * (phase 1 window-sums the tiny per-bucket counts into bucket start
+    * offsets; phase 2 row_numbers inside each bucket only) — the same
+    * shape [[packShards]] uses for offsets and [[shuffleLayout]] for
+    * shard slots; any layout pass that needs "position in global
+    * <key> order" (epoch shuffle, curriculum ordering) builds on it.
+    *
+    * The key must be non-negative: integer `div` truncates toward zero
+    * in Spark but floors in DuckDB, so a negative key would bucket
+    * differently in the oracle — shift the key into [0, ∞) first.
+    *
+    * @return (idCol, _rank)
+    */
+  def globalRank(df: DataFrame, idCol: String, key: Column,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0)
     import org.apache.spark.sql.expressions.Window
-    val h = df.select(col(idCol),
-      (((col(idCol) % ShuffleMod) * ShuffleMul + ShuffleAdd) % ShuffleMod).as("_h"))
-      .withColumn("_bucket", expr(s"_h div $hBucketSize"))
+    val h = df.select(col(idCol), key.cast("long").as("_k"))
+      .withColumn("_bucket", expr(s"_k div $bucketSize"))
     val totals = h.groupBy(col("_bucket")).agg(count(lit(1)).as("_w"))
     val woff = Window.orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("_bucket").as("_b"),
       coalesce(sum(col("_w")).over(woff), lit(0L)).as("_offset"))
     val wloc = Window.partitionBy(col("_bucket"))
-      .orderBy(col("_h"), col(idCol))
+      .orderBy(col("_k"), col(idCol))
     h.join(broadcast(offsets), col("_bucket") === col("_b"))
-      .withColumn("_rank", col("_offset") + row_number().over(wloc) - 1)
       .select(col(idCol),
-        expr(s"_rank div $shardSize").as("shard_id"),
-        (col("_rank") % shardSize).as("shard_pos"))
+        (col("_offset") + row_number().over(wloc) - 1).as("_rank"))
   }
 
   /** SQL mirror of [[shuffleLayout]] — the spec is ONE global

@@ -116,6 +116,15 @@ class PackingSpec extends SparkSpec {
       (0L until 10L).toSeq)
   }
 
+  test("globalRank: dense 0-based (key, id) positions across bucket boundaries") {
+    val rows = Seq((1L, 9L), (2L, 3L), (3L, 9L), (4L, 700L), (5L, 0L))
+      .toDF("doc_id", "k")
+    val got = Packing.globalRank(rows, "doc_id", col("k"), bucketSize = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (k, id) order: (0,5) (3,2) (9,1) (9,3) (700,4) — id breaks the 9-tie
+    assert(got == Map(5L -> 0L, 2L -> 1L, 1L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("lengthBuckets: power-of-two boundaries and waste accounting") {
     // token counts 1, 2, 3, 4, 5, 8, 9 → buckets 0, 1, 2, 2, 3, 3, 4
     val docs = Seq("a", "a b", "a b c", "a b c d", "a b c d e",
