@@ -198,6 +198,13 @@ final case class PipelineConfig(
     bm25TopK: Int = 15,
     bm25K1: Double = 1.2,
     bm25B: Double = 0.75,
+    // count-min-sketch heavy-hitter gate (ta_cms_gate): CMS accuracy
+    // (ε, δ) — width e/ε counters, depth ln(1/δ) rows — a fixed seed
+    // so the gate boolean is deterministic, and the top-k width gated
+    cmsEps: Double = 0.001,
+    cmsConfidence: Double = 0.99,
+    cmsSeed: Int = 42,
+    cmsTopK: Int = 10,
     // reciprocal-rank fusion (ta_rrf_fusion): the RRF smoothing
     // constant (60 — Cormack et al.'s standard), the dense side's
     // standing query vector id + top-k width, and the fused list width

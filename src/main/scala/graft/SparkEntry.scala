@@ -2608,6 +2608,38 @@ object SparkEntry {
             col("exact_p50") <= 0.10).as("within_10pct"))
     }),
 
+    // Count-min-sketch heavy-hitter gate — completes the mergeable-
+    // sketch trio (HLL distinct, quantile, CMS counts): the exact
+    // global top-k tokens are re-estimated from ONE (ε=10⁻³, δ=0.01,
+    // fixed-seed) CMS built in a single pass, and each estimate is
+    // gated against the CMS guarantee exact ≤ est ≤ exact + εN. Like
+    // ta_quantile_gate, each engine gates ITS OWN sketch (DuckDB has
+    // no CMS, so its "sketch" is the exact count — trivially within) —
+    // the hashes agree on the boolean while the Spark side genuinely
+    // exercises the sketch path a 100 TB count pass would use. The
+    // sketch is a bounded driver object (depth·width counters); the
+    // estimate loop touches only the k ranked tokens.
+    "ta_cms_gate" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val topk = graft.functions.TopK.topKByCount(Cfg.cmsTopK)
+      val ranked = counts.groupBy()
+        .agg(topk(col("cnt"), col("token")).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "kv")))
+        .select(col("kv._2").as("token"), col("kv._1").as("exact_cnt"),
+          (col("pos") + 1).cast("int").as("rnk"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      val cms = toks.stat.countMinSketch("token",
+        eps = Cfg.cmsEps, confidence = Cfg.cmsConfidence, seed = Cfg.cmsSeed)
+      val slack = math.ceil(Cfg.cmsEps * cms.totalCount()).toLong
+      ranked.toSeq.map { case (tok, cnt, rnk) =>
+        val est = cms.estimateCount(tok)
+        (tok, cnt, rnk, est >= cnt && est <= cnt + slack)
+      }.toDF("token", "exact_cnt", "rnk", "within_bounds")
+    }),
+
     // Batch shadow of StreamingAlerts.thresholdAlerts — the SAME
     // baseline-anchored recurrence (alert iff ≥50% move from the last
     // alerted value) as a secondary-sorted group scan, giving the
@@ -3698,6 +3730,17 @@ object SparkEntry {
          |SELECT lang, ${Rounding.stableSql("exact_p50", 4)} AS exact_p50,
          |       abs(approx_p50 - exact_p50) / exact_p50 <= 0.10 AS within_10pct
          |FROM e JOIN a USING (lang)""".stripMargin,
+
+    // Exact top-k + the trivially-true own-sketch gate (quantile-gate
+    // precedent: DuckDB has no CMS; its exact "sketch" is within by
+    // definition while Spark's side genuinely checks its CMS).
+    "ta_cms_gate" ->
+      s"""WITH c AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |g AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM c GROUP BY 1)
+         |SELECT token, exact_cnt, CAST(rnk AS INT) AS rnk, true AS within_bounds
+         |FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, token ASC) AS rnk FROM g)
+         |WHERE rnk <= ${Cfg.cmsTopK}""".stripMargin,
 
     // The streaming recurrence (baseline updates only on alert) walked
     // with a recursive CTE: rows advance one rank per iteration, depth =

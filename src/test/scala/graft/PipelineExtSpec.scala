@@ -859,6 +859,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(docs, "text", rounds = 3).count() == 0)
   }
 
+  test("count-min sketch gate: estimates dominate exact counts within eps*N (fixed seed)") {
+    val toks = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"w${i % 23}"))
+      .toDF("token")
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = toks.stat.countMinSketch("token", eps = 0.001,
+      confidence = 0.99, seed = 42)
+    val slack = math.ceil(0.001 * cms.totalCount()).toLong
+    exact.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c && est <= c + slack, s"$t: est $est exact $c slack $slack")
+    }
+    // an absent key estimates at most the collision slack, never negative
+    val ghost = cms.estimateCount("never-seen")
+    assert(ghost >= 0 && ghost <= slack)
+  }
+
   test("rrfFuse: reciprocal ranks sum, single-list docs keep one term, ties to lower id") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "a_rnk")
     val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "b_rnk")
