@@ -393,6 +393,64 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: softWeights equals 1/|component| from union-find on random graphs") {
+    val n = 60
+    val nodeIds = (0L until n).toSeq
+    val edges = (1 to 40).map(_ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compSize = nodeIds.groupBy(i => find(i.toInt)).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.softWeights(nodeIds.toDF("id"), edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    nodeIds.foreach { i =>
+      val sz = compSize(find(i.toInt))
+      assert(got(i) == ((sz, Rounding.stableVal(1.0 / sz, 6))), s"node $i")
+    }
+    // total mass = number of components, up to rounding
+    assert(math.abs(got.values.map(_._2).sum - compSize.size) < 1e-3)
+  }
+
+  test("property: mmrRerank equals the driver greedy model on random vectors") {
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.round(r * 1e6) / 1e6
+    }
+    for (trial <- 1 to 3) {
+      val vecs = (0L until 12L).map(i =>
+        (i, Array.fill(6)((rng.nextInt(9) - 4).toFloat + 0.5f)))
+      val emb = vecs.toDF("id", "vec")
+      val vd = vecs.map { case (i, v) => i -> v.map(_.toDouble).toSeq }.toMap
+      val lam = 0.7
+      // driver greedy model over the brute shortlist of ONE query (id 0)
+      val rel = vd.keys.filter(_ != 0L).map(c => c -> cos6(vd(0L), vd(c))).toMap
+      val short = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(6).map(_._1)
+      var selected = List.empty[Long]
+      val picks = (1 to 3).map { step =>
+        val cands = short.filterNot(selected.contains)
+        val scored = cands.map { c =>
+          val obj =
+            if (selected.isEmpty) Rounding.stableVal(rel(c) * lam, 6)
+            else Rounding.stableVal(
+              rel(c) * lam - selected.map(s => cos6(vd(c), vd(s))).max * (1 - lam), 6)
+          (c, obj)
+        }
+        val (pick, obj) = scored.minBy { case (c, o) => (-o, c) }
+        selected ::= pick
+        (pick, obj, step)
+      }.toSet
+      val got = Similarity.mmrRerank(emb.filter(col("id") === 0L), emb,
+          k = 3, shortlist = 6, lam = lam)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == picks, s"trial $trial: $got vs $picks")
+    }
+  }
+
   test("property: salted aggregation equals direct aggregation") {
     val df = series.toDF("k", "t", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
