@@ -198,6 +198,10 @@ final case class PipelineConfig(
     bm25TopK: Int = 15,
     bm25K1: Double = 1.2,
     bm25B: Double = 0.75,
+    // graph-propagated quality smoothing (ta_quality_smooth): floor-
+    // mean consensus rounds over the near-dup graph — the oracle
+    // unrolls exactly this many CTE stages
+    smoothRounds: Int = 2,
     // count-min-sketch heavy-hitter gate (ta_cms_gate): CMS accuracy
     // (ε, δ) — width e/ε counters, depth ln(1/δ) rows — a fixed seed
     // so the gate boolean is deterministic, and the top-k width gated

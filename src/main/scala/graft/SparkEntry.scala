@@ -958,6 +958,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // Graph-propagated quality smoothing: near-dup copies carry
+    // independently-noisy quality estimates; two floor-mean consensus
+    // rounds over the verified minhash graph pull duplicate groups
+    // toward agreement (the similarity-graph label-smoothing move).
+    // Integer micro-units end-to-end; the propagation is the
+    // duplicateClusters join shape with means instead of minima.
+    "ta_quality_smooth" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+          threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
+        .select(col("doc_a"), col("doc_b"))
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      val scores = corpus.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          round(q("quality") * 10000).cast("long").as("q_u"))
+      Dedup.qualitySmooth(scores, pairs, rounds = Cfg.smoothRounds)
+        .select(col("id").as("doc_id"), col("q_u"),
+          Rounding.stable(col("q_u") / 10000.0, 4).as("quality_smooth"))
+    }),
+
     // SoftDeDup (Xue et al. 2024): duplicates are REWEIGHTED, not
     // dropped — every doc keeps sampling weight 1/|cluster| over the
     // same minhash closure dedup_clusters computes, so each duplicate
@@ -2907,6 +2931,41 @@ object SparkEntry {
          |  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
          |  FROM walk GROUP BY node)""".stripMargin
 
+  /** ta_quality_smooth: verified-pair edges + `smoothRounds` unrolled
+    * floor-mean consensus stages over integer micro-unit qualities.
+    */
+  private def qualitySmoothOracle(numBands: Int, rowsPerBand: Int,
+      threshold: Double, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""n$r AS (
+         |  SELECT e.a AS id, CAST(sum(q.q_u) AS BIGINT) AS nsum,
+         |         CAST(count(*) AS BIGINT) AS ndeg
+         |  FROM ed e JOIN q${r - 1} q ON q.id = e.b GROUP BY 1),
+         |q$r AS (
+         |  SELECT q.id,
+         |         CASE WHEN n.id IS NULL THEN q.q_u
+         |              ELSE (q.q_u + n.nsum) // (1 + n.ndeg) END AS q_u
+         |  FROM q${r - 1} q LEFT JOIN n$r n USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"WITH ${minhashCtes(numBands, rowsPerBand, "a.doc_id < b.doc_id", "doc_a", "doc_b",
+      Some(Cfg.maxBucket))},\n" +
+      s"""verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |  WHERE $MinhashJaccardSql >= $threshold),
+         |ed AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL SELECT doc_b, doc_a FROM verified),
+         |qc AS (${qualityCteSql("corpus WHERE text IS NOT NULL")}),
+         |q0 AS (SELECT doc_id AS id,
+         |              CAST(round(($QualitySql) * 10000) AS BIGINT) AS q_u
+         |       FROM qc),
+         |$roundCtes
+         |SELECT id AS doc_id, q_u,
+         |       ${Rounding.stableSql("q_u / 10000.0", 4)} AS quality_smooth
+         |FROM q$rounds""".stripMargin
+  }
+
   private def clustersOracle(numBands: Int, rowsPerBand: Int, threshold: Double): String =
     s"${clustersWalkCtes(numBands, rowsPerBand, threshold)}\n" +
       "SELECT doc_id, cluster_id FROM cl"
@@ -4113,6 +4172,10 @@ object SparkEntry {
 
     "dedup_soft" -> softWeightsOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
       threshold = Cfg.nearDupThreshold),
+
+    "ta_quality_smooth" -> qualitySmoothOracle(numBands = Cfg.numBands,
+      rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
+      rounds = Cfg.smoothRounds),
 
     // E7 — soft weights (recursive closure) ⨝ quality gate ⨝ length
     // bucket, then the one-window shuffle-rank SPEC over the survivors.

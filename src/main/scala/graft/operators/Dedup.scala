@@ -1013,6 +1013,44 @@ object Dedup {
         Rounding.stable(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
 
+  /** Graph-propagated quality smoothing: near-duplicate copies of a
+    * document carry independently-noisy quality estimates; each round
+    * replaces a doc's integer quality with the FLOOR-MEAN of itself and
+    * its near-dup neighbors, so duplicate groups converge toward a
+    * consensus score (the label-smoothing move weak-supervision
+    * pipelines apply over similarity graphs). Scores are integer
+    * micro-units end-to-end — the sums are exact and the floor division
+    * agrees across engines on the non-negative domain — and each round
+    * is one neighbor join + one sum aggregate + one join-back, the
+    * [[duplicateClusters]] propagation shape with means instead of
+    * minima. Rounds are driver-unrolled (lineage truncated per round);
+    * the oracle unrolls the same rounds as CTE stages.
+    *
+    * @param scores (id, q_u) — non-negative integer quality units
+    * @param pairs  (doc_a, doc_b) undirected near-dup edges
+    * @return (id, q_u) after `rounds` smoothing rounds (isolated nodes
+    *         keep their score)
+    */
+  def qualitySmooth(scores: DataFrame, pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
+    val edges = bothDirections(pairs)
+    var cur = scores.select(col("id"), col("q_u").cast("long").as("q_u"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val nb = edges
+        .join(cur.select(col("id").as("b"), col("q_u").as("nq")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(sum(col("nq")).as("nsum"), count(lit(1)).as("ndeg"))
+      cur = cur.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          when(col("ndeg").isNull, col("q_u"))
+            .otherwise(expr("(q_u + nsum) div (1 + ndeg)")).as("q_u"))
+        .localCheckpoint(eager = false)
+    }
+    cur
+  }
+
   /** SimHash bit votes over the chunk representation. The j-th hex char's
     * nibble is `(chunk(j/8) >> 4*(7-j%8)) & 15`; its ASCII parity is
     * `v%2` for digits and `(v+1)%2` for letters (ascii 48+v vs 87+v) —

@@ -139,6 +139,18 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("qualitySmooth: floor-mean consensus rounds on a path graph; isolated nodes untouched") {
+    val scores = Seq((1L, 0L), (2L, 600L), (3L, 1200L), (4L, 7777L))
+      .toDF("id", "q_u")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    def run(r: Int) = Dedup.qualitySmooth(scores, pairs, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: 1←(0+600)/2=300, 2←(600+0+1200)/3=600, 3←(1200+600)/2=900
+    assert(run(1) == Map(1L -> 300L, 2L -> 600L, 3L -> 900L, 4L -> 7777L))
+    // round 2: 1←(300+600)/2=450, 2←(600+300+900)/3=600, 3←(900+600)/2=750
+    assert(run(2) == Map(1L -> 450L, 2L -> 600L, 3L -> 750L, 4L -> 7777L))
+  }
+
   test("softWeights: 1/|cluster| per member; singletons keep weight 1; mass sums to cluster count") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
