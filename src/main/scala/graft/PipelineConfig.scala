@@ -209,6 +209,9 @@ final case class PipelineConfig(
     cmsConfidence: Double = 0.99,
     cmsSeed: Int = 42,
     cmsTopK: Int = 10,
+    // streaming standing-query matcher (st15): emit arrivals whose
+    // frozen-stats BM25 clears this many micro-units (1.0 BM25)
+    matchThresholdU: Long = 1000000L,
     // reciprocal-rank fusion (ta_rrf_fusion): the RRF smoothing
     // constant (60 — Cormack et al.'s standard), the dense side's
     // standing query vector id + top-k width, and the fused list width

@@ -768,6 +768,18 @@ object SparkEntry {
         withTs, "doc_id", col("text"), "ts")
     }),
 
+    // ST15 — batch shadow of StreamingMatcher.matches: the standing
+    // BM25 query scored live against FROZEN calibration stats (a
+    // stateless narrow map — no state store, no watermark). The scan
+    // self-calibrates on the table it scores, so the oracle re-derives
+    // df/N/avgdl relationally and hashes identical matches.
+    "st15_match_scan" -> ((s, dir) => {
+      val withTs = Tables.documents(s, dir)
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      graft.streaming.StreamingMatcher.matchScan(withTs, "doc_id", "text",
+        "ts", Cfg.bm25Terms, Cfg.bm25K1, Cfg.bm25B, Cfg.matchThresholdU)
+    }),
+
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
     // merge: dedup_spans' boilerplate fixture with st8's arrival layout
     // (doc_id seconds past 2024-01-01), every window occurrence EXCEPT
@@ -3920,6 +3932,15 @@ object SparkEntry {
          |       FROM pdr GROUP BY doc_id)
          |SELECT doc_id, n_paras, n_kept, clean_text FROM pd""".stripMargin
     },
+
+    // ST15 — the per-doc BM25 sum (bm25 CTE chain's `agg`) thresholded;
+    // ts is the st8 arrival layout.
+    "st15_match_scan" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id,
+         |       make_timestamp((1704067200 + doc_id) * 1000000) AS ts,
+         |       CAST(score_u AS DOUBLE) / 1000000.0 AS bm25
+         |FROM agg WHERE score_u >= ${Cfg.matchThresholdU}""".stripMargin,
 
     // ST14 — occurrence rank per content hash in arrival order; weight
     // 1/rank (the stream's front-loaded SoftDeDup mass).

@@ -238,6 +238,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, "a b c d"), (11L, 2L, 1L, "x y")))
   }
 
+  test("standing-query matcher: frozen-stats scoring on a live stream, threshold cut") {
+    import graft.streaming.StreamingMatcher
+    implicit val ctx = spark.sqlContext
+    val cal = Seq(
+      (1L, "spark spark jobs run fast", "2024-01-01 10:00:01"),
+      (2L, "the window closed on the stream", "2024-01-01 10:00:02"),
+      (3L, "nothing relevant here at all today", "2024-01-01 10:00:03"),
+      (4L, "spark stream window spark", "2024-01-01 10:00:04")
+    ).map { case (i, t, ts) => (i, t, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("doc_id", "text", "ts")
+    val terms = Seq("spark", "stream", "window")
+    val stats = StreamingMatcher.calibrate(cal, "text", terms)
+    assert(stats.nDocs == 4 && stats.dfByTerm("spark") == 2)
+    // batch twin over the snapshot == the frozen-stats map over it
+    val scan = StreamingMatcher.matchScan(cal, "doc_id", "text", "ts",
+        terms, 1.2, 0.75, thresholdU = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scan.keySet == Set(1L, 2L, 4L)) // doc 3 has no terms -> score 0
+    assert(scan(4L) > scan(1L))            // 3 distinct terms beat 2x one term
+    // live stream: same scores from the SAME frozen stats, including a
+    // post-calibration arrival (doc 9 scored with df frozen at 4 docs)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingMatcher.matches(
+        input.toDS().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", stats, terms, 1.2, 0.75, thresholdU = 1L)
+      .writeStream.format("memory").queryName("sqm").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "spark spark jobs run fast", java.sql.Timestamp.valueOf("2024-01-01 10:00:01")),
+        (3L, "nothing relevant here at all today", java.sql.Timestamp.valueOf("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+      input.addData(
+        (9L, "spark stream window spark", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val live = spark.table("sqm").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(live.keySet == Set(1L, 9L))   // doc 3 filtered, doc 9 matched live
+      assert(live(1L) == scan(1L))         // replayed snapshot row scores identically
+      assert(live(9L) == scan(4L))         // same text as doc 4 -> same frozen score
+    } finally q.stop()
+  }
+
   test("occurrenceWeights: 1/arrival-rank per hash, count state carried across batches") {
     import graft.streaming.StreamingSoftWeights
     import graft.streaming.StreamingSoftWeights.DocIn
