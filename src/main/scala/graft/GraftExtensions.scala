@@ -63,6 +63,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"nfc_normalize(s) takes 1 argument, got ${args.length}")
         NfcNormalize(args(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("karp_rabin_hashes"),
+      new ExpressionInfo(classOf[graft.expressions.KarpRabinHashes].getName,
+        "karp_rabin_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"karp_rabin_hashes(text, k) takes 2 arguments, got ${args.length}")
+        require(args(1).foldable, "karp_rabin_hashes: k must be a literal")
+        graft.expressions.KarpRabinHashes(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          graft.operators.TextAnalysis.WinnowBase,
+          graft.operators.TextAnalysis.WinnowMod)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("window_minima"),
+      new ExpressionInfo(classOf[graft.expressions.WindowMinima].getName,
+        "window_minima"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"window_minima(hashes, w) takes 2 arguments, got ${args.length}")
+        require(args(1).foldable, "window_minima: w must be a literal")
+        graft.expressions.WindowMinima(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }))
     // Whole-operator extension (SURVEY.md §7.3 option c): the native
     // as-of join's planner strategy + the optimizer rule restoring
     // predicate pushdown through the custom logical node.

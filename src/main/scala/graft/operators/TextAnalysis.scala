@@ -704,32 +704,52 @@ object TextAnalysis {
   def winnowFrame(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, carry: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
-    val n = length(text)
-    val chars = transform(sequence(lit(1), n), i =>
-      ascii(text.substr(i, lit(1))).cast("long"))
-    val cs = col("__cs")
-    // pow(j) = B^j mod P, a k-entry plan-time constant table
-    val pow = Array.iterate(1L, k)(x => x * WinnowBase % WinnowMod)
-    def kHash(i: Column): Column =
-      (0 until k).map(j =>
-          element_at(cs, i + j) * lit(pow(k - 1 - j)) % lit(WinnowMod))
-        .reduce((a, b) => (a + b) % lit(WinnowMod))
-    val hashes = when(size(cs) >= k,
-        transform(sequence(lit(1), size(cs) - (k - 1)), i => kHash(i)))
-      .otherwise(array(aggregate(cs, lit(0L),
-        (acc, c) => (acc * WinnowBase + c) % WinnowMod)))
-    val hs = col("__hs")
-    // per-window minimum as least() over w bound reads — no per-window
-    // slice allocation (~13% off the st13 scan vs array_min(slice))
-    val fps = array_distinct(
-      when(size(hs) >= w,
-        transform(sequence(lit(1), size(hs) - (w - 1)), j =>
-          least((0 until w).map(o => element_at(hs, j + o)): _*)))
-      .otherwise(array(array_min(hs))))
     val keep = col(idCol) +: carry.map(col)
-    docs.filter(text.isNotNull)
-      .select(keep :+ chars.as("__cs"): _*)
-      .select(keep :+ hashes.as("__hs"): _*)
-      .select(keep ++ Seq(hs, fps.as("__fps")): _*)
+    val hs = col("__hs")
+    if (winnowNativeKernels) {
+      // Codegen'd rolling Karp-Rabin (O(n) per doc vs the HOF form's
+      // O(n·k) re-summed k-grams) + one-pass window minima. Hash values
+      // are the same residues, so __hs/__fps are bit-identical to the
+      // fallback and the oracle; array_distinct stays the BUILTIN so
+      // fingerprint order/dedup semantics cannot drift.
+      val fps = array_distinct(call_function("window_minima", hs, lit(w)))
+      docs.filter(text.isNotNull)
+        .select(keep :+
+          call_function("karp_rabin_hashes", text, lit(k)).as("__hs"): _*)
+        .select(keep ++ Seq(hs, fps.as("__fps")): _*)
+    } else {
+      val n = length(text)
+      val chars = transform(sequence(lit(1), n), i =>
+        ascii(text.substr(i, lit(1))).cast("long"))
+      val cs = col("__cs")
+      // pow(j) = B^j mod P, a k-entry plan-time constant table
+      val pow = Array.iterate(1L, k)(x => x * WinnowBase % WinnowMod)
+      def kHash(i: Column): Column =
+        (0 until k).map(j =>
+            element_at(cs, i + j) * lit(pow(k - 1 - j)) % lit(WinnowMod))
+          .reduce((a, b) => (a + b) % lit(WinnowMod))
+      val hashes = when(size(cs) >= k,
+          transform(sequence(lit(1), size(cs) - (k - 1)), i => kHash(i)))
+        .otherwise(array(aggregate(cs, lit(0L),
+          (acc, c) => (acc * WinnowBase + c) % WinnowMod)))
+      // per-window minimum as least() over w bound reads — no per-window
+      // slice allocation (~13% off the st13 scan vs array_min(slice))
+      val fps = array_distinct(
+        when(size(hs) >= w,
+          transform(sequence(lit(1), size(hs) - (w - 1)), j =>
+            least((0 until w).map(o => element_at(hs, j + o)): _*)))
+        .otherwise(array(array_min(hs))))
+      docs.filter(text.isNotNull)
+        .select(keep :+ chars.as("__cs"): _*)
+        .select(keep :+ hashes.as("__hs"): _*)
+        .select(keep ++ Seq(hs, fps.as("__fps")): _*)
+    }
   }
+
+  /** Same fallback discipline as Similarity's vector kernels: native
+    * when GraftExtensions is registered, staged HOFs otherwise.
+    */
+  private def winnowNativeKernels: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("karp_rabin_hashes"))
 }

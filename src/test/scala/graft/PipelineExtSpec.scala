@@ -539,6 +539,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2).getDouble(2) == 0.0)                      // orthogonal
   }
 
+  test("winnow kernels: native rolling hashes equal the staged-HOF fallback bit-for-bit") {
+    import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
+    // corpus covering every branch: normal, exactly-k, shorter-than-k,
+    // empty, repeated substrings, multi-byte code points
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abcde"), (3L, "abc"), (4L, ""),
+      (5L, "aaaaaaaaaaaa"), (6L, "naïve café — püree ☃ text")
+    ).toDF("doc_id", "text")
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    assert(spark.catalog.functionExists("karp_rabin_hashes"))
+    val native = rows(TextAnalysis.winnowFrame(docs, "doc_id", "text", k = 5, w = 4))
+    val bare = spark.newSession()
+    GraftPlanBridge.dropSessionFunction(bare, "karp_rabin_hashes")
+    GraftPlanBridge.dropSessionFunction(bare, "window_minima")
+    SparkSession.setActiveSession(bare)
+    try {
+      val fallback = rows(TextAnalysis.winnowFrame(
+        bare.createDataFrame(docs.collect().toSeq.map(r =>
+          (r.getLong(0), r.getString(1)))).toDF("doc_id", "text"),
+        "doc_id", "text", k = 5, w = 4))
+      assert(native == fallback)
+    } finally SparkSession.setActiveSession(spark)
+    // spot-pin the degenerate folds: "" -> [0]; short doc -> Horner fold
+    assert(native(4L)._1 == List(0L) && native(4L)._2 == List(0L))
+    val horner = "abc".foldLeft(0L)((a, c) =>
+      (a * TextAnalysis.WinnowBase + c) % TextAnalysis.WinnowMod)
+    assert(native(3L)._1 == List(horner))
+  }
+
   test("dot/cosine fall back to builtin folds in a session without GraftExtensions") {
     import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
     val bare = spark.newSession()
