@@ -2468,6 +2468,8 @@ object SparkEntry {
       val gated = corpus
         .select(col("doc_id"), q("quality").as("quality"), bits.as("bucket_bits"))
         .filter(col("quality") >= Cfg.qualityMin)
+      // not checkpointed: the closure's per-round checkpoints already
+      // bound the re-run tail (measured neutral-to-slower staged)
       val base = gated.join(sw, Seq("doc_id"))
       val laid = Packing.shuffleLayout(base.select(col("doc_id")), "doc_id",
         shardSize = Cfg.shuffleShardSize)
