@@ -98,6 +98,46 @@ object WinnowProps extends Properties("winnow") {
     }
 }
 
+object WinnowKernelProps extends Properties("winnow-kernels") {
+  import graft.expressions.WinnowKernels
+  import graft.operators.TextAnalysis.{WinnowBase, WinnowMod}
+
+  private val doc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaLowerChar, 1 -> Gen.const(' '), 1 -> Gen.const('é')))
+  } yield cs.mkString
+
+  private def directHash(cps: Seq[Int], k: Int): Seq[Long] = {
+    // the staged-HOF definition: Σ c·B^(k−1−j) mod P per k-gram, or the
+    // whole-text Horner fold for docs shorter than k
+    val pow = Array.iterate(1L, k)(x => x * WinnowBase % WinnowMod)
+    if (cps.length >= k)
+      (0 to cps.length - k).map(i =>
+        (0 until k).map(j => cps(i + j) * pow(k - 1 - j) % WinnowMod)
+          .foldLeft(0L)((a, b) => (a + b) % WinnowMod))
+    else Seq(cps.foldLeft(0L)((a, c) => (a * WinnowBase + c) % WinnowMod))
+  }
+
+  property("rolling hashes equal the direct polynomial definition") =
+    forAll(doc, Gen.chooseNum(1, 8)) { (s, k) =>
+      val cps = WinnowKernels.codePoints(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      WinnowKernels.hashes(cps, k, WinnowBase, WinnowMod).toSeq ==
+        directHash(cps.toSeq, k)
+    }
+
+  property("window minima equal the sliding-min definition") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L)),
+      Gen.chooseNum(1, 6)) { (hs, w) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray)
+      val got = WinnowKernels.windowMinima(arr, w).toSeq
+      val want =
+        if (hs.length >= w) hs.sliding(w).map(_.min).toSeq else Seq(hs.min)
+      got == want
+    }
+}
+
 object RoundingProps extends Properties("rounding") {
   private val reasonable = Gen.chooseNum(-1e6, 1e6)
 
