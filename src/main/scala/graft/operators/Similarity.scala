@@ -551,6 +551,62 @@ object Similarity {
     rankAdcThenExact(scored, corpus, q, k, rerank)
   }
 
+  /** Write the IVF-PQ index artifacts of a corpus — the build-once /
+    * search-many separation real vector indexes ship with (the ANN
+    * analogue of [[Dedup.writeNearDupIndex]]): at 100 TB the trainings
+    * and the corpus-wide encode run ONCE per ingest; a query session
+    * reads three parquet tables instead of re-deriving them. Under
+    * `dir`:
+    *
+    *  - `coarse/`    — (cid, cv): the trained coarse codebook (nLists rows)
+    *  - `codebooks/` — (m, cwid, cwblk): per-block PQ codewords (m·k rows)
+    *  - `postings/`  — (c_id, list_id, rv): every vector's inverted
+    *    list + PQ reconstruction — the table the ADC pass scans,
+    *    equality-joinable on list_id so a probe touches only its lists
+    */
+  def writeIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, m: Int, subDim: Int, codewords: Int, nLists: Int,
+      iters: Int, trainBound: Long): Unit = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = trainedCentroids(e, "id", "vec", k = nLists, iters = iters)
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    val cents = collectCentroids(coarse)
+    val cwBlocks = trainPqCodebooks(e.filter(col("id") < trainBound),
+        "id", "vec", m = m, subDim = subDim, k = codewords, iters = iters)
+      .toDF("m", "cwid", "cwblk")
+    cwBlocks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val rec = pqReconstructBlocks(pqEncodeBlocks(e, cwBlocks, m, subDim),
+      cwBlocks)
+      .select(col("id").as("c_id"), col("rv"))
+    val assign = e
+      .select(col("id").as("c_id"), asDouble(col("vec")).as("c_vecd"))
+      .select(col("c_id"),
+        element_at(coarseTopLists(col("c_vecd"), cents, 1), 1).as("list_id"))
+    rec.join(assign, Seq("c_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Search a PREBUILT IVF-PQ index ([[writeIvfPqIndex]]): identical
+    * results to the inline [[topKIvfPq]] composite, but the corpus side
+    * costs one postings scan — neither training nor the encode ever
+    * re-runs. `corpus` supplies only the full-precision vectors the
+    * exact re-rank stage reads (k·rerank rows per query).
+    */
+  def searchIvfPqIndex(queries: DataFrame, corpus: DataFrame,
+      coarse: DataFrame, postings: DataFrame, k: Int, rerank: Int,
+      nProbe: Int): DataFrame = {
+    val cents = collectCentroids(coarse)
+    val qBase = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val q = qBase
+      .withColumn("list_id", explode(coarseTopLists(col("q_v"), cents, nProbe)))
+    val scored = postings.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    rankAdcThenExact(scored, corpus, qBase, k, rerank)
+  }
+
   /** Shared PQ search tail ([[topKPqBlocks]] / [[topKIvfPq]]): bounded
     * top-(k·rerank) ADC shortlist per query, then (when rerank > 1)
     * exact 6-dp cosine over only the shortlisted full-precision vectors

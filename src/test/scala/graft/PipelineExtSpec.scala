@@ -732,6 +732,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pureRel == brute)
   }
 
+  test("IVF-PQ index lifecycle: prebuilt artifacts search identically to the inline composite") {
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)))
+      .toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(emb, "id", "vec", dir, m = 2, subDim = 2,
+      codewords = 4, nLists = 3, iters = 2, trainBound = 100L)
+    // the three artifacts exist and have index shapes
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(coarse.count() == 3)
+    assert(postings.columns.sorted.sameElements(Array("c_id", "list_id", "rv")))
+    assert(postings.count() == 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "score", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val q = emb.filter(col("id") < 3)
+    val fromIndex = rows(Similarity.searchIvfPqIndex(q, emb, coarse, postings,
+      k = 2, rerank = 3, nProbe = 2))
+    val codebook = Similarity.collectCentroids(
+      Similarity.trainedCentroids(emb, "id", "vec", k = 3, iters = 2))
+    val cwBlocks = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = 2, subDim = 2, k = 4, iters = 2).toDF("m", "cwid", "cwblk")
+    val inline = rows(Similarity.topKIvfPq(q, emb, cwBlocks, k = 2, m = 2,
+      subDim = 2, rerank = 3, centroids = codebook, nProbe = 2))
+    assert(fromIndex == inline)
+  }
+
   test("hard negatives: same-label candidates excluded, ranked desc, label attached") {
     val lv = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
