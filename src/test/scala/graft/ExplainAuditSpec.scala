@@ -655,6 +655,33 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"e7 lost the offsets broadcast:\n$p")
   }
 
+  test("ta_curriculum: two-phase rank — offsets broadcast, no global-sort window on facts") {
+    val p = plan("ta_curriculum")
+    assert(p.contains("BroadcastHashJoin"), s"curriculum offsets lost the broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ta_quality_smooth: propagation joins never degenerate; no window") {
+    val p = plan("ta_quality_smooth")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"smoothing degenerated:\n$p")
+    assert(!p.contains("Window"), s"smoothing ranks through a window:\n$p")
+  }
+
+  test("st15_match_scan: stateless narrow scoring — no join on the doc side beyond the frozen dims") {
+    val p = plan("st15_match_scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"matcher lost its narrow shape:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("st14_soft_scan: occurrence windows partition by content hash only") {
+    val p = plan("st14_soft_scan")
+    assert(!p.contains("CartesianProduct"))
+    // the one window partitions by text_hash (dup-group-bounded rows)
+    assert(p.contains("text_hash"), s"window lost the hash partitioning:\n$p")
+  }
+
   test("ta_bpe_merges trains on the word-frequency table with map-side combine") {
     // the plan of the FIRST round's pair count (the per-round shape):
     // corpus scan → explode → partial count (vocab compression) →
