@@ -2080,6 +2080,14 @@ object SparkEntry {
       TextAnalysis.bpeMerges(Tables.documents(s, dir), "text",
         rounds = Cfg.bpeMergeRounds)),
 
+    // Tokenizer round-trip: the corpus re-encoded through the merges
+    // ta_bpe_merges just learned — per-doc word count, BPE token
+    // count, and the compression the merge table bought. Encode runs
+    // over the distinct-word table and joins back on the word.
+    "ta_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        rounds = Cfg.bpeMergeRounds)),
+
     // BM25 retrieval for a standing query-term set (benchmark-query
     // doc mining): candidates only — the term filter rides inside the
     // token array before the explode — integer micro-unit
@@ -5562,6 +5570,10 @@ object SparkEntry {
 
     "ta_bpe_merges" ->
       graft.operators.TextAnalysis.bpeMergesSql("documents", "text",
+        rounds = Cfg.bpeMergeRounds),
+
+    "ta_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeSql("documents", "doc_id", "text",
         rounds = Cfg.bpeMergeRounds),
 
     // Mirrors TextAnalysis.bpePairs + the k-bounded count rank

@@ -551,6 +551,88 @@ object TextAnalysis {
       .select(col(idCol), col(aRank), col(bRank), col("rrf"), col("rnk"))
   }
 
+  /** Tokenizer-training ROUND-TRIP: [[bpeMerges]] learns the merge
+    * table, this applies it — every corpus word is re-encoded through
+    * the learned merges (the same wrapped-symbol greedy replaces, in
+    * learned order) and each document reports its word count, its BPE
+    * token count, and the compression the merges bought. The encode
+    * runs over the DISTINCT word table (vocab rows) and joins back to
+    * the token stream on the word — the standard vocab-compressed
+    * tokenization shape; the merge chain itself is `rounds` narrow
+    * replaces, no per-round shuffle.
+    *
+    * @return (docId, n_words, n_bpe_tokens, compression) — words
+    *         outside the trainer's [a-z]+ domain are excluded from
+    *         both counts, exactly as they were excluded from training
+    */
+  def bpeEncode(docs: DataFrame, docId: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(docId), explode(split(col(textCol), " ")).as("__t"))
+      .select(col(docId), lower(col("__t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val wrapped = concat_ws("", transform(split(col("w"), ""),
+      c => concat(lit("~"), c, lit("~"))))
+    val applied = merges.foldLeft(wrapped) { case (s, (pa, pb)) =>
+      call_function("replace", s, lit(s"~$pa~~$pb~"), lit(s"~$pa$pb~"))
+    }
+    val wordSyms = toks.select(col("w")).distinct()
+      .select(col("w"),
+        size(filter(split(applied, "~"), x => x =!= "")).cast("long").as("n_syms"))
+    toks.join(wordSyms, Seq("w"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col(docId), col("n_words"), col("n_bpe_tokens"),
+        Rounding.stable(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"))
+  }
+
+  /** SQL mirror of [[bpeEncode]]: the [[bpeMergesSql]] round chain with
+    * the word identity carried through, then the vocab join-back.
+    */
+  def bpeEncodeSql(table: String, docId: String, textExpr: String,
+      rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""u$r AS (
+         |  SELECT syms, freq, UNNEST(range(1, len(syms))) AS i
+         |  FROM (SELECT list_filter(string_split(s, '~'), x -> x <> '') AS syms, freq
+         |        FROM s${r - 1}) t),
+         |e$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, freq FROM u$r),
+         |p$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         |s$r AS (SELECT w, replace(s, '~' || pa || '~~' || pb || '~', '~' || pa || pb || '~') AS s, freq
+         |        FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT $docId, lower(unnest(string_split($textExpr, ' '))) AS w
+       |        FROM $table WHERE $textExpr IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT w,
+       |         array_to_string(list_transform(string_split(w, ''), c -> '~' || c || '~'), '') AS s,
+       |         freq
+       |  FROM w0),
+       |$roundCtes,
+       |enc AS (
+       |  SELECT w, CAST(len(list_filter(string_split(s, '~'), x -> x <> '')) AS BIGINT) AS n_syms
+       |  FROM s$rounds),
+       |dt AS (
+       |  SELECT $docId, w FROM (
+       |    SELECT $docId, lower(unnest(string_split($textExpr, ' '))) AS w
+       |    FROM $table WHERE $textExpr IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}'))
+       |SELECT $docId, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(enc.n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       ${Rounding.stableSql("sum(enc.n_syms)::DOUBLE / count(*)", 4)} AS tokens_per_word
+       |FROM dt JOIN enc USING (w)
+       |GROUP BY $docId""".stripMargin
+  }
+
   /** SQL mirror of [[bpeMerges]]: the rounds unrolled as CTE stages
     * (the kmeans-oracle pattern), same wrapped-symbol replace.
     */

@@ -915,6 +915,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) == ((3, "a", "a", 2L)))
   }
 
+  test("bpeEncode: corpus re-encoded through the learned merges, per-doc counts") {
+    // same fixture as the merges trace: learned merges are (a,b),
+    // (ab,ab), (a,a) — so abab -> [abab], abc -> [ab,c], aaa -> [aa,a]
+    val docs = Seq(
+      (1L, Some("abab abc ABAB")), (2L, Some("abab abc aaa")),
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // null doc excluded
+    assert(out(1L) == ((3L, 4L, Rounding.stableVal(4.0 / 3, 4)))) // abab+abc+abab = 1+2+1
+    assert(out(2L) == ((3L, 5L, Rounding.stableVal(5.0 / 3, 4)))) // abab+abc+aaa = 1+2+2
+  }
+
   test("bpeMerges: greedy left-to-right within-word overlap (aaa -> [aa, a])") {
     // one word "aaaa" ×1: round 1 (a,a)=3 (all adjacent pairs counted);
     // merging leaves [aa, aa] — greedy non-overlapping left-to-right
