@@ -655,6 +655,19 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"e7 lost the offsets broadcast:\n$p")
   }
 
+  test("ta_rrf_fusion: k-bounded list fusion — no corpus-sized join, aggregate rank") {
+    val p = plan("ta_rrf_fusion")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ObjectHashAggregate"), s"fused rank lost the bounded aggregate:\n$p")
+  }
+
+  test("ta_bpe_encode: vocab-compressed encode — word aggregate with map-side combine, no window") {
+    val p = plan("ta_bpe_encode")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"word compression lost map-side combine:\n$p")
+  }
+
   test("ta_curriculum: two-phase rank — offsets broadcast, no global-sort window on facts") {
     val p = plan("ta_curriculum")
     assert(p.contains("BroadcastHashJoin"), s"curriculum offsets lost the broadcast:\n$p")
