@@ -198,6 +198,10 @@ final case class PipelineConfig(
     bm25TopK: Int = 15,
     bm25K1: Double = 1.2,
     bm25B: Double = 0.75,
+    // deterministic train/val/test split (ta_split_leakage): hash-slot
+    // cutoffs on the stable content-keyed assignment
+    splitTrainPct: Int = 80,
+    splitValPct: Int = 10,
     // graph-propagated quality smoothing (ta_quality_smooth): floor-
     // mean consensus rounds over the near-dup graph — the oracle
     // unrolls exactly this many CTE stages

@@ -970,6 +970,32 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // Train/test split leakage screen — the contamination check every
+    // LLM pipeline owes its held-out sets: docs split by the stable
+    // content-keyed hash, then the verified near-dup pairs grouped by
+    // the (unordered) split pair they connect. Any off-diagonal row is
+    // a near-duplicate leaking across a split boundary (the re-crawl's
+    // copies land in different splits by construction, so the screen
+    // provably has work). Cost = the minhash pair generation everything
+    // else shares + one tiny aggregate.
+    "ta_split_leakage" -> ((s, dir) => {
+      val corpus = recrawl(s, dir)
+      val sig = Dedup.signatures(corpus, "doc_id", "text", Cfg.nSig)
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+          numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand,
+          threshold = Cfg.nearDupThreshold,
+          maxBucket = Cfg.maxBucket, sigs = Some(sig))
+        .select(col("doc_a"), col("doc_b"))
+      val sa = Sampling.splitAssign(col("doc_a"), Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = Sampling.splitAssign(col("doc_b"), Cfg.splitTrainPct, Cfg.splitValPct)
+      pairs
+        .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+    }),
+
     // Graph-propagated quality smoothing: near-dup copies carry
     // independently-noisy quality estimates; two floor-mean consensus
     // rounds over the verified minhash graph pull duplicate groups
@@ -4207,6 +4233,26 @@ object SparkEntry {
     "ta_quality_smooth" -> qualitySmoothOracle(numBands = Cfg.numBands,
       rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       rounds = Cfg.smoothRounds),
+
+    // Verified near-dup pairs grouped by the unordered split pair —
+    // off-diagonal rows are cross-split leakage.
+    "ta_split_leakage" -> {
+      val sa = graft.operators.Sampling.splitSql("doc_a", Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = graft.operators.Sampling.splitSql("doc_b", Cfg.splitTrainPct, Cfg.splitValPct)
+      s"WITH ${minhashCtes(Cfg.numBands, Cfg.rowsPerBand, "a.doc_id < b.doc_id",
+        "doc_a", "doc_b", Some(Cfg.maxBucket))},\n" +
+        s"""verified AS (
+           |  SELECT doc_a, doc_b
+           |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |  WHERE $MinhashJaccardSql >= ${Cfg.nearDupThreshold}),
+           |sp AS (
+           |  SELECT least(($sa), ($sb)) AS split_lo,
+           |         greatest(($sa), ($sb)) AS split_hi
+           |  FROM verified)
+           |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       split_lo <> split_hi AS leaks
+           |FROM sp GROUP BY 1, 2""".stripMargin
+    },
 
     // E7 — soft weights (recursive closure) ⨝ quality gate ⨝ length
     // bucket, then the one-window shuffle-rank SPEC over the survivors.

@@ -42,6 +42,30 @@ object Sampling {
   def keepSql(keyExpr: String, pct: Int): String =
     keepAtSql(keyExpr, pct.toString)
 
+  /** Deterministic train/val/test split on the SAME stable keep hash
+    * ([[deterministicKeepAt]]'s 48-bit md5 slot): slot < trainPct →
+    * train, < trainPct+valPct → val, else test. Content-keyed and
+    * rate-independent like every other keep form — resizing one split
+    * moves only the cutoff, never reshuffles assignments.
+    */
+  def splitAssign(key: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct && trainPct+valPct < 100, got $trainPct/$valPct")
+    val slot = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long") % 100
+    when(slot < trainPct, "train")
+      .when(slot < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** SQL mirror of [[splitAssign]]. */
+  def splitSql(keyExpr: String, trainPct: Int, valPct: Int): String = {
+    val slot = s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 12))::BIGINT % 100"
+    s"""CASE WHEN $slot < $trainPct THEN 'train'
+       |     WHEN $slot < ${trainPct + valPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate (the
     * curation move that downsamples dominant languages/sources while
     * keeping the tail intact), same content-keyed hash as

@@ -434,6 +434,32 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
 
+  test("splitAssign: stable content-keyed cutoffs; train slot == deterministicKeep(80)") {
+    val keys = (1L to 2000L).toDF("k")
+    val splits = keys.select(col("k"),
+        Sampling.splitAssign(col("k"), 80, 10).as("split"),
+        Sampling.deterministicKeep(col("k"), 80).as("keep80"),
+        Sampling.deterministicKeep(col("k"), 90).as("keep90"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    // split == 'train' is EXACTLY the 80% keep set; train∪val the 90%
+    splits.foreach { case (k, s, k80, k90) =>
+      assert((s == "train") == k80, s"key $k")
+      assert((s != "test") == k90, s"key $k")
+    }
+    // rough proportions on 2000 keys (binomial 3σ bounds)
+    val byS = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS("train") > 1480 && byS("train") < 1710, byS.toString)
+    assert(byS("test") > 130 && byS("test") < 280, byS.toString)
+    // resizing only moves the cutoff: the 'val' members under (80,10)
+    // are all 'train' members under (92, 5)
+    val bigger = keys.select(col("k"),
+        Sampling.splitAssign(col("k"), 92, 5).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    splits.filter(_._2 == "val").foreach { case (k, _, _, _) =>
+      assert(bigger(k) == "train", s"key $k reshuffled instead of recut")
+    }
+  }
+
   test("temperatureMix: sqrt rule downsamples the head sub-linearly; kept counts track rates") {
     // 90/10 split at budget 40: proportional keep would take 36/4;
     // sqrt weights (9.49 vs 3.16) give rates 33%/126->100% — the head
