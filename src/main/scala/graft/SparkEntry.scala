@@ -970,6 +970,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // Split manifest — the per-split size/token-mass report a training
+    // pipeline writes next to its split assignment: one narrow map +
+    // one 3-row aggregate over the stable content-keyed cutoffs.
+    "ta_split_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(Sampling.splitAssign(col("doc_id"),
+            Cfg.splitTrainPct, Cfg.splitValPct).as("split"),
+          size(split(col("text"), " ")).cast("long").as("__n"),
+          col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("ws_tokens"),
+          sum(col("n_chars")).as("chars"))),
+
     // Train/test split leakage screen — the contamination check every
     // LLM pipeline owes its held-out sets: docs split by the stable
     // content-keyed hash, then the verified near-dup pairs grouped by
@@ -4233,6 +4246,16 @@ object SparkEntry {
     "ta_quality_smooth" -> qualitySmoothOracle(numBands = Cfg.numBands,
       rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       rounds = Cfg.smoothRounds),
+
+    "ta_split_stats" ->
+      s"""SELECT ${graft.operators.Sampling.splitSql("doc_id",
+            Cfg.splitTrainPct, Cfg.splitValPct)} AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN text IS NULL THEN NULL
+         |                ELSE len(string_split(text, ' ')) END) AS BIGINT) AS ws_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
 
     // Verified near-dup pairs grouped by the unordered split pair —
     // off-diagonal rows are cross-split leakage.
