@@ -1231,6 +1231,35 @@ object SparkEntry {
           (col("maybe_in_base") && col("__in").isNull).as("is_fp"))
     }),
 
+    // Sharded Bloom screen — the join-side form for the regime where the
+    // literal-array filter can't exist (bloomWordsFor fail-fasts past
+    // 2^31 words ≈ 500 M base docs): the bitmap is a (w, m) TABLE
+    // hash-partitioned on the word index and the probe is an equi-join,
+    // so filter size is bounded by cluster storage, not by a broadcast
+    // literal. Verdicts are bit-identical to dedup_bloom at the same
+    // size (same md5 positions; spec-asserted), so this runs the same
+    // fixture and the same oracle shape.
+    "dedup_bloom_sharded" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val batch = base.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      val nWords = math.max(Dedup.BloomWords.toLong, 4L * base.count())
+      val filter = Dedup.bloomBitsFrame(base, "text", nWords)
+      val exact = base.select(md5(col("text")).as("__h")).distinct()
+        .withColumn("__in", lit(true))
+      batch
+        .select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(Dedup.bloomMaybeContainsJoin(batch, "doc_id", "text",
+          filter, nWords), Seq("doc_id"))
+        .join(exact, Seq("__h"), "left")
+        .select(col("doc_id"), col("maybe_in_base"),
+          coalesce(col("__in"), lit(false)).as("in_base"),
+          (col("maybe_in_base") && col("__in").isNull).as("is_fp"))
+    }),
+
     // MinHash+LSH near-dup: shingle → 12-seed minhash → 4 bands → bucket
     // join → exact-Jaccard verify ≥0.8. Candidates come ONLY from band
     // collisions (never all-pairs).
@@ -2958,6 +2987,43 @@ object SparkEntry {
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND $pairPred)""".stripMargin
   }
 
+  /** Bloom-screen oracle shared by dedup_bloom and dedup_bloom_sharded
+    * (identical result sets by construction — the sharded probe is
+    * verdict-identical at the same filter size, and the oracle's
+    * join-form build/probe is already the sharded shape): same md5-slice
+    * bit positions re-derived relationally — build = bit_or per 32-bit
+    * word, probe = every bit set via a LEFT JOIN on word. Filter size
+    * scales with the base count exactly as Dedup.bloomWordsFor:
+    * greatest(2048, 4·n) words, via the bn scalar.
+    */
+  private lazy val bloomOracleSql: String = {
+    def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
+      s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ((SELECT w FROM bn) * 32)")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |bn AS (SELECT greatest(${Dedup.BloomWords}, 4 * count(*)) AS w FROM base),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN text || ' novel ' || CAST(doc_id AS VARCHAR)
+       |              ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |bp AS (SELECT unnest(${posList("text")}) AS p FROM base),
+       |bb AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS m
+       |       FROM bp GROUP BY 1),
+       |pp AS (SELECT doc_id, text, unnest(${posList("text")}) AS p FROM batch),
+       |ph AS (SELECT doc_id, text, p // 32 AS w, CAST(p % 32 AS INT) AS b FROM pp),
+       |hit AS (
+       |  SELECT doc_id, text,
+       |         bool_and(m IS NOT NULL AND ((m >> b) & 1) = 1) AS maybe_in_base
+       |  FROM ph LEFT JOIN bb USING (w) GROUP BY doc_id, text),
+       |ex AS (SELECT DISTINCT md5(text) AS h FROM base)
+       |SELECT hit.doc_id, hit.maybe_in_base,
+       |       (ex.h IS NOT NULL) AS in_base,
+       |       (hit.maybe_in_base AND ex.h IS NULL) AS is_fp
+       |FROM hit LEFT JOIN ex ON md5(hit.text) = ex.h""".stripMargin
+  }
+
   private def minhashOracle(numBands: Int, rowsPerBand: Int, threshold: Double,
       pairPred: String = "a.doc_id < b.doc_id",
       aName: String = "doc_a", bName: String = "doc_b",
@@ -4200,33 +4266,13 @@ object SparkEntry {
     // LEFT JOIN on word) — bit-for-bit the plan's literal-array probe.
     // Filter size scales with the base count exactly as
     // Dedup.bloomWordsFor: greatest(2048, 4·n) words, via the bn scalar.
-    "dedup_bloom" -> {
-      def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
-        s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ((SELECT w FROM bn) * 32)")
-        .mkString("[", ", ", "]")
-      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |bn AS (SELECT greatest(${Dedup.BloomWords}, 4 * count(*)) AS w FROM base),
-         |batch AS (
-         |  SELECT doc_id + 1000000 AS doc_id,
-         |         CASE WHEN doc_id % 3 = 0
-         |              THEN text || ' novel ' || CAST(doc_id AS VARCHAR)
-         |              ELSE text END AS text
-         |  FROM documents WHERE text IS NOT NULL),
-         |bp AS (SELECT unnest(${posList("text")}) AS p FROM base),
-         |bb AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS m
-         |       FROM bp GROUP BY 1),
-         |pp AS (SELECT doc_id, text, unnest(${posList("text")}) AS p FROM batch),
-         |ph AS (SELECT doc_id, text, p // 32 AS w, CAST(p % 32 AS INT) AS b FROM pp),
-         |hit AS (
-         |  SELECT doc_id, text,
-         |         bool_and(m IS NOT NULL AND ((m >> b) & 1) = 1) AS maybe_in_base
-         |  FROM ph LEFT JOIN bb USING (w) GROUP BY doc_id, text),
-         |ex AS (SELECT DISTINCT md5(text) AS h FROM base)
-         |SELECT hit.doc_id, hit.maybe_in_base,
-         |       (ex.h IS NOT NULL) AS in_base,
-         |       (hit.maybe_in_base AND ex.h IS NULL) AS is_fp
-         |FROM hit LEFT JOIN ex ON md5(hit.text) = ex.h""".stripMargin
-    },
+    "dedup_bloom" -> bloomOracleSql,
+
+    // Identical result set to dedup_bloom by construction (the sharded
+    // probe is verdict-identical at the same filter size); the oracle's
+    // join-form build/probe is ALREADY the sharded shape, so it is the
+    // natural oracle for both.
+    "dedup_bloom_sharded" -> bloomOracleSql,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

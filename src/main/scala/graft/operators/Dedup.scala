@@ -774,7 +774,7 @@ object Dedup {
     * bit-for-bit (same discipline as every hash here), so even the
     * filter's FALSE POSITIVES are oracle-checkable.
     */
-  def bloomPositions(text: Column, words: Int = BloomWords): Seq[Column] =
+  def bloomPositions(text: Column, words: Long = BloomWords.toLong): Seq[Column] =
     (0 until BloomHashes).map { i =>
       conv(substring(md5(text), i * 8 + 1, 8), 16, 10).cast("long") %
         (words * 32L)
@@ -811,10 +811,76 @@ object Dedup {
     val arr = typedLit(words.toSeq)
     // positions mod the ACTUAL filter size — the array length is the
     // single source of truth, so a corpus-scaled build probes correctly
-    bloomPositions(text, words.length).map { p =>
+    bloomPositions(text, words.length.toLong).map { p =>
       (element_at(arr, wordOf(p) + 1).bitwiseAND(maskOf(p))) =!= 0L
     }.reduce(_ && _)
   }
+
+  /** SHARDED Bloom filter build — the join-side form for the regime
+    * [[bloomWordsFor]] fail-fasts on (> 2^31 words ≈ >500 M base docs at
+    * 4 words/doc, where the filter can no longer be a broadcast literal
+    * array): the bitmap lives as a (w, m) TABLE — 64-bit word index `w`,
+    * 32 bits of filter per row in `m` — hash-partitioned on `w` by every
+    * join that probes it, so each probe position routes to exactly the
+    * shard holding its word. `nWords` is a Long: the 2^31 ceiling is the
+    * literal array's, not this table's. Zero words are absent rows (the
+    * probe reads absence as unset), so the table's size tracks the SET
+    * bits, not `nWords`.
+    */
+  def bloomBitsFrame(base: DataFrame, textCol: String,
+      nWords: Long, wide: Boolean = false): DataFrame = {
+    require(nWords >= 1, s"nWords must be >= 1, got $nWords")
+    base.filter(col(textCol).isNotNull)
+      .select(explode(array(positionsFor(col(textCol), nWords, wide): _*)).as("p"))
+      .groupBy(floor(col("p") / 32).cast("long").as("w"))
+      .agg(bit_or(maskOf(col("p"))).as("m"))
+  }
+
+  /** [[bloomPositions]]'s 8-hex-char md5 slices carry 32 bits, so they
+    * address at most a 2^32-bit (2^27-word) bitmap — past that, the mod
+    * is a no-op and the filter stops growing (FP rate saturates; still
+    * correct, just not improving). The sharded regime is exactly where
+    * that ceiling binds, so it gets 10-hex-char (40-bit) slices
+    * addressing 2^35 words — deliberately NOT literal-compatible,
+    * because no literal-array filter exists at that size to agree with;
+    * at any common `nWords` the `wide=false` default remains
+    * bit-identical to the literal path.
+    */
+  def bloomPositionsWide(text: Column, words: Long): Seq[Column] =
+    (0 until BloomHashes).map { i =>
+      conv(substring(md5(text), i * 10 + 1, 10), 16, 10).cast("long") %
+        (words * 32L)
+    }
+
+  private def positionsFor(text: Column, words: Long,
+      wide: Boolean): Seq[Column] =
+    if (wide) bloomPositionsWide(text, words) else bloomPositions(text, words)
+
+  /** SHARDED Bloom probe — verdict-identical to [[bloomMaybeContains]]
+    * over [[bloomBits]] at the same `nWords` (spec-asserted on the
+    * fixture), but the filter arrives via an equi-join on the word index
+    * instead of a literal array: explode each probe text's
+    * [[BloomHashes]] positions, LEFT-join the filter shard table on `w`
+    * (absent word ⇒ bit unset), and AND the per-position bit tests back
+    * to one row per doc with a min(boolean) aggregate. Scale shape: the
+    * probe side carries k·|batch| rows into a hash join against a table
+    * the size of the filter's set words — both sides partition on `w`,
+    * nothing broadcasts, nothing is corpus-pairwise.
+    *
+    * @return (idCol, maybe_in_base)
+    */
+  def bloomMaybeContainsJoin(batch: DataFrame, idCol: String,
+      textCol: String, filter: DataFrame, nWords: Long,
+      wide: Boolean = false): DataFrame =
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array(positionsFor(col(textCol), nWords, wide): _*)).as("p"))
+      .select(col(idCol), floor(col("p") / 32).cast("long").as("w"),
+        maskOf(col("p")).as("__mask"))
+      .join(filter.select(col("w"), col("m")), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(min((coalesce(col("m"), lit(0L)).bitwiseAND(col("__mask"))) =!= 0L)
+        .as("maybe_in_base"))
 
   /** Paragraph-level exact dedup with document reassembly — the
     * sub-document pass (CCNet/RefinedWeb-style) that exact whole-doc

@@ -577,6 +577,18 @@ object Similarity {
         "id", "vec", m = m, subDim = subDim, k = codewords, iters = iters)
       .toDF("m", "cwid", "cwblk")
     cwBlocks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    ivfPqPostings(e, cwBlocks, cents, m, subDim)
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** The postings rows of `e` at FROZEN codebooks — (c_id, list_id, rv):
+    * PQ-encode + reconstruct against `cwBlocks`, coarse-assign against
+    * `cents`. Shared by [[writeIvfPqIndex]] (initial build) and
+    * [[appendToIvfPqIndex]] (incremental ingest), so both paths encode
+    * identically by construction.
+    */
+  private def ivfPqPostings(e: DataFrame, cwBlocks: DataFrame,
+      cents: Seq[(Int, Seq[Double])], m: Int, subDim: Int): DataFrame = {
     val rec = pqReconstructBlocks(pqEncodeBlocks(e, cwBlocks, m, subDim),
       cwBlocks)
       .select(col("id").as("c_id"), col("rv"))
@@ -585,7 +597,54 @@ object Similarity {
       .select(col("c_id"),
         element_at(coarseTopLists(col("c_vecd"), cents, 1), 1).as("list_id"))
     rec.join(assign, Seq("c_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Incremental index maintenance — the daily-ingest shape
+    * [[writeIvfPqIndex]] alone can't serve: new vectors are encoded with
+    * the FROZEN codebooks already in the index (no retrain — exactly how
+    * FAISS `add()` behaves after `train()`) and their postings rows are
+    * APPENDED. [[searchIvfPqIndex]] over the grown index is then
+    * bit-identical to a postings rebuild over the union corpus at the
+    * same codebooks (spec-asserted), because [[ivfPqPostings]] is a
+    * per-row map + bounded-dim joins — no cross-row state. Cost is one
+    * scan of the NEW batch only.
+    *
+    * Codebook drift is the price of frozen quantizers: as the ingest
+    * distribution drifts from the training snapshot, appended vectors
+    * quantize worse. [[indexRecallGate]] over the appended ids is the
+    * measured gate — retrain (full [[writeIvfPqIndex]] rebuild) when it
+    * sags below target, the measure-don't-guess discipline every other
+    * approximate path here ships with.
+    */
+  def appendToIvfPqIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+      dir: String, m: Int, subDim: Int): Unit = {
+    val sp = newEmb.sparkSession
+    val cents = collectCentroids(sp.read.parquet(s"$dir/coarse"))
+    val cwBlocks = sp.read.parquet(s"$dir/codebooks")
+      .select(col("m"), col("cwid"), col("cwblk"))
+    val e = newEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    ivfPqPostings(e, cwBlocks, cents, m, subDim)
+      .write.mode("append").parquet(s"$dir/postings")
+  }
+
+  /** Per-query recall of a prebuilt index against the exact top-k — the
+    * drift gate an [[appendToIvfPqIndex]] ingest runs over its appended
+    * ids (`queries` = the new vectors), and the standing health check of
+    * any index build. Same recall arithmetic as the `sim_*_recall`
+    * oracle-checked queries.
+    */
+  def indexRecallGate(queries: DataFrame, corpus: DataFrame,
+      coarse: DataFrame, postings: DataFrame, k: Int, rerank: Int,
+      nProbe: Int): DataFrame = {
+    val brute = topKBrute(queries, corpus, k).select(col("q_id"), col("c_id"))
+    val idx = searchIvfPqIndex(queries, corpus, coarse, postings, k, rerank,
+        nProbe)
+      .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+    brute.join(idx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("__hit")).as("hits"),
+        graft.operators.Rounding.stable(
+          count(col("__hit")).cast("double") / k, 4).as("recall"))
   }
 
   /** Search a PREBUILT IVF-PQ index ([[writeIvfPqIndex]]): identical
@@ -821,9 +880,6 @@ object Similarity {
   def topKIvfPq(queries: DataFrame, corpus: DataFrame, cwBlocks: DataFrame,
       k: Int, m: Int, subDim: Int, rerank: Int,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
-    val rec = pqReconstructBlocks(pqEncodeBlocks(corpus, cwBlocks, m, subDim),
-      cwBlocks)
-      .select(col("id").as("c_id"), col("rv"))
     val cAssign = corpus
       .select(col("id").as("c_id"), asDouble(col("vec")).as("c_vecd"))
       .select(col("c_id"),
@@ -834,6 +890,22 @@ object Similarity {
     val qBase = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
     val q = qBase
       .withColumn("list_id", explode(coarseTopLists(col("q_v"), centroids, nProbe)))
+    // Encode AND decode are probe-scoped like the candidates (VERDICT
+    // r15 #1): the list routing join lands on the corpus BEFORE
+    // pqEncodeBlocks, so the m·k argmin (the family's hot loop) and the
+    // stitch-back touch only the probed lists' ~nProbe/nLists of the
+    // corpus — previously every corpus row was encoded+reconstructed
+    // and the probe filtered afterwards. Both passes are per-row pure
+    // (no cross-row state), so restricting their input cannot change
+    // surviving values; the prebuilt-index path (writeIvfPqIndex)
+    // rightly still encodes everything — at BUILD time, once.
+    val probedAssign = cAssign
+      .join(broadcast(q.select(col("list_id")).distinct()), Seq("list_id"))
+    val probedCorpus = corpus
+      .join(probedAssign.select(col("c_id").as("id")), Seq("id"))
+    val rec = pqReconstructBlocks(
+        pqEncodeBlocks(probedCorpus, cwBlocks, m, subDim), cwBlocks)
+      .select(col("id").as("c_id"), col("rv"))
     val scored = rec.join(cAssign, Seq("c_id"))
       .join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))

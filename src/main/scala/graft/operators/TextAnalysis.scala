@@ -566,10 +566,52 @@ object TextAnalysis {
     *         both counts, exactly as they were excluded from training
     */
   def bpeEncode(docs: DataFrame, docId: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val merges = bpeMerges(docs, textCol, rounds)
+      rounds: Int): DataFrame =
+    bpeEncodeWith(docs, docId, textCol, orderedMerges(bpeMerges(docs, textCol, rounds)))
+
+  /** Persist a learned BPE merge table as a parquet artifact — the
+    * tokenizer-side build-once/apply-many lifecycle that
+    * [[graft.operators.Similarity.writeIvfPqIndex]] gives the ANN side
+    * (and the reference's cache layer gives API pulls:
+    * `src/core/cache.py:42-89`, materialize once, reuse every run): a
+    * real pipeline trains the tokenizer ONCE per corpus snapshot and
+    * encodes with it on every ingest, so encode must never re-run the
+    * `rounds` training scans. The artifact is `rounds` rows — trivially
+    * readable into the driver on any later session.
+    */
+  def writeBpeMerges(docs: DataFrame, textCol: String, rounds: Int,
+      dir: String): Unit =
+    bpeMerges(docs, textCol, rounds).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Read a [[writeBpeMerges]] artifact back to the driver-side ordered
+    * merge list [[bpeEncodeWith]] applies — a `rounds`-row collect.
+    */
+  def readBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    orderedMerges(spark.read.parquet(dir))
+
+  private def orderedMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.select(col("round").cast("int"), col("left_sym"), col("right_sym"))
       .collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Encode the corpus through an ARTIFACT merge table
+    * ([[writeBpeMerges]]) — bit-identical to the inline [[bpeEncode]]
+    * (spec-asserted), but the training loop never re-runs: the encode
+    * session pays one `rounds`-row parquet read.
+    */
+  def bpeEncodeFromArtifact(docs: DataFrame, docId: String, textCol: String,
+      mergesDir: String): DataFrame =
+    bpeEncodeWith(docs, docId, textCol,
+      readBpeMerges(docs.sparkSession, mergesDir))
+
+  /** The encode tail shared by [[bpeEncode]] and
+    * [[bpeEncodeFromArtifact]]: apply an ordered merge list over the
+    * DISTINCT word table and join back.
+    */
+  def bpeEncodeWith(docs: DataFrame, docId: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(docId), explode(split(col(textCol), " ")).as("__t"))
       .select(col(docId), lower(col("__t")).as("w"))

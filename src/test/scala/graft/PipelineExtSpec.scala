@@ -297,6 +297,36 @@ class DedupSpec extends SparkSpec {
     assert((1 to 50).count(i => !out(1000L + i)) >= 49)
   }
 
+  test("sharded bloom: join-side verdicts identical to the literal array at the same size; wide form never false-negatives") {
+    val base = (1 to 200).map(i => (i.toLong, s"base doc number $i with words"))
+      .toDF("doc_id", "text")
+    val probes = base.unionByName(
+      (1 to 50).map(i => (1000L + i, s"novel probe text $i")).toDF("doc_id", "text"))
+    // corpus-scaled size, exactly what bloomWordsFor would pick — the
+    // boundary fixture: same nWords on both paths
+    val nWords = Dedup.bloomWordsFor(200L).toLong
+    val literal = {
+      val words = Dedup.bloomBits(base, "text", nWords.toInt)
+      probes.select(col("doc_id"),
+          Dedup.bloomMaybeContains(words, col("text")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val sharded = Dedup.bloomMaybeContainsJoin(probes, "doc_id", "text",
+        Dedup.bloomBitsFrame(base, "text", nWords), nWords)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sharded == literal) // bit-for-bit verdict identity, FPs included
+    // the wide (40-bit-position) form for the >2^31-word regime: no
+    // literal twin exists there, so the contract is the Bloom contract
+    // itself — zero false negatives, and at this tiny load zero FPs slip
+    // through a 2^20-word filter
+    val wide = Dedup.bloomMaybeContainsJoin(probes, "doc_id", "text",
+        Dedup.bloomBitsFrame(base, "text", 1L << 20, wide = true),
+        1L << 20, wide = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1 to 200).forall(i => wide(i.toLong)))
+    assert((1 to 50).count(i => !wide(1000L + i)) >= 49)
+  }
+
   test("paragraphDedup: first occurrence survives, docs reassemble in order, full dup degrades to empty") {
     val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
     val corpus = Seq(
@@ -786,6 +816,51 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  test("IVF-PQ append: frozen-codebook append searches identically to a union rebuild; drift gate runs") {
+    val mkVec = (i: Long) =>
+      Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)
+    val base = (0L to 11L).map(i => (i, mkVec(i))).toDF("id", "vec")
+    val batch = (12L to 17L).map(i => (i, mkVec(i))).toDF("id", "vec")
+    val union = base.unionByName(batch)
+    val dirA = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    Similarity.writeIvfPqIndex(base, "id", "vec", dirA, m = 2, subDim = 2,
+      codewords = 4, nLists = 3, iters = 2, trainBound = 100L)
+    Similarity.appendToIvfPqIndex(batch, "id", "vec", dirA, m = 2, subDim = 2)
+    val coarseA = spark.read.parquet(s"$dirA/coarse")
+    val postingsA = spark.read.parquet(s"$dirA/postings")
+    assert(postingsA.count() == 18) // 12 base + 6 appended
+    // rebuild postings over the UNION corpus at the SAME frozen
+    // codebooks (re-encode everything; the codebook artifacts are
+    // reused, so only the postings differ in provenance)
+    val dirB = java.nio.file.Files.createTempDirectory("ivfpq_reb").toString
+    spark.read.parquet(s"$dirA/coarse").write.parquet(s"$dirB/coarse")
+    spark.read.parquet(s"$dirA/codebooks").write.parquet(s"$dirB/codebooks")
+    Similarity.appendToIvfPqIndex(union, "id", "vec", dirB, m = 2, subDim = 2)
+    val postingsB = spark.read.parquet(s"$dirB/postings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "score", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val q = union.filter(col("id") >= 12) // the appended set queries itself in
+    val grown = rows(Similarity.searchIvfPqIndex(q, union, coarseA, postingsA,
+      k = 2, rerank = 3, nProbe = 2))
+    val rebuilt = rows(Similarity.searchIvfPqIndex(q, union, coarseA, postingsB,
+      k = 2, rerank = 3, nProbe = 2))
+    assert(grown == rebuilt)
+    // drift gate over the appended ids: per-query recall vs brute, in
+    // [0, 1] — the measured retrain trigger
+    val gate = Similarity.indexRecallGate(q, union, coarseA, postingsA,
+        k = 2, rerank = 3, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gate.keySet == Set(12L, 13L, 14L, 15L, 16L, 17L))
+    assert(gate.values.forall(r => r >= 0.0 && r <= 1.0))
+    // full-probe search (nProbe = every list) with generous rerank must
+    // recover the exact top-k: recall 1.0 — pins the gate's arithmetic
+    val full = Similarity.indexRecallGate(q, union, coarseA, postingsA,
+        k = 2, rerank = 9, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.values.forall(_ == 1.0))
+  }
+
   test("hard negatives: same-label candidates excluded, ranked desc, label attached") {
     val lv = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
@@ -954,6 +1029,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L)) // null doc excluded
     assert(out(1L) == ((3L, 4L, Rounding.stableVal(4.0 / 3, 4)))) // abab+abc+abab = 1+2+1
     assert(out(2L) == ((3L, 5L, Rounding.stableVal(5.0 / 3, 4)))) // abab+abc+aaa = 1+2+2
+  }
+
+  test("BPE artifact lifecycle: artifact-encode is bit-identical to inline, training never re-runs") {
+    val docs = Seq(
+      (1L, Some("abab abc ABAB")), (2L, Some("abab abc aaa")),
+      (3L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    TextAnalysis.writeBpeMerges(docs, "text", rounds = 3, dir)
+    // the artifact IS the learned merge table, round-ordered
+    assert(TextAnalysis.readBpeMerges(spark, dir) ==
+      Seq(("a", "b"), ("ab", "ab"), ("a", "a")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = rows(TextAnalysis.bpeEncode(docs, "doc_id", "text", rounds = 3))
+    // encode a DIFFERENT corpus through the artifact — the train-once/
+    // apply-many shape — and the training corpus itself, bit-for-bit
+    assert(rows(TextAnalysis.bpeEncodeFromArtifact(docs, "doc_id", "text", dir))
+      == inline)
+    val fresh = Seq((9L, Some("abab aaa"))).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.bpeEncodeFromArtifact(fresh, "doc_id", "text", dir))
+      == rows(TextAnalysis.bpeEncodeWith(fresh, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "ab"), ("a", "a")))))
   }
 
   test("bpeMerges: greedy left-to-right within-word overlap (aaa -> [aa, a])") {
