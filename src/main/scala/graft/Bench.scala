@@ -95,11 +95,12 @@ object Bench {
         .localCheckpoint(eager = true)
       graft.operators.Similarity.topKBrute(emb.limit(4), emb, 3)
         .write.format("noop").mode("overwrite").save()
-      val cw = graft.operators.Similarity.trainPqCodebooks(
-        emb, "id", "vec", m = 2, subDim = 32, k = 2, iters = 2)
-      import spark.implicits._
-      graft.operators.Similarity.topKPqBlocks(emb.limit(2), emb,
-          cw.toDF("m", "cwid", "cwblk"), k = 2, m = 2, subDim = 32, rerank = 2)
+      val (cents, cw) = graft.operators.Similarity.trainIvfPqConcurrently(
+        emb, coarseK = 2, iters = 2, trainBound = Long.MaxValue,
+        m = 2, subDim = 32, codewords = 2)
+      graft.operators.Similarity.topKIvfPq(emb.limit(2), emb, cw,
+          k = 2, m = 2, subDim = 32, rerank = 2, centroids = cents,
+          nProbe = 2)
         .write.format("noop").mode("overwrite").save()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

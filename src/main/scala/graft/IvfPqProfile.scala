@@ -37,20 +37,19 @@ object IvfPqProfile {
       }
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val codebook = t("coarse-train") {
-        Similarity.collectCentroids(Similarity.trainedCentroids(
-          emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
+      val (codebook, cw) = t("train-concurrent") {
+        Similarity.trainIvfPqConcurrently(emb, coarseK = 8,
+          iters = Cfg.kmeansIters, trainBound = Cfg.pqTrainBound,
+          m = Cfg.pqM, subDim = Cfg.pqSubDim, codewords = Cfg.pqCodewords)
       }
-      val cwBlocks = t("pq-train") {
-        Similarity.trainPqCodebooks(
-          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
-          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
-          iters = Cfg.kmeansIters)
-      }.toDF("m", "cwid", "cwblk")
       t("search") {
-        Similarity.topKIvfPq(emb.filter(col("id") < 5), emb, cwBlocks,
+        Similarity.topKIvfPq(emb.filter(col("id") < 5), emb, cw,
             k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim,
             rerank = Cfg.pqRerank, centroids = codebook, nProbe = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("brute") {
+        Similarity.topKBrute(emb.filter(col("id") < 5), emb, Cfg.pqK)
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -1460,12 +1460,11 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cwBlocks = Similarity.trainPqCodebooks(
-          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
-          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
-          iters = Cfg.kmeansIters)
-        .toDF("m", "cwid", "cwblk")
-      Similarity.topKPqBlocks(emb.filter(col("id") < 5), emb, cwBlocks,
+      val cw = Similarity.trainPqCodebooks(
+        emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+        iters = Cfg.kmeansIters)
+      Similarity.topKPqBlocks(emb.filter(col("id") < 5), emb, cw,
         k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
     }),
 
@@ -1478,12 +1477,11 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute = Similarity.topKBrute(q, emb, Cfg.pqK).select(col("q_id"), col("c_id"))
-      val cwBlocks = Similarity.trainPqCodebooks(
-          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
-          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
-          iters = Cfg.kmeansIters)
-        .toDF("m", "cwid", "cwblk")
-      val pq = Similarity.topKPqBlocks(q, emb, cwBlocks, k = Cfg.pqK,
+      val cw = Similarity.trainPqCodebooks(
+        emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
+        iters = Cfg.kmeansIters)
+      val pq = Similarity.topKPqBlocks(q, emb, cw, k = Cfg.pqK,
         m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank)
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
       brute.join(pq, Seq("q_id", "c_id"), "left")
@@ -1513,14 +1511,11 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
-        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
-      val cwBlocks = Similarity.trainPqCodebooks(
-          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
-          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
-          iters = Cfg.kmeansIters)
-        .toDF("m", "cwid", "cwblk")
-      Similarity.topKIvfPq(emb.filter(col("id") < 5), emb, cwBlocks,
+      // the two trainings are independent — overlap their job chains
+      val (codebook, cw) = Similarity.trainIvfPqConcurrently(emb,
+        coarseK = 8, iters = Cfg.kmeansIters, trainBound = Cfg.pqTrainBound,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, codewords = Cfg.pqCodewords)
+      Similarity.topKIvfPq(emb.filter(col("id") < 5), emb, cw,
         k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank,
         centroids = codebook, nProbe = 2)
     }),
@@ -1533,14 +1528,11 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute = Similarity.topKBrute(q, emb, Cfg.pqK).select(col("q_id"), col("c_id"))
-      val codebook = Similarity.collectCentroids(Similarity.trainedCentroids(
-        emb, "id", "vec", k = 8, iters = Cfg.kmeansIters))
-      val cwBlocks = Similarity.trainPqCodebooks(
-          emb.filter(col("id") < Cfg.pqTrainBound), "id", "vec",
-          m = Cfg.pqM, subDim = Cfg.pqSubDim, k = Cfg.pqCodewords,
-          iters = Cfg.kmeansIters)
-        .toDF("m", "cwid", "cwblk")
-      val ivfpq = Similarity.topKIvfPq(q, emb, cwBlocks,
+      // the two trainings are independent — overlap their job chains
+      val (codebook, cw) = Similarity.trainIvfPqConcurrently(emb,
+        coarseK = 8, iters = Cfg.kmeansIters, trainBound = Cfg.pqTrainBound,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, codewords = Cfg.pqCodewords)
+      val ivfpq = Similarity.topKIvfPq(q, emb, cw,
           k = Cfg.pqK, m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = Cfg.pqRerank,
           centroids = codebook, nProbe = 2)
         .select(col("q_id"), col("c_id"), lit(1).as("__hit"))

@@ -551,6 +551,105 @@ object Similarity {
     rankAdcThenExact(scored, corpus, q, k, rerank)
   }
 
+  /** Train the IVF coarse codebook and the PQ block codebooks
+    * CONCURRENTLY — they are independent trainings over the same
+    * corpus, each ending in a bounded driver collect, and Spark's
+    * scheduler happily interleaves two submitting threads' stages; run
+    * sequentially the wall-clock is their sum (measured ~1.3 s + ~1.7 s
+    * warm at sf0.1), overlapped it is ~the max. Results are identical
+    * to the sequential calls by construction (nothing is shared but the
+    * read-only input plan).
+    */
+  def trainIvfPqConcurrently(emb: DataFrame, coarseK: Int, iters: Int,
+      trainBound: Long, m: Int, subDim: Int,
+      codewords: Int): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the active session is a THREAD-LOCAL: without re-pinning it on the
+    // Future threads, nativeKernels would read None there and silently
+    // build the ~3×-slower interpreted HOF fallbacks into these plans
+    val sp = emb.sparkSession
+    def onThread[A](f: => A): Future[A] = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(sp); f
+    }
+    val fCoarse = onThread(collectCentroids(trainedCentroids(
+      emb, "id", "vec", k = coarseK, iters = iters)))
+    val fCw = onThread(trainPqCodebooks(
+      emb.filter(col("id") < trainBound), "id", "vec",
+      m = m, subDim = subDim, k = codewords, iters = iters))
+    (Await.result(fCoarse, Duration.Inf), Await.result(fCw, Duration.Inf))
+  }
+
+  /** Per-row PQ encode∘reconstruct against a PLAN-LITERAL codebook —
+    * the narrow-map form of [[pqEncodeBlocks]]∘[[pqReconstructBlocks]],
+    * selection-identical by construction: per block, the same
+    * sequential-fold l2sq against each codeword, strict argmin with
+    * ties to the lower cwid (`array_position` finds the FIRST minimum;
+    * candidates are cwid-ordered). The join/agg form shuffles
+    * |corpus|·m rows through the (id, m) argmin aggregate and |corpus|
+    * rows through the stitch-back groupBy; this form is ZERO-shuffle —
+    * ADC reconstruction becomes pure projection work, exactly FAISS's
+    * per-vector encode. Bound: the literal carries m·k·subDim doubles
+    * (8·16·8 = 1 KB here; a 16×256×768 production codebook is ~24 MB —
+    * still a plan constant; past that, fall back to the distributed
+    * [[pqEncodeBlocks]] join path).
+    */
+  def pqRv(vecd: Column, cw: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int): Column = {
+    val byBlock = cw.groupBy(_._1)
+    flatten(array((0 until m).map { b =>
+      val cands = byBlock(b).sortBy(_._2)
+      val blk = slice(vecd, b * subDim + 1, subDim)
+      val ds = array(cands.map(c => l2sq(blk, typedLit(c._3))): _*)
+      element_at(typedLit(cands.map(_._3)),
+        array_position(ds, array_min(ds)).cast("int"))
+    }: _*))
+  }
+
+  /** [[topKPqBlocks]] with a driver-side codebook (what
+    * [[trainPqCodebooks]] returns): the corpus side is ONE narrow
+    * projection ([[pqRv]]) instead of the explode/join/agg/stitch
+    * chain — same rows, same scores, fewer exchanges at every scale.
+    */
+  def topKPqBlocks(queries: DataFrame, corpus: DataFrame,
+      cw: Seq[(Int, Int, Seq[Double])], k: Int, m: Int, subDim: Int,
+      rerank: Int): DataFrame = {
+    val rec = corpus.select(col("id").as("c_id"),
+      pqRv(asDouble(col("vec")), cw, m, subDim).as("rv"))
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val scored = rec.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    rankAdcThenExact(scored, corpus, q, k, rerank)
+  }
+
+  /** [[topKIvfPq]] with a driver-side codebook: list routing and ADC
+    * reconstruction are per-row projections ([[coarseTopLists]] /
+    * [[pqRv]]), the probe-scope is a broadcast semi-join on the probed
+    * list_ids, and rv is computed ONCE per surviving corpus row —
+    * before the query fan-out join, after the probe cut. Zero
+    * corpus-sized shuffles anywhere before the bounded TopK aggregate.
+    */
+  def topKIvfPq(queries: DataFrame, corpus: DataFrame,
+      cw: Seq[(Int, Int, Seq[Double])], k: Int, m: Int, subDim: Int,
+      rerank: Int, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val qBase = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val q = qBase
+      .withColumn("list_id", explode(coarseTopLists(col("q_v"), centroids, nProbe)))
+    val scored = corpus
+      .select(col("id").as("c_id"), asDouble(col("vec")).as("c_vecd"))
+      .select(col("c_id"), col("c_vecd"),
+        element_at(coarseTopLists(col("c_vecd"), centroids, 1), 1).as("list_id"))
+      .join(broadcast(q.select(col("list_id")).distinct()), Seq("list_id"))
+      .select(col("c_id"), col("list_id"),
+        pqRv(col("c_vecd"), cw, m, subDim).as("rv"))
+      .join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_v"), col("rv")), 6))
+    rankAdcThenExact(scored, corpus, qBase, k, rerank)
+  }
+
   /** Write the IVF-PQ index artifacts of a corpus — the build-once /
     * search-many separation real vector indexes ship with (the ANN
     * analogue of [[Dedup.writeNearDupIndex]]): at 100 TB the trainings
@@ -714,7 +813,7 @@ object Similarity {
   /** Sign-bit LSH bucket key ('0'/'1' string of length planes.size). */
   def bucketKey(vecDouble: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { w =>
-      val wCol = array(w.map(x => lit(x.toDouble)): _*)
+      val wCol = typedLit(w.map(_.toDouble))
       when(dot(vecDouble, wCol) > 0, "1").otherwise("0")
     }: _*)
 
@@ -854,7 +953,7 @@ object Similarity {
   private def coarseTopLists(vecd: Column,
       centroids: Seq[(Int, Seq[Double])], n: Int): Column = {
     val scored = array(centroids.map { case (cid, c) =>
-      struct((-round(cosine(vecd, array(c.map(lit): _*)), 6)).as("negCos"),
+      struct((-round(cosine(vecd, typedLit(c)), 6)).as("negCos"),
         lit(cid).as("list_id"))
     }: _*)
     slice(transform(array_sort(scored), s => s.getField("list_id")), 1, n)

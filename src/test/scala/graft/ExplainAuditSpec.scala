@@ -633,6 +633,21 @@ class ExplainAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ranking fell back to a window sort:\n$p")
   }
 
+  test("IVF-PQ ADC is the narrow-map pqRv projection: no encode/stitch aggregates in the plan") {
+    // r16: encode∘reconstruct moved from the join/agg form (min_by per
+    // (id, m), collect_list stitch per id — two corpus-sized exchanges)
+    // to the plan-literal per-row kernel. The plan must stay free of
+    // both aggregate markers for BOTH the ann and the recall twin —
+    // what remains shuffles only through the bounded TopK aggregates.
+    for (q <- Seq("sim_ivfpq_ann", "sim_ivfpq_recall", "sim_pq_ann")) {
+      val p = plan(q)
+      assert(!p.contains("min_by"),
+        s"$q: the PQ encode argmin fell back to the (id, m) aggregate:\n$p")
+      assert(!p.contains("collect_list"),
+        s"$q: the PQ stitch-back fell back to the collect_list aggregate:\n$p")
+    }
+  }
+
   test("sim_mmr: greedy steps are broadcast joins over the bounded shortlist") {
     val p = plan("sim_mmr")
     assert(!p.contains("CartesianProduct"), s"MMR planned a cartesian:\n$p")

@@ -752,6 +752,15 @@ class SimilaritySpec extends SparkSpec {
     val pq = rows(Similarity.topKPqBlocks(q, emb, cwBlocks, k = 2, m = 2,
       subDim = 2, rerank = 3))
     assert(full == pq)
+    // the narrow-map (plan-literal codebook / pqRv) forms are selection-
+    // identical to the distributed join/agg forms, bit-for-bit — the
+    // guard for the zero-shuffle ADC path the queries ship with
+    val cwSeq = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = 2, subDim = 2, k = 4, iters = 2)
+    assert(rows(Similarity.topKPqBlocks(q, emb, cwSeq, k = 2, m = 2,
+      subDim = 2, rerank = 3)) == pq)
+    assert(rows(Similarity.topKIvfPq(q, emb, cwSeq, k = 2, m = 2,
+      subDim = 2, rerank = 3, centroids = codebook, nProbe = 3)) == full)
     // nProbe = 1 only PRUNES candidates: ≤ k rows per query, and every
     // returned score is the exact 6-dp cosine of that pair (the
     // re-rank stage scores full-precision vectors, never the codes)
@@ -814,6 +823,11 @@ class SimilaritySpec extends SparkSpec {
     val inline = rows(Similarity.topKIvfPq(q, emb, cwBlocks, k = 2, m = 2,
       subDim = 2, rerank = 3, centroids = codebook, nProbe = 2))
     assert(fromIndex == inline)
+    // the narrow-map inline form agrees with the artifacts too
+    val cwSeq = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = 2, subDim = 2, k = 4, iters = 2)
+    assert(rows(Similarity.topKIvfPq(q, emb, cwSeq, k = 2, m = 2,
+      subDim = 2, rerank = 3, centroids = codebook, nProbe = 2)) == fromIndex)
   }
 
   test("IVF-PQ append: frozen-codebook append searches identically to a union rebuild; drift gate runs") {
