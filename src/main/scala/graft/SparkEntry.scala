@@ -780,6 +780,25 @@ object SparkEntry {
         "ts", Cfg.bm25Terms, Cfg.bm25K1, Cfg.bm25B, Cfg.matchThresholdU)
     }),
 
+    // ST16 — batch shadow of StreamingBloom.screen: the live-ingest
+    // membership screen against the STATIC (w, m) filter table — the
+    // verdict computed by BloomHashes stream-static equi-joins folded
+    // into one AND projection (stateless, append-mode; the aggregate
+    // form would put unbounded doc keys in streaming state). Same
+    // fixture and columns as dedup_bloom/dedup_bloom_sharded, so all
+    // three forms — literal map, join+agg, stateless join chain — hash
+    // against the SAME oracle.
+    "st16_bloom_scan" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val batch = base.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" novel "), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.streaming.StreamingBloom.screenScan(base, batch, "doc_id", "text",
+        math.max(Dedup.BloomWords.toLong, 4L * base.count()))
+    }),
+
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
     // merge: dedup_spans' boilerplate fixture with st8's arrival layout
     // (doc_id seconds past 2024-01-01), every window occurrence EXCEPT
@@ -4265,6 +4284,10 @@ object SparkEntry {
     // join-form build/probe is ALREADY the sharded shape, so it is the
     // natural oracle for both.
     "dedup_bloom_sharded" -> bloomOracleSql,
+
+    // The streaming screen's batch shadow computes the identical verdict
+    // set a third way (stateless per-position join chain) — same oracle.
+    "st16_bloom_scan" -> bloomOracleSql,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

@@ -882,6 +882,38 @@ object Dedup {
       .agg(min((coalesce(col("m"), lit(0L)).bitwiseAND(col("__mask"))) =!= 0L)
         .as("maybe_in_base"))
 
+  /** STATELESS per-row form of [[bloomMaybeContainsJoin]]: the verdict
+    * via [[BloomHashes]] successive LEFT equi-joins — one per hash
+    * position, each on its own word-index column — folded into a single
+    * AND projection, no aggregate anywhere. Verdict-identical to the
+    * aggregate form (each position's bit test is independent; both AND
+    * the same [[BloomHashes]] tests). This is the shape a STREAMING
+    * micro-batch can run against a static filter table in append mode:
+    * stream-static joins keep no state store, while the aggregate
+    * form's groupBy(doc) would grow streaming state with every doc ever
+    * seen. Batch pipelines can use either; [[graft.streaming.StreamingBloom]]
+    * uses this one.
+    *
+    * @return (idCol, carry…, maybe_in_base) — one row per non-null-text doc
+    */
+  def bloomMaybeContainsJoinStateless(batch: DataFrame, idCol: String,
+      textCol: String, filter: DataFrame, nWords: Long,
+      wide: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(col)
+    val pos = positionsFor(col(textCol), nWords, wide)
+    val start = batch.filter(col(textCol).isNotNull)
+      .select(keep ++ pos.zipWithIndex.flatMap { case (p, i) =>
+        Seq(floor(p / 32).cast("long").as(s"__w$i"), maskOf(p).as(s"__k$i"))
+      }: _*)
+    val joined = (0 until BloomHashes).foldLeft(start) { (df, i) =>
+      df.join(filter.select(col("w").as(s"__w$i"), col("m").as(s"__f$i")),
+        Seq(s"__w$i"), "left")
+    }
+    joined.select(keep :+ (0 until BloomHashes).map(i =>
+      (coalesce(col(s"__f$i"), lit(0L)).bitwiseAND(col(s"__k$i"))) =!= 0L)
+      .reduce(_ && _).as("maybe_in_base"): _*)
+  }
+
   /** Paragraph-level exact dedup with document reassembly — the
     * sub-document pass (CCNet/RefinedWeb-style) that exact whole-doc
     * dedup cannot do: boilerplate repeated ACROSS distinct documents is

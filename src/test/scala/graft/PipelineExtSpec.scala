@@ -315,6 +315,12 @@ class DedupSpec extends SparkSpec {
         Dedup.bloomBitsFrame(base, "text", nWords), nWords)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(sharded == literal) // bit-for-bit verdict identity, FPs included
+    // the stateless per-position join chain (the streaming screen's
+    // form) agrees with both
+    val stateless = Dedup.bloomMaybeContainsJoinStateless(probes, "doc_id",
+        "text", Dedup.bloomBitsFrame(base, "text", nWords), nWords)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(stateless == literal)
     // the wide (40-bit-position) form for the >2^31-word regime: no
     // literal twin exists there, so the contract is the Bloom contract
     // itself — zero false negatives, and at this tiny load zero FPs slip

@@ -204,6 +204,27 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: per-row pqRv equals the distributed encode∘reconstruct on random vectors") {
+    // the r16 zero-shuffle ADC kernel must select the SAME codeword as
+    // the join/agg chain for every block of every vector — including
+    // exact-tie blocks (first-position argmin vs min_by struct order)
+    val dim = 8; val m = 4; val subDim = 2
+    val emb = (0 until 60).map { i =>
+      // quantized components make exact distance ties actually occur
+      (i.toLong, Array.fill(dim)((rng.nextInt(5) - 2).toFloat))
+    }.toDF("id", "vec")
+    val cw = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = m, subDim = subDim, k = 5, iters = 2)
+    val cwBlocks = cw.toDF("m", "cwid", "cwblk")
+    val joinForm = Similarity.pqReconstructBlocks(
+        Similarity.pqEncodeBlocks(emb, cwBlocks, m, subDim), cwBlocks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rowForm = emb.select(col("id"),
+        Similarity.pqRv(Similarity.asDouble(col("vec")), cw, m, subDim).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rowForm == joinForm)
+  }
+
   test("property: dsir weights match the driver-side twin on random corpora") {
     val words = Seq("aa", "bb", "cc", "dd")
     val docs = (0 until 80).map { i =>

@@ -280,6 +280,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom screen: stateless stream-static joins verdict live docs in append mode") {
+    import graft.streaming.StreamingBloom
+    import graft.operators.Dedup
+    implicit val ctx = spark.sqlContext
+    val base = (1 to 50).map(i => (i.toLong, s"base doc number $i with words"))
+      .toDF("doc_id", "text")
+    val nWords = Dedup.BloomWords.toLong
+    // static filter table, built once — the index job's artifact
+    val filter = Dedup.bloomBitsFrame(base, "text", nWords)
+      .localCheckpoint(eager = true)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingBloom.screen(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", filter, nWords)
+      .writeStream.format("memory").queryName("bloomscr")
+      .outputMode("append").start()
+    try {
+      // batch 1: one known member, one novel
+      input.addData((1001L, "base doc number 7 with words"),
+        (1002L, "a certified novel document"))
+      q.processAllAvailable()
+      // batch 2: membership verdicts need NO carried state — a repeat
+      // of batch 1's novel text still misses, another member still hits
+      input.addData((1003L, "base doc number 50 with words"),
+        (1004L, "a certified novel document"))
+      q.processAllAvailable()
+      val out = spark.table("bloomscr").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out == Map(1001L -> true, 1002L -> false,
+        1003L -> true, 1004L -> false))
+      // and the live verdicts equal the batch stateless form's
+      val batchForm = Dedup.bloomMaybeContainsJoinStateless(
+          Seq((1001L, "base doc number 7 with words"),
+            (1002L, "a certified novel document"),
+            (1003L, "base doc number 50 with words"),
+            (1004L, "a certified novel document")).toDF("doc_id", "text"),
+          "doc_id", "text", filter, nWords)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out == batchForm)
+    } finally q.stop()
+  }
+
   test("occurrenceWeights: 1/arrival-rank per hash, count state carried across batches") {
     import graft.streaming.StreamingSoftWeights
     import graft.streaming.StreamingSoftWeights.DocIn
