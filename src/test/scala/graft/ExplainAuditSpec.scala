@@ -473,6 +473,15 @@ class ExplainAuditSpec extends SparkSpec {
       s"bloom probe joins against the filter:\n$p")
   }
 
+  test("sharded/streaming bloom: filter rides equi-joins on the word index — no cartesian, no window") {
+    for (q <- Seq("dedup_bloom_sharded", "st16_bloom_scan")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the filter probe degenerated to a non-equi join:\n$p")
+      assert(!p.contains("Window"), s"$q: verdict fold ranks through a window:\n$p")
+    }
+  }
+
   test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("Window"),
