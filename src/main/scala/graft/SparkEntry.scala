@@ -1028,6 +1028,32 @@ object SparkEntry {
         .withColumn("leaks", col("split_lo") =!= col("split_hi"))
     }),
 
+    // SEMANTIC split leakage — the embedding-space upgrade of
+    // ta_split_leakage's n-gram screen (surface decontamination misses
+    // paraphrases and re-encodes; semantic contamination between train
+    // and held-out is what actually inflates evals): the verified
+    // bucketed-cosine pair frame (dedup_embedding's, ≥0.99 within LSH
+    // cells) grouped by the unordered split pair its endpoints' stable
+    // hash slots land in. Off-diagonal rows = semantically-duplicate
+    // vectors straddling a held-out boundary. Cost = the LSH-bucketed
+    // pair generation (never all-pairs) + one tiny aggregate.
+    "ta_split_leakage_semantic" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vecd"))
+      val reencoded = base.select((col("id") + 100000).as("id"),
+        transform(col("vecd"), x => x * lit(1.5)).as("vecd"))
+      val pairs = Similarity.cosineDedupPairs(base.unionByName(reencoded),
+          threshold = 0.99, numPlanes = Cfg.cosNumPlanes, maxCell = Cfg.cosMaxCell)
+        .select(col("vec_a"), col("vec_b"))
+      val sa = Sampling.splitAssign(col("vec_a"), Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = Sampling.splitAssign(col("vec_b"), Cfg.splitTrainPct, Cfg.splitValPct)
+      pairs
+        .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+    }),
+
     // Graph-propagated quality smoothing: near-dup copies carry
     // independently-noisy quality estimates; two floor-mean consensus
     // rounds over the verified minhash graph pull duplicate groups
@@ -3007,6 +3033,23 @@ object SparkEntry {
     * scales with the base count exactly as Dedup.bloomWordsFor:
     * greatest(2048, 4·n) words, via the bn scalar.
     */
+  /** The bucketed-cosine pair CTE chain shared by dedup_embedding and
+    * ta_split_leakage_semantic: re-encoded copies unioned in, LSH
+    * bucketing with the hot-cell cap, within-bucket pairs `p` carrying
+    * 6-dp cosine. Consumers append their own filter/aggregation.
+    */
+  private lazy val CosinePairCtesSql: String =
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |corpus AS (SELECT id, v FROM e
+       |           UNION ALL SELECT id + 100000, list_transform(v, x -> x * 1.5) FROM e),
+       |b0 AS (SELECT id, v, ${lshBucketSql("v", Cfg.cosNumPlanes, 64)} AS bucket FROM corpus),
+       |b AS (SELECT id, v, bucket FROM (
+       |        SELECT *, count(*) OVER (PARTITION BY bucket) AS cn FROM b0)
+       |      WHERE cn <= ${Cfg.cosMaxCell}),
+       |p AS (
+       |  SELECT a.id AS vec_a, c.id AS vec_b, round(${sqlCos("a.v", "c.v")}, 6) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)""".stripMargin
+
   private lazy val bloomOracleSql: String = {
     def posList(textExpr: String) = (0 until Dedup.BloomHashes).map(i =>
       s"('0x' || substr(md5($textExpr), ${i * 8 + 1}, 8))::BIGINT % ((SELECT w FROM bn) * 32)")
@@ -5463,17 +5506,24 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |corpus AS (SELECT id, v FROM e
-         |           UNION ALL SELECT id + 100000, list_transform(v, x -> x * 1.5) FROM e),
-         |b0 AS (SELECT id, v, ${lshBucketSql("v", Cfg.cosNumPlanes, 64)} AS bucket FROM corpus),
-         |b AS (SELECT id, v, bucket FROM (
-         |        SELECT *, count(*) OVER (PARTITION BY bucket) AS cn FROM b0)
-         |      WHERE cn <= ${Cfg.cosMaxCell}),
-         |p AS (
-         |  SELECT a.id AS vec_a, c.id AS vec_b, round(${sqlCos("a.v", "c.v")}, 6) AS cos
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id)
+      s"""WITH $CosinePairCtesSql
          |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.99""".stripMargin,
+
+    // Same verified pair frame, grouped by the unordered split pair of
+    // the endpoints' stable hash slots — the semantic leakage matrix.
+    "ta_split_leakage_semantic" -> {
+      val sa = Sampling.splitSql("vec_a", Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = Sampling.splitSql("vec_b", Cfg.splitTrainPct, Cfg.splitValPct)
+      s"""WITH $CosinePairCtesSql,
+         |v AS (SELECT vec_a, vec_b FROM p WHERE cos >= 0.99),
+         |sp AS (
+         |  SELECT least(($sa), ($sb)) AS split_lo,
+         |         greatest(($sa), ($sb)) AS split_hi
+         |  FROM v)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_lo <> split_hi AS leaks
+         |FROM sp GROUP BY 1, 2""".stripMargin
+    },
 
     // SemDeDup mirror: the paraphrase-augmented corpus (SemanticCorpusSql)
     // through the SAME unrolled 2-pass Lloyd CTEs as sim_kmeans

@@ -803,6 +803,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pureRel == brute)
   }
 
+  test("semantic split leakage: re-encoded twins straddle split boundaries (off-diagonal rows)") {
+    val out = SparkEntry.queries("ta_split_leakage_semantic")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // the re-encode twins' ids differ by 100000, so the stable hash
+    // scatters the pair across splits — the screen must find leaks
+    assert(out.filter(_._4).map(_._3).sum > 0, "no cross-split semantic pairs")
+    out.foreach { case (lo, hi, n, leaks) =>
+      assert(leaks == (lo != hi) && n > 0)
+      assert(lo <= hi) // unordered pair normalization
+    }
+  }
+
   test("IVF-PQ index lifecycle: prebuilt artifacts search identically to the inline composite") {
     val emb = (0L to 11L).map(i =>
       (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)))
