@@ -2193,6 +2193,35 @@ object SparkEntry {
       TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
         rounds = Cfg.bpeMergeRounds)),
 
+    // Tokenizer DRIFT gate — the monitoring companion of the BPE
+    // artifact lifecycle (train once → encode many ingests): merges
+    // learned on the BASE corpus only, then base and a drifted ingest
+    // (every even doc's text reversed — reversed words are mostly
+    // outside the trained vocab, so fewer merges apply) both encode
+    // through those frozen merges. tokens_per_word rising on ingest =
+    // fertility drift, the measured retrain trigger — same gate shape
+    // as indexRecallGate on the ANN side. Encode covers UNSEEN words
+    // (chars + whatever merges apply), so the gate never drops novel
+    // vocabulary from the stats.
+    "ta_bpe_drift" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val ingest = base.select(
+        when(col("doc_id") % 2 === 0, reverse(col("text")))
+          .otherwise(col("text")).as("text"))
+      val tagged = base.select(lit("base").as("corpus"), col("text"))
+        .unionByName(ingest.select(lit("ingest").as("corpus"), col("text")))
+      val merges = TextAnalysis.learnedMerges(base, "text", Cfg.bpeMergeRounds)
+      val per = TextAnalysis.bpeEncodeWith(tagged, "corpus", "text", merges)
+      val baseTpw = per.filter(col("corpus") === "base")
+        .select(col("tokens_per_word").as("__base_tpw"))
+      per.crossJoin(broadcast(baseTpw)) // 1-row broadcast dim
+        .select(col("corpus"), col("n_words"), col("n_bpe_tokens"),
+          col("tokens_per_word"),
+          Rounding.stable(col("tokens_per_word") - col("__base_tpw"), 4)
+            .as("tpw_drift"))
+    }),
+
     // BM25 retrieval for a standing query-term set (benchmark-query
     // doc mining): candidates only — the term filter rides inside the
     // token array before the explode — integer micro-unit
@@ -5755,6 +5784,14 @@ object SparkEntry {
     "ta_bpe_encode" ->
       graft.operators.TextAnalysis.bpeEncodeSql("documents", "doc_id", "text",
         rounds = Cfg.bpeMergeRounds),
+
+    // Train on base only; encode base ∪ reversed-ingest through the
+    // frozen merges via the separate ev-chain (unseen words included).
+    "ta_bpe_drift" -> graft.operators.TextAnalysis.bpeDriftSql(
+      "SELECT text FROM documents WHERE text IS NOT NULL",
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN reverse(text) ELSE text END AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      rounds = Cfg.bpeMergeRounds),
 
     // Mirrors TextAnalysis.bpePairs + the k-bounded count rank
     // ((cnt DESC, pair ASC) — TopKByCount's ordering).

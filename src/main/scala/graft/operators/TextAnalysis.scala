@@ -567,7 +567,15 @@ object TextAnalysis {
     */
   def bpeEncode(docs: DataFrame, docId: String, textCol: String,
       rounds: Int): DataFrame =
-    bpeEncodeWith(docs, docId, textCol, orderedMerges(bpeMerges(docs, textCol, rounds)))
+    bpeEncodeWith(docs, docId, textCol, learnedMerges(docs, textCol, rounds))
+
+  /** The ordered learned merge list as driver-side data — a
+    * `rounds`-row collect at train time, the form [[bpeEncodeWith]]
+    * applies and [[writeBpeMerges]] persists.
+    */
+  def learnedMerges(docs: DataFrame, textCol: String,
+      rounds: Int): Seq[(String, String)] =
+    orderedMerges(bpeMerges(docs, textCol, rounds))
 
   /** Persist a learned BPE merge table as a parquet artifact — the
     * tokenizer-side build-once/apply-many lifecycle that
@@ -673,6 +681,77 @@ object TextAnalysis {
        |       ${Rounding.stableSql("sum(enc.n_syms)::DOUBLE / count(*)", 4)} AS tokens_per_word
        |FROM dt JOIN enc USING (w)
        |GROUP BY $docId""".stripMargin
+  }
+
+  /** SQL mirror of the tokenizer DRIFT gate: the training round chain
+    * runs over `baseSel`'s text only, the learned pairs are then applied
+    * to the tagged (base ∪ ingest) union's DISTINCT vocab through a
+    * separate ev-chain — so ingest words the trainer never saw still
+    * encode (chars + whatever learned merges apply), exactly like
+    * [[bpeEncodeWith]] over an artifact — and per-corpus token stats
+    * aggregate with the drift delta against base.
+    *
+    * @param baseSel,ingestSel SELECTs each yielding a `text` column
+    */
+  def bpeDriftSql(baseSel: String, ingestSel: String, rounds: Int): String = {
+    val trainCtes = (1 to rounds).map { r =>
+      s"""u$r AS (
+         |  SELECT syms, freq, UNNEST(range(1, len(syms))) AS i
+         |  FROM (SELECT list_filter(string_split(s, '~'), x -> x <> '') AS syms, freq
+         |        FROM s${r - 1}) t),
+         |e$r AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, freq FROM u$r),
+         |p$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         |s$r AS (SELECT replace(s, '~' || pa || '~~' || pb || '~', '~' || pa || pb || '~') AS s, freq
+         |        FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val evCtes = (1 to rounds).map { r =>
+      s"""ev$r AS (SELECT w, replace(s, '~' || pa || '~~' || pb || '~', '~' || pa || pb || '~') AS s
+         |         FROM ev${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS ($baseSel),
+       |ingest AS ($ingestSel),
+       |tagged AS (SELECT 'base' AS corpus, text FROM base
+       |           UNION ALL SELECT 'ingest', text FROM ingest),
+       |w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lower(unnest(string_split(text, ' '))) AS w
+       |        FROM base WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT array_to_string(list_transform(string_split(w, ''), c -> '~' || c || '~'), '') AS s,
+       |         freq
+       |  FROM w0),
+       |$trainCtes,
+       |dv AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT lower(unnest(string_split(text, ' '))) AS w
+       |    FROM tagged WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |ev0 AS (
+       |  SELECT w,
+       |         array_to_string(list_transform(string_split(w, ''), c -> '~' || c || '~'), '') AS s
+       |  FROM dv),
+       |$evCtes,
+       |enc AS (
+       |  SELECT w, CAST(len(list_filter(string_split(s, '~'), x -> x <> '')) AS BIGINT) AS n_syms
+       |  FROM ev$rounds),
+       |dt AS (
+       |  SELECT corpus, w FROM (
+       |    SELECT corpus, lower(unnest(string_split(text, ' '))) AS w
+       |    FROM tagged WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |per AS (
+       |  SELECT corpus, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(enc.n_syms) AS BIGINT) AS n_bpe_tokens,
+       |         ${Rounding.stableSql("sum(enc.n_syms)::DOUBLE / count(*)", 4)} AS tokens_per_word
+       |  FROM dt JOIN enc USING (w)
+       |  GROUP BY 1)
+       |SELECT corpus, n_words, n_bpe_tokens, tokens_per_word,
+       |       ${Rounding.stableSql(
+               "tokens_per_word - (SELECT tokens_per_word FROM per WHERE corpus = 'base')", 4)} AS tpw_drift
+       |FROM per""".stripMargin
   }
 
   /** SQL mirror of [[bpeMerges]]: the rounds unrolled as CTE stages

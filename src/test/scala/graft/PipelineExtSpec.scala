@@ -1090,6 +1090,26 @@ class TextAnalysisSpec extends SparkSpec {
         Seq(("a", "b"), ("ab", "ab"), ("a", "a")))))
   }
 
+  test("BPE drift gate: frozen merges, unseen words still encode, fertility drift measured") {
+    // words the trainer never saw encode as chars + whatever merges
+    // apply — never dropped (the oracle's separate ev-chain mirrors this)
+    val unseen = Seq((1L, Some("ba zz abab"))).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeWith(unseen, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "ab"), ("a", "a")))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3))).head
+    assert(r == ((3L, 5L, Rounding.stableVal(5.0 / 3, 4)))) // ba=2, zz=2, abab=1
+    // the full gate on the fixture: reversed-ingest fertility rises
+    val out = SparkEntry.queries("ta_bpe_drift")(spark, "/root/testdata/sf0.001")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(out.keySet == Set("base", "ingest"))
+    assert(out("base")._4 == 0.0)
+    assert(out("ingest")._1 == out("base")._1) // reverse preserves word count
+    assert(out("ingest")._3 > out("base")._3)  // reversed words compress worse
+    assert(out("ingest")._4 ==
+      Rounding.stableVal(out("ingest")._3 - out("base")._3, 4))
+  }
+
   test("bpeMerges: greedy left-to-right within-word overlap (aaa -> [aa, a])") {
     // one word "aaaa" ×1: round 1 (a,a)=3 (all adjacent pairs counted);
     // merging leaves [aa, aa] — greedy non-overlapping left-to-right
