@@ -451,24 +451,30 @@ object Similarity {
       .select(col("vec_id"), col("mb.m").as("b"), col("mb.blk").as("bv"))
       .localCheckpoint(eager = false) // read by every assign pass
     // the k lowest vec_ids seed EVERY block — identical to each
-    // independent run's first-k-seeds rule; bounded k-row collect
-    // cast-to-long before collect: an int32 id column is a benign
-    // re-encoding per the schema canary and must not crash the build
-    val seedCid = blocks.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(k)
-      .collect().map(_.getLong(0)).zipWithIndex
+    // independent run's first-k-seeds rule. LAZY (r16): the seeds ride
+    // the plan as a TakeOrderedAndProject + posexplode numbering joined
+    // back onto the blocks (the lloydCore init shape), so seeding costs
+    // zero driver jobs — the old bounded collect was one full Spark
+    // action per training, ~a quarter of the warm train time at sf0.1.
+    // cast-to-long: an int32 id column is a benign re-encoding per the
+    // schema canary and must not crash the build
+    val distinctIds = blocks.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val seedMap = distinctIds.orderBy(col("vec_id")).limit(k)
+      .agg(sort_array(collect_list(col("vec_id"))).as("s"))
+      .select(posexplode(col("s")).as(Seq("cid", "vec_id")))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"))
+    val init = blocks
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .join(broadcast(seedMap), Seq("vec_id"))
+      .select(col("b"), col("cid"), col("bv").as("cv"))
     // loud failure over silent degradation (ADVICE r13): with fewer than
     // k distinct vectors the blocks would train < k codewords per block
     // and recall would quietly collapse — the cause is almost always a
-    // training slice (pqTrainBound) that no longer covers k vectors
-    require(seedCid.length == k,
-      s"PQ training slice has only ${seedCid.length} distinct vectors for " +
-      s"k=$k codewords — widen the training bound (Cfg.pqTrainBound) or " +
-      "lower pqCodewords")
-    val cidExpr = seedCid.foldLeft(lit(null).cast("int")) {
-      case (acc, (id, cid)) => when(col("vec_id") === id, cid).otherwise(acc) }
-    val init = blocks.filter(col("vec_id").isin(seedCid.map(_._1): _*))
-      .select(col("b"), cidExpr.as("cid"), col("bv").as("cv"))
+    // training slice (pqTrainBound) that no longer covers k vectors.
+    // The guard rides the FINAL collect job (assert_true over the
+    // broadcast 1-row distinct count) instead of costing its own action.
+    val seedGuard = distinctIds.agg(count(lit(1)).as("__n_train_vecs"))
 
     def assign(cents: DataFrame): DataFrame =
       blocks.join(broadcast(cents), Seq("b"))
@@ -493,9 +499,21 @@ object Similarity {
       // for its assignment output; c1 is update(assign(init)) there too)
       if (i < iters) assigned = assign(cents)
     }
-    cents.select(col("b"), col("cid"), col("cv"))
+    // the raise lives on the BROADCAST side: the broadcast stage
+    // materializes before the probe side executes, so an under-seeded
+    // slice fails loudly even when it also made `cents` empty (a
+    // guard column on the joined rows would never evaluate then)
+    val guarded = seedGuard.select(
+      when(col("__n_train_vecs") >= k, lit(1))
+        .otherwise(raise_error(concat(
+          lit("PQ training slice has only "), col("__n_train_vecs"),
+          lit(s" distinct vectors for k=$k codewords — widen the " +
+            "training bound (Cfg.pqTrainBound) or lower pqCodewords"))
+          .cast("int"))).as("__seed_ok"))
+    val rows = cents.select(col("b"), col("cid"), col("cv"))
+      .crossJoin(broadcast(guarded))
       .orderBy(col("b"), col("cid")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
   }
 
   /** PQ encode against per-block codebooks (m, cwid, cwblk): block b of

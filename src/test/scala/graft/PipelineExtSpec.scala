@@ -740,6 +740,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("trainPqCodebooks: under-seeded training slice fails loudly, not silently") {
+    val tiny = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val e = intercept[Throwable] {
+      Similarity.trainPqCodebooks(tiny, "id", "vec",
+        m = 1, subDim = 2, k = 4, iters = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("distinct vectors")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("IVF-PQ with full probe reproduces plain PQ exactly; narrow probe only prunes") {
     val emb = (0L to 11L).map(i =>
       (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)))
