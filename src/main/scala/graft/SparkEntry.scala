@@ -2290,6 +2290,42 @@ object SparkEntry {
       Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = Cfg.kmeansK, iters = Cfg.kmeansIters)),
 
+    // Coarse-quantizer drift gate — third of the drift-gate trio
+    // (indexRecallGate = ANN recall vs brute, ta_bpe_drift = tokenizer
+    // fertility, this = quantizer fit): centroids trained on the BASE
+    // corpus stay frozen while an ingest batch (the deterministic
+    // re-embed shift) is assigned against them; per-corpus mean
+    // nearest-centroid cosine in exact micro-units, falling on ingest =
+    // the vectors drifting off the trained Voronoi structure — the
+    // cheap every-batch monitor that needs NO brute-force ground truth.
+    "sim_centroid_drift" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // ingest fixture = NEGATED vectors (an embedding-model swap — the
+      // worst-case quantizer drift): every nearest-centroid cosine
+      // flips to -furthest, so the gate must read a large negative delta
+      val ingest = base.select(col("vec_id"),
+        transform(col("v"), x => -x).as("v"))
+      val tagged = base.select(lit("base").as("corpus"), col("vec_id"), col("v"))
+        .unionByName(
+          ingest.select(lit("ingest").as("corpus"), col("vec_id"), col("v")))
+      val cents = Similarity.trainedCentroids(base, "vec_id", "v",
+        k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+      val per = Similarity.nearestCentroidCos(
+          tagged, Seq("corpus", "vec_id"), "v", cents)
+        .groupBy(col("corpus"))
+        .agg(count(lit(1)).as("n_vecs"),
+          Rounding.stable(
+            sum(round(col("nn_cos") * 1000000).cast("long")).cast("double") /
+              (count(lit(1)) * lit(1000000.0)), 6).as("mean_cos"))
+      val baseRow = per.filter(col("corpus") === "base")
+        .select(col("mean_cos").as("__base_cos"))
+      per.crossJoin(broadcast(baseRow)) // 1-row broadcast dim
+        .select(col("corpus"), col("n_vecs"), col("mean_cos"),
+          Rounding.stable(col("mean_cos") - col("__base_cos"), 6)
+            .as("cos_drift"))
+    }),
+
     // Cluster-quality gate for k-means (the recall-gate counterpart for
     // clustering): per-cluster size, mean cosine-to-centroid, and the
     // worst member. A double sum of cosines is summation-order-dependent
@@ -5867,6 +5903,26 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT vec_id, CAST(cid AS INT) AS cluster_id, cos
          |FROM a20 WHERE rn = 1""".stripMargin,
+
+    // Frozen c1 centroids from the base Lloyd chain; base ∪ shifted
+    // ingest assigned against them; micro-unit means + drift delta.
+    "sim_centroid_drift" ->
+      s"""WITH $KmeansCtes,
+         |tg AS (SELECT 'base' AS corpus, vec_id, v FROM e
+         |       UNION ALL
+         |       SELECT 'ingest', vec_id, list_transform(v, x -> -x) FROM e),
+         |nn0 AS (SELECT tg.corpus, tg.vec_id, ${sqlCos("tg.v", "c1.cv")} AS cos
+         |        FROM tg CROSS JOIN c1),
+         |nn AS (SELECT corpus, vec_id, max(cos) AS nn_cos FROM nn0 GROUP BY 1, 2),
+         |per AS (SELECT corpus, CAST(count(*) AS BIGINT) AS n_vecs,
+         |               ${Rounding.stableSql(
+               "CAST(sum(CAST(round(nn_cos * 1000000) AS BIGINT)) AS DOUBLE)" +
+                 " / (count(*) * 1000000.0)", 6)} AS mean_cos
+         |        FROM nn GROUP BY 1)
+         |SELECT corpus, n_vecs, mean_cos,
+         |       ${Rounding.stableSql(
+               "mean_cos - (SELECT mean_cos FROM per WHERE corpus = 'base')", 6)} AS cos_drift
+         |FROM per""".stripMargin,
 
     // Quantized-integer cosine sums (order-free) + one final division —
     // see the Spark-side comment on sim_kmeans_quality.

@@ -569,6 +569,24 @@ object Similarity {
     rankAdcThenExact(scored, corpus, q, k, rerank)
   }
 
+  /** Nearest-centroid cosine per vector against a FROZEN codebook — the
+    * cheap quantizer-drift monitor: unlike [[indexRecallGate]] it needs
+    * no brute-force ground truth, so it can run on EVERY ingest batch
+    * (one broadcast of the k-row codebook + one max aggregate; the 6-dp
+    * rounded cosine is an exact micro-unit integer downstream, so batch
+    * means hash cross-engine).
+    *
+    * @return (keyCols…, nn_cos)
+    */
+  def nearestCentroidCos(emb: DataFrame, keyCols: Seq[String],
+      vecCol: String, cents: DataFrame): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(keyCols.map(col) :+ asDouble(col(vecCol)).as("__v"): _*)
+      .crossJoin(broadcast(cents.select(col("cv"))))
+      .withColumn("__c", round(cosine(col("__v"), col("cv")), 6))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__c")).as("nn_cos"))
+
   /** Train the IVF coarse codebook and the PQ block codebooks
     * CONCURRENTLY — they are independent trainings over the same
     * corpus, each ending in a bounded driver collect, and Spark's

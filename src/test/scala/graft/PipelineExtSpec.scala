@@ -740,6 +740,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("centroid drift gate: frozen centroids, negated ingest reads negative cosine drift") {
+    val out = SparkEntry.queries("sim_centroid_drift")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("base", "ingest"))
+    assert(out("base")._3 == 0.0)
+    assert(out("ingest")._1 == out("base")._1)
+    assert(out("ingest")._3 < 0.0, // the model-swap fixture must register
+      s"negated ingest read no drift: ${out("ingest")}")
+    assert(out("ingest")._3 ==
+      Rounding.stableVal(out("ingest")._2 - out("base")._2, 6))
+  }
+
   test("trainPqCodebooks: under-seeded training slice fails loudly, not silently") {
     val tiny = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
       .toDF("id", "vec")
