@@ -204,6 +204,36 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: bloom literal probe equals a driver-side md5 twin on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nWords = Dedup.BloomWords.toLong
+    def positions(t: String): Seq[Long] = (0 until Dedup.BloomHashes).map { i =>
+      java.lang.Long.parseLong(md5hex(t).substring(i * 8, i * 8 + 8), 16) %
+        (nWords * 32L)
+    }
+    val base = (0 until 150).map(i =>
+      (i.toLong, (0 until 1 + rng.nextInt(6)).map(_ =>
+        ('a' + rng.nextInt(4)).toChar.toString * (1 + rng.nextInt(3))).mkString(" ")))
+    val probes = base ++ (0 until 60).map(i =>
+      (1000L + i, s"probe ${rng.nextInt(100)} ${('a' + rng.nextInt(26)).toChar}"))
+    // driver twin: same slices, same word/mask layout
+    val twin = scala.collection.mutable.Set.empty[Long]
+    base.foreach { case (_, t) => positions(t).foreach(twin += _) }
+    def twinVerdict(t: String) = positions(t).forall(twin.contains)
+    val words = Dedup.bloomBits(base.toDF("doc_id", "text"), "text", nWords.toInt)
+    // the packed bitmap holds exactly the twin's positions
+    val packed = words.zipWithIndex.flatMap { case (m, w) =>
+      (0 until 32).collect { case b if (m & (1L << b)) != 0L => w * 32L + b } }
+    assert(packed.toSet == twin.toSet)
+    val got = probes.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.bloomMaybeContains(words, col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach { case (id, t) =>
+      assert(got(id) == twinVerdict(t), s"doc $id '$t'") }
+  }
+
   test("property: per-row pqRv equals the distributed encode∘reconstruct on random vectors") {
     // the r16 zero-shuffle ADC kernel must select the SAME codeword as
     // the join/agg chain for every block of every vector — including
