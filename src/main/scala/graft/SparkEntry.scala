@@ -2309,8 +2309,8 @@ object SparkEntry {
       val tagged = base.select(lit("base").as("corpus"), col("vec_id"), col("v"))
         .unionByName(
           ingest.select(lit("ingest").as("corpus"), col("vec_id"), col("v")))
-      val cents = Similarity.trainedCentroids(base, "vec_id", "v",
-        k = Cfg.kmeansK, iters = Cfg.kmeansIters)
+      val cents = Similarity.collectCentroids(Similarity.trainedCentroids(
+        base, "vec_id", "v", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
       val per = Similarity.nearestCentroidCos(
           tagged, Seq("corpus", "vec_id"), "v", cents)
         .groupBy(col("corpus"))

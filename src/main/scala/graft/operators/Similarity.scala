@@ -571,21 +571,26 @@ object Similarity {
 
   /** Nearest-centroid cosine per vector against a FROZEN codebook — the
     * cheap quantizer-drift monitor: unlike [[indexRecallGate]] it needs
-    * no brute-force ground truth, so it can run on EVERY ingest batch
-    * (one broadcast of the k-row codebook + one max aggregate; the 6-dp
+    * no brute-force ground truth, so it can run on EVERY ingest batch.
+    * ZERO-shuffle: the k trained centroids are plan literals and the
+    * best cosine is one `greatest` over k codegen'd kernels — pure
+    * projection work at any corpus size (the crossJoin+max form would
+    * exchange |corpus| rows for a 2-group rollup's input). The 6-dp
     * rounded cosine is an exact micro-unit integer downstream, so batch
-    * means hash cross-engine).
+    * means hash cross-engine.
     *
+    * @param cents [[collectCentroids]] output (k·dim doubles)
     * @return (keyCols…, nn_cos)
     */
   def nearestCentroidCos(emb: DataFrame, keyCols: Seq[String],
-      vecCol: String, cents: DataFrame): DataFrame =
+      vecCol: String, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "nearestCentroidCos needs at least one centroid")
+    val vd = asDouble(col(vecCol))
+    val cosines = cents.map { case (_, cv) => round(cosine(vd, typedLit(cv)), 6) }
+    val nn = if (cosines.sizeIs == 1) cosines.head else greatest(cosines: _*)
     emb.filter(col(vecCol).isNotNull)
-      .select(keyCols.map(col) :+ asDouble(col(vecCol)).as("__v"): _*)
-      .crossJoin(broadcast(cents.select(col("cv"))))
-      .withColumn("__c", round(cosine(col("__v"), col("cv")), 6))
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(col("__c")).as("nn_cos"))
+      .select(keyCols.map(col) :+ nn.as("nn_cos"): _*)
+  }
 
   /** Train the IVF coarse codebook and the PQ block codebooks
     * CONCURRENTLY — they are independent trainings over the same
