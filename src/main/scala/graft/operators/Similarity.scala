@@ -717,8 +717,14 @@ object Similarity {
         "id", "vec", m = m, subDim = subDim, k = codewords, iters = iters)
       .toDF("m", "cwid", "cwblk")
     cwBlocks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // postings are PARTITIONED by inverted list: a probe touches only
+    // its nProbe list directories — static pruning for literal list
+    // filters, dynamic partition pruning for the broadcast probe join —
+    // which is the entire point of an IVF layout at 100 TB (reading an
+    // unpartitioned postings table would scan every list to serve any
+    // probe)
     ivfPqPostings(e, cwBlocks, cents, m, subDim)
-      .write.mode("overwrite").parquet(s"$dir/postings")
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/postings")
   }
 
   /** The postings rows of `e` at FROZEN codebooks — (c_id, list_id, rv):
@@ -764,7 +770,7 @@ object Similarity {
       .select(col("m"), col("cwid"), col("cwblk"))
     val e = newEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     ivfPqPostings(e, cwBlocks, cents, m, subDim)
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.partitionBy("list_id").mode("append").parquet(s"$dir/postings")
   }
 
   /** Per-query recall of a prebuilt index against the exact top-k — the

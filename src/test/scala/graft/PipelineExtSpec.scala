@@ -859,6 +859,15 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.count() == 3)
     assert(postings.columns.sorted.sameElements(Array("c_id", "list_id", "rv")))
     assert(postings.count() == 12)
+    // postings are hive-partitioned by inverted list, and a list filter
+    // prunes at the PARTITION level — a probe reads only its lists'
+    // directories instead of scanning the corpus-wide postings
+    assert(new java.io.File(s"$dir/postings").listFiles
+      .exists(_.getName.startsWith("list_id=")), "postings not list-partitioned")
+    val scanPlan = postings.filter(col("list_id") === 0)
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("list_id"),
+      s"list filter did not reach partition pruning:\n$scanPlan")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id", "score", "rnk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
