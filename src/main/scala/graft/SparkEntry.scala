@@ -1054,6 +1054,37 @@ object SparkEntry {
         .withColumn("leaks", col("split_lo") =!= col("split_hi"))
     }),
 
+    // Incremental centroid REFRESH — the remediation half of the drift
+    // story (sim_centroid_drift monitors, this repairs): the union of
+    // base + a shifted ingest is assigned ONE pass against the FROZEN
+    // base centroids (zero-shuffle literal argmax) and the centroids
+    // take ONE fixed-point update — the mini-batch/streaming-kmeans
+    // maintenance move that absorbs mild drift without a full retrain.
+    // Output per centroid: assignment count and how far it moved
+    // (6-dp squared L2, exact micro-unit arithmetic underneath) —
+    // movement above threshold = schedule the real retrain.
+    "sim_centroid_refresh" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val ingest = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"),
+          (x, i) => when(i === 0, x + Cfg.semanticDelta).otherwise(x)).as("v"))
+      val union = base.unionByName(ingest)
+      val cents = Similarity.collectCentroids(Similarity.trainedCentroids(
+        base, "vec_id", "v", k = Cfg.kmeansK, iters = Cfg.kmeansIters))
+      val asg = union.select(col("vec_id"), col("v"),
+        Similarity.nearestCentroidId(col("v"), cents).as("cid"))
+      val refreshed = Similarity.labelCentroids(asg, "cid", "v")
+        .select(col("clabel").as("cid"), col("cv"))
+      val counts = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+      val oldCv = cents.foldLeft(lit(null).cast("array<double>")) {
+        case (acc, (cid, cv)) => when(col("cid") === cid, typedLit(cv)).otherwise(acc)
+      }
+      refreshed.join(counts, Seq("cid"))
+        .select(col("cid"), col("n_assigned"),
+          Rounding.stable(Similarity.l2sq(col("cv"), oldCv), 6).as("movement_sq"))
+    }),
+
     // Graph-propagated quality smoothing: near-dup copies carry
     // independently-noisy quality estimates; two floor-mean consensus
     // rounds over the verified minhash graph pull duplicate groups
@@ -5903,6 +5934,30 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT vec_id, CAST(cid AS INT) AS cluster_id, cos
          |FROM a20 WHERE rn = 1""".stripMargin,
+
+    // Frozen c1 centroids; union assigned one pass (a20's row_number
+    // pattern over the union), one fixed-point update (the c1c/c1s/c1
+    // idiom), movement vs c1 via the proven l2sq ⇔ sqlD2 pairing.
+    "sim_centroid_refresh" ->
+      s"""WITH $KmeansCtes,
+         |tg AS (SELECT vec_id, v FROM e
+         |       UNION ALL
+         |       SELECT vec_id + 100000, list_concat([v[1] + ${Cfg.semanticDelta}], v[2:]) FROM e),
+         |ra0 AS (SELECT tg.vec_id, c1.cid, tg.v,
+         |               row_number() OVER (PARTITION BY tg.vec_id ORDER BY ${sqlCos("tg.v", "c1.cv")} DESC, c1.cid ASC) AS rn
+         |        FROM tg CROSS JOIN c1),
+         |ra AS (SELECT vec_id, cid, v FROM ra0 WHERE rn = 1),
+         |rc AS (SELECT cid, unnest(range(1, len(v) + 1)) AS i,
+         |              CAST(round(unnest(v) * 1000000) AS BIGINT) AS q
+         |       FROM ra),
+         |rs AS (SELECT cid, i, sum(q) AS sq, CAST(count(*) AS BIGINT) AS n
+         |       FROM rc GROUP BY 1, 2),
+         |rn2 AS (SELECT cid, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cv
+         |        FROM rs GROUP BY 1),
+         |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned FROM ra GROUP BY 1)
+         |SELECT rn2.cid AS cid, cnt.n_assigned,
+         |       ${Rounding.stableSql(sqlD2("rn2.cv", "c1.cv"), 6)} AS movement_sq
+         |FROM rn2 JOIN cnt USING (cid) JOIN c1 ON rn2.cid = c1.cid""".stripMargin,
 
     // Frozen c1 centroids from the base Lloyd chain; base ∪ shifted
     // ingest assigned against them; micro-unit means + drift delta.

@@ -569,6 +569,15 @@ object Similarity {
     rankAdcThenExact(scored, corpus, q, k, rerank)
   }
 
+  /** Nearest-centroid ID (argmax 6-dp cosine, ties to the lower cid)
+    * against a driver-side codebook — the zero-shuffle assignment
+    * [[topKIvfPq]]'s list routing uses, exposed for incremental
+    * maintenance passes ([[labelCentroids]] refresh over a new batch).
+    */
+  def nearestCentroidId(vecd: Column,
+      cents: Seq[(Int, Seq[Double])]): Column =
+    element_at(coarseTopLists(vecd, cents, 1), 1)
+
   /** Nearest-centroid cosine per vector against a FROZEN codebook — the
     * cheap quantizer-drift monitor: unlike [[indexRecallGate]] it needs
     * no brute-force ground truth, so it can run on EVERY ingest batch.

@@ -754,6 +754,32 @@ class SimilaritySpec extends SparkSpec {
       Rounding.stableVal(out("ingest")._2 - out("base")._2, 6))
   }
 
+  test("centroid refresh: frozen-assignment + fixed-point update; uniform duplication is a no-op") {
+    val emb = (0L to 7L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat)))
+      .toDF("id", "vec")
+    val base = emb.select(col("id"), Similarity.asDouble(col("vec")).as("v"))
+    val cents = Similarity.collectCentroids(Similarity.trainedCentroids(
+      base, "id", "v", k = 2, iters = 2))
+    def refreshed(u: org.apache.spark.sql.DataFrame) = {
+      val asg = u.select(col("v"),
+        Similarity.nearestCentroidId(col("v"), cents).as("cid"))
+      Similarity.labelCentroids(asg, "cid", "v")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    }
+    // the fixed-point mean is invariant under uniform duplication — a
+    // re-crawled copy of the whole corpus must not move any centroid
+    assert(refreshed(base.unionByName(base)) == refreshed(base))
+    // the query fixture: every union vector assigned exactly once,
+    // movements finite and non-negative
+    val nBase = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("embedding").isNotNull).count()
+    val out = SparkEntry.queries("sim_centroid_refresh")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(1)).sum == 2 * nBase)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("trainPqCodebooks: under-seeded training slice fails loudly, not silently") {
     val tiny = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
       .toDF("id", "vec")
