@@ -482,6 +482,16 @@ class ExplainAuditSpec extends SparkSpec {
     }
   }
 
+  test("centroid drift/refresh gates: literal-codebook assignment — no windows, no cartesian") {
+    for (q <- Seq("sim_centroid_drift", "sim_centroid_refresh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: assignment fell back to a window sort:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: planned a cartesian product:\n$p")
+    }
+  }
+
   test("dedup_paragraph: first-occurrence via min(struct) aggregate, never a corpus window") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("Window"),
