@@ -234,6 +234,30 @@ class SparkAlgebraSpec extends SparkSpec {
       assert(got(id) == twinVerdict(t), s"doc $id '$t'") }
   }
 
+  test("property: nearestCentroidId equals a driver-side argmax twin (6-dp, ties to lower cid)") {
+    val cents = (0 until 3).map(c =>
+      c -> (Seq((c + 1) / 2.0) ++ Seq.fill(3)((rng.nextInt(9) - 4) / 2.0)))
+    // +0.5 head component keeps every vector nonzero (cosine defined)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array(0.5f + rng.nextInt(3)) ++
+        Array.fill(3)((rng.nextInt(9) - 4).toFloat / 2f)))
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+    def cos6(a: Seq[Double], b: Seq[Double]) = BigDecimal(
+        java.lang.Double.toString(
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def twin(v: Seq[Double]): Int =
+      cents.map { case (cid, cv) => (cid, cos6(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    val got = vecs.toDF("id", "vec")
+      .select(col("id"), Similarity.nearestCentroidId(
+        Similarity.asDouble(col("vec")), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == twin(v.map(_.toDouble).toSeq), s"vec $id") }
+  }
+
   test("property: per-row pqRv equals the distributed encode∘reconstruct on random vectors") {
     // the r16 zero-shuffle ADC kernel must select the SAME codeword as
     // the join/agg chain for every block of every vector — including
