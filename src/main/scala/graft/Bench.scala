@@ -162,12 +162,18 @@ object Bench {
     } catch { case _: Throwable => () }
     // per-query times in MILLISECONDS (VERDICT r8 #4: the old 1-s
     // resolution made a 13.6 s total swing unattributable to any query)
+    // ADVICE r16: the stall-retry takes min over up to three passes, which
+    // filters noise only in the slow direction — a suite-vs-suite
+    // comparison must be able to see which numbers are best-of-3 versus
+    // single-pass. Record actual pass counts per query for the sidecar.
+    val passCounts = scala.collection.mutable.Map.empty[String, Int]
     val results = ordered.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         materialize(name)
         val ms = (System.nanoTime() - t0) / 1e6
         cleanup()
+        passCounts(name) = passCounts.getOrElse(name, 0) + 1
         ms
       }
       // GC debt from the previous query must not bill to this one's
@@ -240,8 +246,15 @@ object Bench {
       val contJson =
         if (soloMs.isEmpty) "" // no baselines for this sf: flag nothing
         else contended.mkString(""","contended_over_3x_solo":{""" + "\n", ",\n", "\n}")
+      // Pass-count methodology record (ADVICE r16): every query's actual
+      // number of timed passes — 2 is the normal min-of-2, 1 the >20 s
+      // single-pass, 3 means the stall-retry/GC-recovery fired and the
+      // figure is a best-of-3.
+      val passJson = bySlowest.map { case (k, _) =>
+        s"""  "$k": ${passCounts.getOrElse(k, 0)}""" }
+        .mkString(""","passes":{""" + "\n", ",\n", "\n}")
       val body =
-        s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail$contJson}"""
+        s"""{"sf":"$sfName","total_sec":${fmt(total, 3)},"unit":"ms","queries_ms":$detail$contJson$passJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

@@ -867,20 +867,29 @@ object Dedup {
     * the size of the filter's set words — both sides partition on `w`,
     * nothing broadcasts, nothing is corpus-pairwise.
     *
-    * @return (idCol, maybe_in_base)
+    * The AND-merge groups on a synthetic PER-ROW key (not `idCol`), so a
+    * batch carrying duplicate ids with different texts still emits one
+    * verdict per input row — verdict-identical to [[bloomMaybeContains]]
+    * and [[bloomMaybeContainsJoinStateless]] on ANY input, duplicate ids
+    * included (ADVICE r16: the idCol grouping AND-merged such rows).
+    *
+    * @return (idCol, maybe_in_base) — one row per non-null-text input row
     */
   def bloomMaybeContainsJoin(batch: DataFrame, idCol: String,
       textCol: String, filter: DataFrame, nWords: Long,
       wide: Boolean = false): DataFrame =
     batch.filter(col(textCol).isNotNull)
-      .select(col(idCol),
+      .withColumn("__rk", monotonically_increasing_id())
+      .select(col(idCol), col("__rk"),
         explode(array(positionsFor(col(textCol), nWords, wide): _*)).as("p"))
-      .select(col(idCol), floor(col("p") / 32).cast("long").as("w"),
+      .select(col(idCol), col("__rk"),
+        floor(col("p") / 32).cast("long").as("w"),
         maskOf(col("p")).as("__mask"))
       .join(filter.select(col("w"), col("m")), Seq("w"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("__rk"))
       .agg(min((coalesce(col("m"), lit(0L)).bitwiseAND(col("__mask"))) =!= 0L)
         .as("maybe_in_base"))
+      .drop("__rk")
 
   /** STATELESS per-row form of [[bloomMaybeContainsJoin]]: the verdict
     * via [[BloomHashes]] successive LEFT equi-joins — one per hash

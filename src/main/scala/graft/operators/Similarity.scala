@@ -513,6 +513,16 @@ object Similarity {
     val rows = cents.select(col("b"), col("cid"), col("cv"))
       .crossJoin(broadcast(guarded))
       .orderBy(col("b"), col("cid")).collect()
+    // ADVICE r16: on a ZERO-row training slice AQE's empty-relation
+    // propagation can replace the crossJoin with an empty relation
+    // before the broadcast guard materializes — the in-plan raise only
+    // covers 0 < distinct < k. Re-state the same diagnostic driver-side
+    // (no extra Spark action: `rows` is already collected).
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        s"PQ training slice produced no centroids for k=$k codewords " +
+          "(empty or under-seeded slice) — widen the training bound " +
+          "(Cfg.pqTrainBound) or lower pqCodewords")
     rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
   }
 
@@ -614,21 +624,26 @@ object Similarity {
       trainBound: Long, m: Int, subDim: Int,
       codewords: Int): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     // the active session is a THREAD-LOCAL: without re-pinning it on the
     // Future threads, nativeKernels would read None there and silently
-    // build the ~3×-slower interpreted HOF fallbacks into these plans
+    // build the ~3×-slower interpreted HOF fallbacks into these plans.
+    // ADVICE r16: Implicits.global is a SHARED pool — clear the pin in a
+    // finally so it can't bleed into unrelated Future work later in the
+    // JVM (a second session, test suites), and bound the Await (these
+    // are seconds-scale trainings; 30 min means something hung).
     val sp = emb.sparkSession
     def onThread[A](f: => A): Future[A] = Future {
-      org.apache.spark.sql.SparkSession.setActiveSession(sp); f
+      org.apache.spark.sql.SparkSession.setActiveSession(sp)
+      try f finally org.apache.spark.sql.SparkSession.clearActiveSession()
     }
     val fCoarse = onThread(collectCentroids(trainedCentroids(
       emb, "id", "vec", k = coarseK, iters = iters)))
     val fCw = onThread(trainPqCodebooks(
       emb.filter(col("id") < trainBound), "id", "vec",
       m = m, subDim = subDim, k = codewords, iters = iters))
-    (Await.result(fCoarse, Duration.Inf), Await.result(fCw, Duration.Inf))
+    (Await.result(fCoarse, 30.minutes), Await.result(fCw, 30.minutes))
   }
 
   /** Per-row PQ encode∘reconstruct against a PLAN-LITERAL codebook —

@@ -333,6 +333,27 @@ class DedupSpec extends SparkSpec {
     assert((1 to 50).count(i => !wide(1000L + i)) >= 49)
   }
 
+  test("sharded bloom: duplicate ids with different texts get one verdict per ROW, not AND-merged (ADVICE r16)") {
+    val base = (1 to 50).map(i => (i.toLong, s"base doc number $i with words"))
+      .toDF("doc_id", "text")
+    val nWords = Dedup.bloomWordsFor(50L).toLong
+    val filter = Dedup.bloomBitsFrame(base, "text", nWords)
+    // one id, two texts: a member and a novel — the literal probe emits
+    // (true, false); the join form must NOT collapse them to one AND'd row
+    val dupes = Seq(
+      (7L, "base doc number 7 with words"),
+      (7L, "novel text that is not in the base at all")).toDF("doc_id", "text")
+    val joinVerdicts = Dedup.bloomMaybeContainsJoin(dupes, "doc_id", "text",
+        filter, nWords)
+      .collect().map(_.getBoolean(1)).sorted.toSeq
+    val words = Dedup.bloomBits(base, "text", nWords.toInt)
+    val literalVerdicts = dupes
+      .select(Dedup.bloomMaybeContains(words, col("text")))
+      .collect().map(_.getBoolean(0)).sorted.toSeq
+    assert(joinVerdicts == literalVerdicts)
+    assert(joinVerdicts == Seq(false, true))
+  }
+
   test("paragraphDedup: first occurrence survives, docs reassemble in order, full dup degrades to empty") {
     val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"; val C = "c1 c2 c3 c4"
     val corpus = Seq(
