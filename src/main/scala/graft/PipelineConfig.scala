@@ -133,6 +133,14 @@ final case class PipelineConfig(
     // 2048 covers the whole sf0.01 corpus, so the correctness-gate
     // hashes are those of full-corpus training.
     pqTrainBound: Long = 2048L,
+    // binary (sign-quantized) ANN family (sim_binary_ann /
+    // sim_binary_recall / sim_eval_mrr): exact-rerank shortlist
+    // multiplier over the Hamming ranking, and the raw-Hamming list
+    // width the MRR eval ranks the true nearest within. rerank=20
+    // (k·rerank = 60 exact-scored rows per query) measured recall 1.0
+    // at sf0.01 — the same bounded-refine cost story as pqRerank.
+    binaryRerank: Int = 20,
+    binaryMrrK: Int = 10,
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the

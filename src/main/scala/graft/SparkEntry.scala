@@ -1566,6 +1566,57 @@ object SparkEntry {
           Rounding.stable(count(col("__hit")).cast("double") / Cfg.pqK, 4).as("recall"))
     }),
 
+    // Binary (sign-quantized) ANN — the fifth compression family next
+    // to LSH / IVF / SQ / PQ: 1 bit per dimension, Hamming ranking via
+    // XOR+popcount (all-integer, exact), ties to the lower id. The
+    // candidate scan streams 16 bytes/row instead of 256 — the memory-
+    // bandwidth point below SQ on the compression/recall curve.
+    "sim_binary_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.topKBinary(emb.filter(col("id") < 5), emb, k = 3)
+        .select(col("q_id"), col("c_id"),
+          (lit(0) - col("score")).cast("int").as("hamming"), col("rnk"))
+    }),
+
+    // Binary recall gate: fraction of the exact top-3 the two-stage
+    // binary search (Hamming shortlist of k·binaryRerank, exact-cosine
+    // refine) recovers — completes the measured LSH / SQ / IVF / PQ /
+    // binary recall-gate symmetry. Measured 1.0 at sf0.01 with
+    // rerank=20.
+    "sim_binary_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val bin = Similarity.topKBinary(q, emb, k = 3, rerank = Cfg.binaryRerank)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(bin, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
+    // Retrieval eval — MRR of the RAW Hamming ranking: the reciprocal
+    // rank of each query's TRUE nearest neighbor (brute top-1) within
+    // the binary family's top-binaryMrrK list, 0 when absent. Recall
+    // gates measure set overlap; MRR is the rank-sensitive metric an
+    // index tuning loop actually optimizes (how far down the shortlist
+    // the refine stage must reach).
+    "sim_eval_mrr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute1 = Similarity.topKBrute(q, emb, 1)
+        .select(col("q_id"), col("c_id").as("true_nn"))
+      val ann = Similarity.topKBinary(q, emb, k = Cfg.binaryMrrK)
+        .select(col("q_id"), col("c_id").as("true_nn"), col("rnk"))
+      brute1.join(ann, Seq("q_id", "true_nn"), "left")
+        .select(col("q_id"), col("true_nn"),
+          coalesce(col("rnk"), lit(0)).cast("int").as("rnk"),
+          Rounding.stable(coalesce(lit(1.0) / col("rnk"), lit(0.0)), 6).as("rr"))
+    }),
+
     // MMR diversity re-rank — the post-retrieval pass that trades
     // relevance against redundancy: greedy λ·rel − (1−λ)·max-sim-to-
     // selected over the brute top-10 shortlist, k=3 picks per query.

@@ -363,6 +363,62 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Sign-quantized BINARY embedding codes — 1 bit per dimension, set
+    * iff the component is strictly positive (Charikar 2002's
+    * random-hyperplane LSH with the identity basis; the corpus's
+    * components are zero-centered, which is what makes raw sign bits
+    * informative). The 64 bits pack into TWO 32-bit halves carried in
+    * BIGINT columns (code_lo = dims 1..32, code_hi = 33..64) so neither
+    * engine ever shifts into a long's sign bit — the codes are plain
+    * non-negative integers on both sides, bit-identical by construction
+    * (each bit is one strict `> 0` test; powers of two are exact in the
+    * double `pow` both engines fold with). The most aggressive
+    * compression point in the ANN family: 64 dims → 8 bytes, vs SQ's 64
+    * bytes and PQ's m codes; distance is two XOR+popcount integer ops —
+    * exact, branch-free, whole-stage-codegen friendly, and at 100 TB the
+    * candidate scan streams 16 bytes/row instead of 256.
+    */
+  def binaryCodes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = asDouble(col(vecCol))
+    def half(off: Int): Column = aggregate(
+      sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(vd, (i + lit(off + 1)).cast("int")) > 0.0,
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), half(0).as("code_lo"), half(32).as("code_hi"))
+  }
+
+  /** Hamming distance between two packed binary codes (the
+    * [[binaryCodes]] two-half layout): XOR + popcount per half, summed.
+    */
+  def hammingCodes(aLo: Column, aHi: Column, bLo: Column, bHi: Column): Column =
+    bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi))
+
+  /** Top-k by Hamming distance over sign-quantized codes — the fifth
+    * ANN family (brute / LSH / IVF / SQ / PQ / binary): no candidate
+    * pruning, but the scan compares 8-byte codes with integer popcounts
+    * and the ranking is the same bounded top-k aggregate as every other
+    * path (score = −hamming, so DESC score ≡ ASC distance; ties to the
+    * lower id). `rerank > 1` runs the production two-stage shape — the
+    * Hamming pass SHORTLISTS k·rerank candidates, only those rows are
+    * re-scored with their full-precision vectors (exact 6-dp cosine,
+    * [[topKBrute]]'s score) and cut to k — so the expensive float
+    * arithmetic touches k·rerank rows per query at any corpus size.
+    */
+  def topKBinary(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int = 1): DataFrame = {
+    val qc = binaryCodes(queries, "id", "vec").select(col("id").as("q_id"),
+      col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val cc = binaryCodes(corpus, "id", "vec").select(col("id").as("c_id"),
+      col("code_lo").as("c_lo"), col("code_hi").as("c_hi"))
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val scored = cc.join(broadcast(qc), col("q_id") =!= col("c_id"))
+      .withColumn("score", (lit(0) - hammingCodes(
+        col("q_lo"), col("q_hi"), col("c_lo"), col("c_hi"))).cast("double"))
+    rankAdcThenExact(scored, corpus, q, k, rerank)
+  }
+
   /** Product quantization, encode step: split each vector into `m`
     * blocks of `subDim` and code every block as its nearest codeword
     * (squared L2, ties to the lower codeword id). Codewords are rows of
