@@ -141,6 +141,12 @@ final case class PipelineConfig(
     // at sf0.01 — the same bounded-refine cost story as pqRerank.
     binaryRerank: Int = 20,
     binaryMrrK: Int = 10,
+    // multi-index Hamming bands (sim_binary_banded): 8 bands × 8 bits
+    // over the 64-bit code — pigeonhole-complete to Hamming radius 7,
+    // candidate volume ~bands/2^(64/bands) of the corpus per query.
+    // Must divide 64 with an even quotient of halves (2 bands per
+    // 32-bit half minimum); mirrored literally by the banded oracle.
+    binaryBands: Int = 8,
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the

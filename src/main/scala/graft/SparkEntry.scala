@@ -1597,24 +1597,62 @@ object SparkEntry {
           Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
     }),
 
-    // Retrieval eval — MRR of the RAW Hamming ranking: the reciprocal
-    // rank of each query's TRUE nearest neighbor (brute top-1) within
-    // the binary family's top-binaryMrrK list, 0 when absent. Recall
-    // gates measure set overlap; MRR is the rank-sensitive metric an
-    // index tuning loop actually optimizes (how far down the shortlist
-    // the refine stage must reach).
+    // Banded binary recall gate — the multi-index Hamming candidate
+    // path (8 bands × 8 bits, equi-join on (band, band_val), the
+    // dedup_simhash_pairs move) measured against the exact top-3, next
+    // to sim_binary_recall's raw-scan number: the two recalls bound
+    // what the sub-linear candidate generation costs in quality, per
+    // query, so the banded form's 100 TB win is a measured trade.
+    "sim_binary_banded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      val banded = Similarity.topKBinaryBanded(q, emb, k = 3,
+        bands = Cfg.binaryBands, rerank = Cfg.binaryRerank)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(banded, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
+    // Retrieval eval — MRR of the RAW compressed-domain rankings, one
+    // row per (family, query): the reciprocal rank of each query's
+    // TRUE nearest neighbor (brute top-1) within the family's
+    // top-binaryMrrK list BEFORE any exact refine (binary = Hamming
+    // scan, pq = full ADC, ivfpq = probe-scoped ADC at nProbe=2), 0
+    // when absent. Recall gates measure set overlap; MRR is the
+    // rank-sensitive metric an index tuning loop actually optimizes —
+    // how far down the raw shortlist the refine stage must reach —
+    // and the side-by-side families are exactly the knobs it turns
+    // (rerank width vs probe count vs code size).
     "sim_eval_mrr" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(col("id") < 5)
       val brute1 = Similarity.topKBrute(q, emb, 1)
         .select(col("q_id"), col("c_id").as("true_nn"))
-      val ann = Similarity.topKBinary(q, emb, k = Cfg.binaryMrrK)
-        .select(col("q_id"), col("c_id").as("true_nn"), col("rnk"))
-      brute1.join(ann, Seq("q_id", "true_nn"), "left")
-        .select(col("q_id"), col("true_nn"),
+      def mrr(family: String, ann: DataFrame): DataFrame =
+        brute1.join(
+          ann.select(col("q_id"), col("c_id").as("true_nn"), col("rnk")),
+          Seq("q_id", "true_nn"), "left")
+        .select(lit(family).as("family"), col("q_id"), col("true_nn"),
           coalesce(col("rnk"), lit(0)).cast("int").as("rnk"),
           Rounding.stable(coalesce(lit(1.0) / col("rnk"), lit(0.0)), 6).as("rr"))
+      val binary = Similarity.topKBinary(q, emb, k = Cfg.binaryMrrK)
+      // one concurrent training serves both quantized families
+      val (codebook, cw) = Similarity.trainIvfPqConcurrently(emb,
+        coarseK = 8, iters = Cfg.kmeansIters, trainBound = Cfg.pqTrainBound,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, codewords = Cfg.pqCodewords)
+      val pq = Similarity.topKPqBlocks(q, emb, cw, k = Cfg.binaryMrrK,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = 1)
+      val ivfpq = Similarity.topKIvfPq(q, emb, cw, k = Cfg.binaryMrrK,
+        m = Cfg.pqM, subDim = Cfg.pqSubDim, rerank = 1,
+        centroids = codebook, nProbe = 2)
+      mrr("binary", binary)
+        .unionByName(mrr("pq", pq))
+        .unionByName(mrr("ivfpq", ivfpq))
     }),
 
     // MMR diversity re-rank — the post-retrieval pass that trades
@@ -3813,6 +3851,167 @@ object SparkEntry {
        |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
        |  FROM ipshort s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id)"""
 
+  /** One packed 32-bit half of the binary sign code (bit i set iff dim
+    * off+1+i is strictly > 0): exact shifted-1 sums, matching
+    * Similarity.binaryCodes' pow-2 fold value-for-value (both are exact
+    * integers ≤ 2³²−1). CAST: list_sum over BIGINT is HUGEINT, which
+    * pandas would render float64 against Spark's int64.
+    */
+  private def binaryHalfSql(off: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN v[i + ${off + 1}] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+
+  /** Binary sign-code CTE chain (sim_binary_ann / sim_binary_recall /
+    * sim_binary_banded): eb → bc(id, v, code_lo, code_hi) — the
+    * [[binaryHalfSql]] two-half layout, Similarity.binaryCodes in
+    * lock-step — then the full query-side Hamming scan
+    * `bh(q_id, c_id, hamming)` (XOR + popcount per half,
+    * Similarity.hammingCodes). Margin-bearing raw text for a
+    * stripMargin consumer, like [[ivfCtesSql]].
+    */
+  private def binaryCtes: String =
+    s"""eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |bc AS (
+       |  SELECT id, v, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi
+       |  FROM eb),
+       |bh AS (
+       |  SELECT q.id AS q_id, c.id AS c_id,
+       |         CAST(bit_count(xor(q.code_lo, c.code_lo)) + bit_count(xor(q.code_hi, c.code_hi)) AS INT) AS hamming
+       |  FROM (SELECT * FROM bc WHERE id < 5) q JOIN bc c ON q.id <> c.id)"""
+
+  /** The Hamming-shortlist → exact-cosine-refine → recall-vs-brute tail
+    * shared by sim_binary_recall (candidates = the full `bh` scan) and
+    * sim_binary_banded (candidates = the multi-index band join): mirror
+    * of Similarity.topKBinary[Banded]'s rankAdcThenExact at
+    * rerank=binaryRerank plus the recall join every other gate uses.
+    * `cands` must expose (q_id, c_id, hamming).
+    */
+  private def binaryRecallTail(cands: String): String =
+    s"""short AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id ASC) AS rn FROM $cands)
+       |  WHERE rn <= ${3 * Cfg.binaryRerank}),
+       |bx AS (
+       |  SELECT s.q_id, s.c_id, ${sqlCos("q.v", "c.v")} AS score
+       |  FROM short s JOIN eb q ON q.id = s.q_id JOIN eb c ON c.id = s.c_id),
+       |refined AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM bx)
+       |  WHERE rnk <= 3),
+       |bs AS (
+       |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
+       |  FROM (SELECT * FROM eb WHERE id < 5) q, eb c WHERE q.id <> c.id),
+       |brute AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+       |  WHERE rnk <= 3)
+       |SELECT b.q_id, CAST(count(i.c_id) AS BIGINT) AS hits,
+       |       ${Rounding.stableSql("count(i.c_id)::DOUBLE / 3", 4)} AS recall
+       |FROM brute b LEFT JOIN refined i ON b.q_id = i.q_id AND b.c_id = i.c_id
+       |GROUP BY b.q_id"""
+
+  /** sim_binary_banded's candidate CTEs: the 64-bit code split into
+    * binaryBands equal slices (Similarity.binaryBands in lock-step —
+    * same shifts, same masks), equi-join on (band, band_val), DISTINCT
+    * pairs, then Hamming over only those candidates.
+    */
+  private def bandedCandCtes: String = {
+    val bands = Cfg.binaryBands
+    val perHalf = bands / 2
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    s"""bands AS (
+       |  SELECT id, t.b,
+       |         CASE WHEN t.b < $perHalf THEN (code_lo >> ($w * t.b)) & $mask
+       |              ELSE (code_hi >> ($w * (t.b - $perHalf))) & $mask END AS band_val
+       |  FROM bc CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT qb.id AS q_id, cb.id AS c_id
+       |  FROM (SELECT * FROM bands WHERE id < 5) qb
+       |  JOIN bands cb ON qb.b = cb.b AND qb.band_val = cb.band_val AND qb.id <> cb.id),
+       |bsc AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |         CAST(bit_count(xor(q.code_lo, c.code_lo)) + bit_count(xor(q.code_hi, c.code_hi)) AS INT) AS hamming
+       |  FROM cand JOIN bc q ON q.id = cand.q_id JOIN bc c ON c.id = cand.c_id)"""
+  }
+
+  /** sim_eval_mrr: brute top-1 truth, then each compressed family's RAW
+    * top-binaryMrrK ranking (binary Hamming over [[binaryHalfSql]]
+    * codes; PQ full-corpus ADC over [[pqCodesCtes]]' reconstruction;
+    * IVF-PQ probe-scoped ADC through the trained cg_ coarse chain —
+    * the exact ivfPqCtesSql assignment pattern), reciprocal rank of the
+    * truth within each list (0 when absent), one row per
+    * (family, query).
+    */
+  private def mrrEvalSql: String = {
+    val mrrK = Cfg.binaryMrrK
+    s"""WITH $pqCodesCtes,
+       |${kmeansCtesOver(
+           "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+           k = 8, p = "cg_")},
+       |bc AS (
+       |  SELECT id, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi
+       |  FROM eb),
+       |q5 AS (SELECT id AS q_id, v AS qv FROM eb WHERE id < 5),
+       |bs AS (
+       |  SELECT q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+       |  FROM q5, eb c WHERE q_id <> c.id),
+       |brute1 AS (
+       |  SELECT q_id, c_id AS true_nn
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM bs)
+       |  WHERE rn = 1),
+       |bh AS (
+       |  SELECT q.id AS q_id, c.id AS c_id,
+       |         bit_count(xor(q.code_lo, c.code_lo)) + bit_count(xor(q.code_hi, c.code_hi)) AS hamming
+       |  FROM (SELECT * FROM bc WHERE id < 5) q JOIN bc c ON q.id <> c.id),
+       |binr AS (
+       |  SELECT q_id, c_id, rnk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id ASC) AS rnk FROM bh)
+       |  WHERE rnk <= $mrrK),
+       |pqsc AS (
+       |  SELECT q_id, rec.id AS c_id, round(${sqlDot("qv", "rv")}, 6) AS score
+       |  FROM q5 CROSS JOIN rec WHERE q_id <> rec.id),
+       |pqr AS (
+       |  SELECT q_id, c_id, rnk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM pqsc)
+       |  WHERE rnk <= $mrrK),
+       |cgcent AS (SELECT cid, cv FROM cg_c1),
+       |cgcs AS (
+       |  SELECT c.id AS c_id, cgcent.cid, ${sqlCos("c.v", "cgcent.cv")} AS ccos
+       |  FROM eb c CROSS JOIN cgcent),
+       |cassign AS (
+       |  SELECT c_id, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cgcs)
+       |  WHERE rn = 1),
+       |cgqs AS (
+       |  SELECT q_id, qv, cgcent.cid, ${sqlCos("qv", "cgcent.cv")} AS qcos
+       |  FROM q5 CROSS JOIN cgcent),
+       |qassign AS (
+       |  SELECT q_id, qv, cid AS list_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM cgqs)
+       |  WHERE rn <= 2),
+       |ipadc AS (
+       |  SELECT q.q_id, c.c_id, round(${sqlDot("q.qv", "rec.rv")}, 6) AS score
+       |  FROM qassign q JOIN cassign c USING (list_id)
+       |       JOIN rec ON rec.id = c.c_id
+       |  WHERE q.q_id <> c.c_id),
+       |ipr AS (
+       |  SELECT q_id, c_id, rnk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rnk FROM ipadc)
+       |  WHERE rnk <= $mrrK),
+       |u AS (
+       |  SELECT 'binary' AS family, b.q_id, b.true_nn, r.rnk
+       |  FROM brute1 b LEFT JOIN binr r ON r.q_id = b.q_id AND r.c_id = b.true_nn
+       |  UNION ALL
+       |  SELECT 'pq' AS family, b.q_id, b.true_nn, r.rnk
+       |  FROM brute1 b LEFT JOIN pqr r ON r.q_id = b.q_id AND r.c_id = b.true_nn
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS family, b.q_id, b.true_nn, r.rnk
+       |  FROM brute1 b LEFT JOIN ipr r ON r.q_id = b.q_id AND r.c_id = b.true_nn)
+       |SELECT family, q_id, true_nn, CAST(coalesce(rnk, 0) AS INT) AS rnk,
+       |       ${Rounding.stableSql("coalesce(1.0 / rnk, 0.0)", 6)} AS rr
+       |FROM u""".stripMargin
+  }
+
   /** Multi-probe bucket expansion (Similarity.probeBuckets' mirror):
     * given a probe index column `p` in [0, numPlanes], p = 0 is the
     * query's own bucket and p = i flips plane i's bit — the Hamming-1
@@ -4902,6 +5101,29 @@ object SparkEntry {
          |       ${Rounding.stableSql(s"count(p.c_id)::DOUBLE / ${Cfg.pqK}", 4)} AS recall
          |FROM brute b LEFT JOIN ip p ON b.q_id = p.q_id AND b.c_id = p.c_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // Raw Hamming ranking over the sign codes: ASC distance ≡ the
+    // Spark side's DESC −hamming score, ties to the lower c_id.
+    "sim_binary_ann" ->
+      s"""WITH $binaryCtes
+         |SELECT q_id, c_id, hamming, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id ASC) AS rnk FROM bh)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // Two-stage binary search (Hamming shortlist of 3·binaryRerank →
+    // exact 6-dp cosine refine → top-3) measured against brute top-3.
+    "sim_binary_recall" ->
+      s"""WITH $binaryCtes,
+         |${binaryRecallTail("bh")}""".stripMargin,
+
+    // Same two-stage search, but candidates come from the multi-index
+    // band join instead of the full Hamming scan.
+    "sim_binary_banded" ->
+      s"""WITH $binaryCtes,
+         |$bandedCandCtes,
+         |${binaryRecallTail("bsc")}""".stripMargin,
+
+    "sim_eval_mrr" -> mrrEvalSql,
 
     "sim_sq_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -377,6 +377,12 @@ object Similarity {
     * bytes and PQ's m codes; distance is two XOR+popcount integer ops —
     * exact, branch-free, whole-stage-codegen friendly, and at 100 TB the
     * candidate scan streams 16 bytes/row instead of 256.
+    *
+    * The layout is pinned to 64-dim vectors (= the PQ family's
+    * `Cfg.pqM · Cfg.pqSubDim` embedding dim): a shorter vector would
+    * throw per-element under ANSI `element_at`, a LONGER one would
+    * silently truncate to its first 64 signs — so the plan fails fast
+    * with an explicit message on any non-64 dim (ADVICE r17).
     */
   def binaryCodes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val vd = asDouble(col(vecCol))
@@ -385,8 +391,11 @@ object Similarity {
       (acc, i) => acc + when(
         element_at(vd, (i + lit(off + 1)).cast("int")) > 0.0,
         pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    val dimGuard = when(size(vd) === 64, half(0)).otherwise(raise_error(concat(
+      lit("binaryCodes: layout is pinned to 64-dim vectors, got dim="),
+      size(vd).cast("string"))))
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), half(0).as("code_lo"), half(32).as("code_hi"))
+      .select(col(idCol).as("id"), dimGuard.as("code_lo"), half(32).as("code_hi"))
   }
 
   /** Hamming distance between two packed binary codes (the
@@ -414,6 +423,67 @@ object Similarity {
       col("code_lo").as("c_lo"), col("code_hi").as("c_hi"))
     val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
     val scored = cc.join(broadcast(qc), col("q_id") =!= col("c_id"))
+      .withColumn("score", (lit(0) - hammingCodes(
+        col("q_lo"), col("q_hi"), col("c_lo"), col("c_hi"))).cast("double"))
+    rankAdcThenExact(scored, corpus, q, k, rerank)
+  }
+
+  /** Multi-index Hamming bands over the [[binaryCodes]] layout: the
+    * 64-bit code split into `bands` equal slices, long-form
+    * (id, band, band_val). Pigeonhole: two codes within Hamming
+    * distance < `bands` MUST agree on at least one whole band — so an
+    * equi-join on (band, band_val) generates every candidate inside
+    * that radius (8 bands of 8 bits ⇒ radius 7 guaranteed; more
+    * distant true neighbors can still collide, just without the
+    * guarantee). This is the `dedup_simhash_pairs` move applied to the
+    * search side: it gives the binary family a sub-linear candidate
+    * path like IVF's list probe, instead of [[topKBinary]]'s
+    * full-corpus Hamming scan.
+    */
+  def binaryBands(codes: DataFrame, bands: Int = 8): DataFrame = {
+    require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
+      s"binaryBands: bands must split the two 32-bit halves evenly, got $bands")
+    val perHalf = bands / 2
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    val slices = (0 until bands).map { b =>
+      val half = if (b < perHalf) col("code_lo") else col("code_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, w * (b % perHalf)).bitwiseAND(lit(mask)).as("band_val"))
+    }
+    codes.select(col("id"), explode(array(slices: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+  }
+
+  /** Banded binary top-k — [[topKBinary]] with multi-index Hamming
+    * candidate generation: corpus rows reach the Hamming ranking only
+    * if they share ≥1 of the `bands` band values with the query (an
+    * equi-join on (band, band_val) against the broadcast query bands,
+    * then DISTINCT — never a corpus scan per query). At 100 TB the
+    * candidate volume per query is Σ_band |corpus rows in the query's
+    * band cell| (~bands·|C|/2^w on sign-balanced codes) instead of
+    * |C|; a degenerate band value (a near-constant dim region) can at
+    * worst re-admit the full scan, never exceed it — the query side of
+    * the join is the small broadcast side. Recall vs the raw scan is
+    * measured, not guessed: `sim_binary_banded` gates it per query.
+    */
+  def topKBinaryBanded(queries: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 8, rerank: Int = 1): DataFrame = {
+    val qc = binaryCodes(queries, "id", "vec")
+    val cc = binaryCodes(corpus, "id", "vec")
+    val qb = binaryBands(qc, bands)
+      .select(col("id").as("q_id"), col("band"), col("band_val"))
+    val cb = binaryBands(cc, bands)
+      .select(col("id").as("c_id"), col("band"), col("band_val"))
+    val cand = cb.join(broadcast(qb), Seq("band", "band_val"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
+    val scored = cand
+      .join(cc.select(col("id").as("c_id"),
+        col("code_lo").as("c_lo"), col("code_hi").as("c_hi")), Seq("c_id"))
+      .join(broadcast(qc.select(col("id").as("q_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))), Seq("q_id"))
       .withColumn("score", (lit(0) - hammingCodes(
         col("q_lo"), col("q_hi"), col("c_lo"), col("c_hi"))).cast("double"))
     rankAdcThenExact(scored, corpus, q, k, rerank)
