@@ -3916,6 +3916,12 @@ object SparkEntry {
     */
   private def bandedCandCtes: String = {
     val bands = Cfg.binaryBands
+    // same invariant Similarity.binaryBands requires (ADVICE r18): a
+    // misconfigured band count (e.g. 1 → (1L<<64)-1 wraps to mask=0)
+    // would otherwise generate silently wrong SQL here while the Spark
+    // side throws — the two engines must fail the same way, at build time
+    require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
+      s"bandedCandCtes: bands must split the two 32-bit halves evenly, got $bands")
     val perHalf = bands / 2
     val w = 64 / bands
     val mask = (1L << w) - 1

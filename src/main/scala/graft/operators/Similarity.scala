@@ -391,11 +391,20 @@ object Similarity {
       (acc, i) => acc + when(
         element_at(vd, (i + lit(off + 1)).cast("int")) > 0.0,
         pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
-    val dimGuard = when(size(vd) === 64, half(0)).otherwise(raise_error(concat(
-      lit("binaryCodes: layout is pinned to 64-dim vectors, got dim="),
-      size(vd).cast("string"))))
+    // BOTH halves live inside the size guard (ADVICE r18): with only
+    // code_lo guarded, a <64-dim vector could die on code_hi's generic
+    // ANSI INVALID_ARRAY_INDEX before the guarded column's explicit
+    // raise_error — intra-projection evaluation order is unspecified.
+    // The struct keeps each extracted half individually conditioned on
+    // the size check after SimplifyExtractValueOps splits it.
+    val guarded = when(size(vd) === 64,
+      struct(half(0).as("lo"), half(32).as("hi")))
+      .otherwise(raise_error(concat(
+        lit("binaryCodes: layout is pinned to 64-dim vectors, got dim="),
+        size(vd).cast("string"))))
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), dimGuard.as("code_lo"), half(32).as("code_hi"))
+      .select(col(idCol).as("id"), guarded.as("__bc"))
+      .select(col("id"), col("__bc.lo").as("code_lo"), col("__bc.hi").as("code_hi"))
   }
 
   /** Hamming distance between two packed binary codes (the
@@ -440,7 +449,7 @@ object Similarity {
     * path like IVF's list probe, instead of [[topKBinary]]'s
     * full-corpus Hamming scan.
     */
-  def binaryBands(codes: DataFrame, bands: Int = 8): DataFrame = {
+  def binaryBands(codes: DataFrame, bands: Int): DataFrame = {
     require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
       s"binaryBands: bands must split the two 32-bit halves evenly, got $bands")
     val perHalf = bands / 2
@@ -468,7 +477,7 @@ object Similarity {
     * measured, not guessed: `sim_binary_banded` gates it per query.
     */
   def topKBinaryBanded(queries: DataFrame, corpus: DataFrame, k: Int,
-      bands: Int = 8, rerank: Int = 1): DataFrame = {
+      bands: Int, rerank: Int = 1): DataFrame = {
     val qc = binaryCodes(queries, "id", "vec")
     val cc = binaryCodes(corpus, "id", "vec")
     val qb = binaryBands(qc, bands)

@@ -49,6 +49,27 @@ class ExplainAuditSpec extends SparkSpec {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("binary banded ANN: equi-join candidates, query bands broadcast, bounded TopK rank") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val banded = graft.operators.Similarity.topKBinaryBanded(
+      emb.filter(col("id") < 5), emb, k = 3,
+      bands = PipelineConfig.Default.binaryBands, rerank = 20)
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"banded binary went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"banded binary plans a BNLJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query bands not broadcast:\n$p")
+    assert(!p.contains("Window"), s"banded binary ranks through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded TopK aggregate missing:\n$p")
+    // the raw Hamming scan is the deliberate BNLJ baseline the banded
+    // path is measured against, same contract as sim_topk vs sim_lsh_ann
+    val raw = graft.operators.Similarity.topKBinary(
+      emb.filter(col("id") < 5), emb, k = 3)
+    assert(raw.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("j6_fuzzy_join: distinct-collapse feeds an EQUI-join on the block key, never all-pairs") {
     val p = plan("j6_fuzzy_join")
     assert(!p.contains("CartesianProduct"), s"fuzzy linkage went all-pairs:\n$p")

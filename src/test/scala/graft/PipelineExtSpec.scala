@@ -1109,6 +1109,140 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(b(0L) == b(2L)) // same direction => same sign pattern
   }
+
+  // ---- binary (sign-bit) ANN family -------------------------------------
+
+  /** 64-dim vector whose dims in `pos` (1-based) are +1, all others −1. */
+  private def signVec(pos: Set[Int]): Array[Float] =
+    Array.tabulate(64)(j => if (pos.contains(j + 1)) 1.0f else -1.0f)
+
+  private def codesOf(rows: Seq[(Long, Array[Float])]): Map[Long, (Long, Long)] =
+    Similarity.binaryCodes(rows.toDF("id", "vec"), "id", "vec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("binaryCodes: bit layout at the half boundaries (dims 1/32/33/64); zero is not positive") {
+    val m = codesOf(Seq(
+      (0L, signVec(Set.empty)),
+      (1L, signVec(Set(1))),
+      (2L, signVec(Set(32))),
+      (3L, signVec(Set(33))),
+      (4L, signVec(Set(64))),
+      (5L, signVec((1 to 64).toSet)),
+      (6L, Array.fill(64)(0.0f))))
+    assert(m(0L) == ((0L, 0L)))
+    assert(m(1L) == ((1L, 0L)))           // dim 1 → lowest bit of code_lo
+    assert(m(2L) == ((1L << 31, 0L)))     // dim 32 → highest bit of code_lo
+    assert(m(3L) == ((0L, 1L)))           // dim 33 → lowest bit of code_hi
+    assert(m(4L) == ((0L, 1L << 31)))     // dim 64 → highest bit of code_hi
+    // all 64 bits set: each half fills 32 bits, never a long's sign bit
+    assert(m(5L) == (((1L << 32) - 1, (1L << 32) - 1)))
+    assert(m(6L) == ((0L, 0L)))           // 0.0 is NOT strictly > 0
+  }
+
+  test("binaryCodes: non-64-dim vectors fail fast with the layout message (both halves guarded)") {
+    // dim 63 would die on code_hi's element_at(64) FIRST if only code_lo
+    // carried the guard (evaluation order within a projection is
+    // unspecified) — the struct guard pins the explicit message for both
+    for (dim <- Seq(63, 65)) {
+      val df = Seq((1L, Array.fill(dim)(1.0f))).toDF("id", "vec")
+      val e = intercept[Exception] {
+        Similarity.binaryCodes(df, "id", "vec").collect()
+      }
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pinned to 64-dim")),
+        s"dim=$dim raised without the explicit guard message: ${msgs(e)}")
+    }
+  }
+
+  test("hammingCodes: zero on self, symmetric, full complement = 64") {
+    val ones = (1L << 32) - 1
+    val r = spark.range(1).select(
+      Similarity.hammingCodes(lit(5L), lit(9L), lit(5L), lit(9L)).as("self"),
+      Similarity.hammingCodes(lit(0L), lit(0L), lit(ones), lit(ones)).as("full"),
+      Similarity.hammingCodes(lit(6L), lit(12L), lit(5L), lit(10L)).as("ab"),
+      Similarity.hammingCodes(lit(5L), lit(10L), lit(6L), lit(12L)).as("ba")
+    ).collect()(0)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 64)
+    assert(r.getInt(2) == r.getInt(3)) // XOR is symmetric
+    assert(r.getInt(2) == 4)           // 6^5 = 3 (2 bits), 12^10 = 6 (2 bits)
+  }
+
+  test("topKBinary at full rerank ≡ topKBrute bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L to 19L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = corpus.toDF("id", "vec")
+    val q = df.filter(col("id") < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect() // (q_id, c_id, score|cos, rnk)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // k·rerank (21) covers the 19 candidates → the exact-cosine refine
+    // sees every corpus row: the two-stage search IS brute force
+    assert(rows(Similarity.topKBinary(q, df, k = 3, rerank = 7)) ==
+      rows(Similarity.topKBrute(q, df, 3)))
+  }
+
+  test("topKBinary: equal Hamming ties break to the lower candidate id") {
+    val df = Seq(
+      (100L, signVec((1 to 64).toSet)),
+      (3L, signVec((3 to 64).toSet)),  // hamming 2
+      (2L, signVec((1 to 63).toSet)),  // hamming 1 (dim 64 flipped)
+      (1L, signVec((2 to 64).toSet))   // hamming 1 (dim 1 flipped)
+    ).toDF("id", "vec")
+    val out = Similarity.topKBinary(df.filter(col("id") === 100L), df, k = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), (-r.getDouble(2)).toInt)).toSeq
+    // both hamming-1 rows tie on score → lower id first
+    assert(out == Seq((1L, 1), (2L, 1), (3L, 2)))
+  }
+
+  test("binaryBands pigeonhole: every pair within Hamming radius bands−1 shares ≥1 band cell") {
+    val bands = PipelineConfig.Default.binaryBands
+    val rnd = new scala.util.Random(7)
+    // 12 random base codes, each with a twin 0..bands−1 flips away —
+    // guaranteed in-radius pairs; the random cross-pairs (~32 apart)
+    // are the out-of-radius noise the bands may or may not collide on
+    val base = (0 until 12).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val twins = base.map { case (i, v) =>
+      val w = v.clone()
+      rnd.shuffle((0 until 64).toList).take(rnd.nextInt(bands))
+        .foreach(j => w(j) = -w(j))
+      (i + 100L, w)
+    }
+    val df = (base ++ twins).toDF("id", "vec")
+    val codes = Similarity.binaryCodes(df, "id", "vec")
+    val cmap = codes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = cmap.keys.toSeq.sorted
+    val inRadius = for {
+      a <- ids; b <- ids if a < b && ham(cmap(a), cmap(b)) < bands
+    } yield (a, b)
+    assert(inRadius.nonEmpty, "fixture produced no in-radius pairs")
+    val bb = Similarity.binaryBands(codes, bands)
+    val cand = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_val") === col("y.band_val") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inRadius.foreach(p =>
+      assert(cand.contains(p), s"in-radius pair $p missing from band candidates"))
+    // and the slicing itself is lossless: bands·band_val reassemble codes
+    assert(Similarity.binaryBands(codes, bands).count() == cmap.size.toLong * bands)
+  }
+
+  test("binaryBands: rejects band counts that cannot split the two halves evenly") {
+    val codes = Similarity.binaryCodes(
+      Seq((1L, signVec(Set(1)))).toDF("id", "vec"), "id", "vec")
+    for (bad <- Seq(1, 3, 6, 10, 128))
+      intercept[IllegalArgumentException] {
+        Similarity.binaryBands(codes, bad)
+      }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
