@@ -850,6 +850,41 @@ object Similarity {
     rankAdcThenExact(scored, corpus, qBase, k, rerank)
   }
 
+  /** Persist just the two trained codebooks — the coarse centroids and
+    * the per-block PQ codewords — as parquet artifacts: the train-once
+    * half of the FAISS train()/add()/search split for the PLAN-LITERAL
+    * search paths ([[topKPqBlocks]] / [[topKIvfPq]]), which consume
+    * driver-side codebooks rather than [[writeIvfPqIndex]]'s full
+    * postings layout. An eval/tuning loop (`sim_eval_mrr`) re-reads two
+    * tiny tables per run instead of re-running both corpus-wide Lloyd
+    * trainings.
+    */
+  def writeCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroids: Seq[(Int, Seq[Double])],
+      cw: Seq[(Int, Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    centroids.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    cw.toDF("m", "cwid", "cwblk").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Read [[writeCodebooks]] artifacts back to the driver-side shapes
+    * the plan-literal search paths take — cid / (m, cwid) orders
+    * restored, so a search against the read-back codebooks is
+    * bit-identical to one against the freshly trained values
+    * (spec-pinned).
+    */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    val cents = collectCentroids(spark.read.parquet(s"$dir/coarse"))
+    val cw = spark.read.parquet(s"$dir/codebooks")
+      .select(col("m"), col("cwid"), col("cwblk")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    (cents, cw)
+  }
+
   /** Write the IVF-PQ index artifacts of a corpus — the build-once /
     * search-many separation real vector indexes ship with (the ANN
     * analogue of [[Dedup.writeNearDupIndex]]): at 100 TB the trainings

@@ -1110,6 +1110,31 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0L) == b(2L)) // same direction => same sign pattern
   }
 
+  test("codebook artifacts: write/read round-trips value-exact; searches identically to fresh training") {
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat + 0.1f * j)))
+      .toDF("id", "vec")
+    val cents = Similarity.collectCentroids(
+      Similarity.trainedCentroids(emb, "id", "vec", k = 3, iters = 2))
+    val cw = Similarity.trainPqCodebooks(emb, "id", "vec",
+      m = 2, subDim = 2, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbk").toString
+    Similarity.writeCodebooks(spark, dir, cents, cw)
+    val (rc, rcw) = Similarity.readCodebooks(spark, dir)
+    // fixed-point training + parquet doubles → exact round-trip
+    assert(rc == cents)
+    assert(rcw.sortBy(t => (t._1, t._2)) == cw.sortBy(t => (t._1, t._2)))
+    // the standing-artifact search path is bit-identical to inline training
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val q = emb.filter(col("id") < 3)
+    assert(rows(Similarity.topKIvfPq(q, emb, rcw, k = 2, m = 2, subDim = 2,
+        rerank = 3, centroids = rc, nProbe = 2)) ==
+      rows(Similarity.topKIvfPq(q, emb, cw, k = 2, m = 2, subDim = 2,
+        rerank = 3, centroids = cents, nProbe = 2)))
+  }
+
   // ---- binary (sign-bit) ANN family -------------------------------------
 
   /** 64-dim vector whose dims in `pos` (1-based) are +1, all others −1. */
