@@ -93,17 +93,21 @@ sf_name = [p for p in sf_dir.split("/") if p][-1]
 # A name-subset run MERGES into the existing dump (same sf only) —
 # clobbering the other ~140 baselines would silently disable Bench's
 # de-contention ordering and stall detection for every other query.
+notes = {}
 if only and os.path.exists(out_json):
     try:
         prev = json.load(open(out_json))
         if prev.get("sf") == sf_name:
             res = {**prev.get("queries_ms", {}), **res}
+            # carry round-note annotations through subset merges
+            notes = {k: v for k, v in prev.items() if k.startswith("notes")}
     except Exception:
         pass
 body = {
     "sf": sf_name, "unit": "ms",
     "mode": f"solo (one JVM per query, min over {runs} run(s))",
     "queries_ms": dict(sorted(res.items(), key=lambda kv: -kv[1])),
+    **notes,
 }
 if errs:
     body["errors"] = errs

@@ -2537,9 +2537,12 @@ object SparkEntry {
     }),
 
     // Frame sampling with keyframe selection: the mapPartitions decoder
-    // FANS OUT one row per (doc, frame) — no shuffle until the per-doc
-    // keyframe rank, whose window partition is the doc's own nFrames
-    // rows.
+    // FANS OUT one row per (doc, frame) — RAGGED, 1..4 rows per doc
+    // derived from the payload's first byte (the decoder's
+    // scene-variance probe), so the plan is exercised on the skewed
+    // shape real video ingestion produces, not a fixed 4× multiplier.
+    // No shuffle until the per-doc keyframe rank, whose window
+    // partition is the doc's own ≤4 frame rows.
     "mm_frames" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val frames = Multimodal.sampleFrames(Multimodal.attachPayload(
@@ -6400,7 +6403,8 @@ object SparkEntry {
         |                THEN ascii(substr(mx, i, 1)) - 87
         |                ELSE ascii(substr(mx, i, 1)) - 48 END) AS nib
         |  FROM m),
-        |f AS (SELECT doc_id, nib, unnest(range(0, 4)) AS fid FROM hv),
+        |nf AS (SELECT doc_id, nib, 1 + ((nib[1] * 16 + nib[2]) % 4) AS n_frames FROM hv),
+        |f AS (SELECT doc_id, nib, unnest(range(0, n_frames)) AS fid FROM nf),
         |s AS (
         |  SELECT doc_id, CAST(fid AS INT) AS frame_id,
         |         CAST(list_sum(list_transform(range(4 * fid + 1, 4 * fid + 5),

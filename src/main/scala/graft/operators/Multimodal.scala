@@ -66,6 +66,15 @@ object Multimodal {
       (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
     }
 
+    /** Content-dependent keyframe COUNT — the variance probe a real
+      * decoder runs before sampling (scene-change detection picks more
+      * keyframes from busier footage): 1 + (first payload byte mod
+      * maxFrames), so the per-doc fan-out is ragged (1..maxFrames
+      * rows) and data-derived, never a fixed shape. Empty payload → 1.
+      */
+    def frameCount(payload: Array[Byte], maxFrames: Int): Int =
+      if (payload.isEmpty) 1 else 1 + ((payload(0) & 0xff) % maxFrames)
+
     /** "Frame sample": treat the payload as 4-byte frames and sum the
       * bytes of one selected frame — the shape of keyframe extraction.
       */
@@ -87,19 +96,25 @@ object Multimodal {
 
   /** Frame sampling: FAN OUT one row per (doc, frame) — the video
     * keyframe-extraction DAG shape, where decode multiplies rows instead
-    * of mapping them 1:1. Same per-partition decoder lifecycle as
-    * [[extractFeatures]]; the fan-out happens inside the partition
-    * iterator (no shuffle — downstream selection re-partitions by doc
-    * only if it must, and a 4-frame fan-out of a 100 TB corpus stays a
-    * narrow stage).
+    * of mapping them 1:1. The fan-out is DATA-DEPENDENT (r18 advice):
+    * each doc yields `decoder.frameCount` rows (1..maxFrames, derived
+    * from the payload content the way a real decoder's scene-change
+    * variance probe would), so downstream operators must handle ragged
+    * per-doc frame sets — the honest shape of video ingestion, where a
+    * fixed 4-frames-per-doc plan hides skew. Same per-partition decoder
+    * lifecycle as [[extractFeatures]]; the fan-out happens inside the
+    * partition iterator (no shuffle — downstream selection
+    * re-partitions by doc only if it must, and a ≤maxFrames fan-out of
+    * a 100 TB corpus stays a narrow stage).
     */
-  def sampleFrames(withPayload: DataFrame, nFrames: Int = 4): DataFrame = {
+  def sampleFrames(withPayload: DataFrame, maxFrames: Int = 4): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.as[MMDoc].mapPartitions { rows =>
       val decoder = FakeDecoder.open()
       rows.flatMap { d =>
-        (0 until nFrames).iterator.map(f =>
+        val n = decoder.frameCount(d.payload, maxFrames)
+        (0 until n).iterator.map(f =>
           MMFrame(d.doc_id, f, decoder.frameByteSum(d.payload, f)))
       }
     }.toDF()

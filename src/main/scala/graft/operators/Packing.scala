@@ -217,6 +217,11 @@ object Packing {
     val h = df.select(col(idCol), key.cast("long").as("_k"))
       .withColumn("_bucket", expr(s"_k div $bucketSize"))
     val totals = h.groupBy(col("_bucket")).agg(count(lit(1)).as("_w"))
+    // this unpartitioned window is DELIBERATE and at-scale safe: it runs
+    // over the bucket-TOTALS table only (≤ keyDomain/bucketSize rows, a
+    // plan constant), never the fact rows — the single-partition
+    // WindowExec warning it triggers in bench logs is the bounded side
+    // of the two-phase prefix sum, not a fact-table sort
     val woff = Window.orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(col("_bucket").as("_b"),

@@ -480,11 +480,28 @@ object Similarity {
       bands: Int, rerank: Int = 1): DataFrame = {
     val qc = binaryCodes(queries, "id", "vec")
     val cc = binaryCodes(corpus, "id", "vec")
+    bandedBinaryTail(qc, cc, binaryBands(cc, bands), bands,
+      queries, corpus, k, rerank)
+  }
+
+  /** The banded-binary search tail shared by the inline
+    * [[topKBinaryBanded]] and the prebuilt-artifact
+    * [[searchBinaryIndex]]: multi-index candidate equi-join on
+    * (band, band_val) against the broadcast query bands, Hamming
+    * ranking over only the candidates, then the usual
+    * shortlist/exact-refine. `cc` carries the corpus codes
+    * (id, code_lo, code_hi), `cb` the corpus band postings
+    * (id, band, band_val) — from either an inline slicing or a
+    * persisted posting table, identical by construction (the band
+    * slicing is static arithmetic, no trained state).
+    */
+  private def bandedBinaryTail(qc: DataFrame, cc: DataFrame, cb: DataFrame,
+      bands: Int, queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
     val qb = binaryBands(qc, bands)
       .select(col("id").as("q_id"), col("band"), col("band_val"))
-    val cb = binaryBands(cc, bands)
-      .select(col("id").as("c_id"), col("band"), col("band_val"))
-    val cand = cb.join(broadcast(qb), Seq("band", "band_val"))
+    val cand = cb.select(col("id").as("c_id"), col("band"), col("band_val"))
+      .join(broadcast(qb), Seq("band", "band_val"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
     val q = queries.select(col("id").as("q_id"), asDouble(col("vec")).as("q_v"))
@@ -497,6 +514,66 @@ object Similarity {
         col("q_lo"), col("q_hi"), col("c_lo"), col("c_hi"))).cast("double"))
     rankAdcThenExact(scored, corpus, q, k, rerank)
   }
+
+  /** Write the binary sign-code index artifacts of a corpus — the
+    * build-once / search-many lifecycle for the binary family (the
+    * [[writeIvfPqIndex]] discipline applied to the cheapest code in
+    * the house). Under `dir`:
+    *
+    *  - `codes/` — (id, code_lo, code_hi): the packed 64-bit
+    *    signatures the Hamming ranking scans — 16 bytes/row at any
+    *    corpus size, built ONCE per ingest instead of re-deriving
+    *    sign bits from the full-precision vectors per query session
+    *  - `bands/` — (id, band_val, band): the multi-index posting
+    *    table, PARTITIONED by band — each of a query's `bands` probe
+    *    cells touches one band directory (static partition pruning on
+    *    the equi-join's band key)
+    *  - `meta/` — the band count, pinned so an append can never slice
+    *    a new batch differently from the standing postings
+    *
+    * Unlike IVF-PQ there is NO trained state — the band slicing is
+    * static arithmetic over the code bits — so append ≡ rebuild holds
+    * bit-for-bit with no drift gate needed (spec-pinned).
+    */
+  def writeBinaryIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, bands: Int): Unit = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val codes = binaryCodes(emb, idCol, vecCol)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    binaryBands(codes, bands)
+      .write.partitionBy("band").mode("overwrite").parquet(s"$dir/bands")
+    Seq(bands).toDF("bands").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a new batch to a [[writeBinaryIndex]] index: codes + band
+    * postings of the batch only, sliced with the band count frozen in
+    * `meta/`. One scan of the new batch; the standing corpus is never
+    * re-read. Search over the grown index is bit-identical to a full
+    * rebuild over the union corpus (per-row pure, no cross-row state).
+    */
+  def appendToBinaryIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val sp = newEmb.sparkSession
+    val bands = sp.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    val codes = binaryCodes(newEmb, idCol, vecCol)
+    codes.write.mode("append").parquet(s"$dir/codes")
+    binaryBands(codes, bands)
+      .write.partitionBy("band").mode("append").parquet(s"$dir/bands")
+  }
+
+  /** Search a PREBUILT binary index ([[writeBinaryIndex]]): identical
+    * results to the inline [[topKBinaryBanded]], but the corpus side
+    * costs one posting/codes scan — the sign-quantization pass never
+    * re-runs. `corpus` supplies only the full-precision vectors the
+    * exact re-rank stage reads (k·rerank rows per query).
+    */
+  def searchBinaryIndex(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, bandPostings: DataFrame, bands: Int, k: Int,
+      rerank: Int = 1): DataFrame =
+    bandedBinaryTail(binaryCodes(queries, "id", "vec"), codes, bandPostings,
+      bands, queries, corpus, k, rerank)
 
   /** Product quantization, encode step: split each vector into `m`
     * blocks of `subDim` and code every block as its nearest codeword

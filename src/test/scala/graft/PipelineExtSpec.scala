@@ -1260,6 +1260,40 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.binaryBands(codes, bands).count() == cmap.size.toLong * bands)
   }
 
+  test("binary index lifecycle: prebuilt artifacts search ≡ inline; append ≡ union rebuild") {
+    val bands = PipelineConfig.Default.binaryBands
+    val rnd = new scala.util.Random(11)
+    val all = (0L to 19L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val base = all.filter(_._1 < 15).toDF("id", "vec")
+    val batch = all.filter(_._1 >= 15).toDF("id", "vec")
+    val union = all.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_idx").toString
+    Similarity.writeBinaryIndex(base, "id", "vec", dir, bands)
+    // posting table is hive-partitioned by band: a probe's equi-join
+    // band key prunes at the directory level
+    assert(new java.io.File(s"$dir/bands").listFiles
+      .exists(_.getName.startsWith("band=")), "bands not band-partitioned")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val q = union.filter(col("id") < 3)
+    val codes0 = spark.read.parquet(s"$dir/codes")
+    val bands0 = spark.read.parquet(s"$dir/bands")
+    assert(rows(Similarity.searchBinaryIndex(q, base, codes0, bands0,
+        bands, k = 3, rerank = 4)) ==
+      rows(Similarity.topKBinaryBanded(q, base, k = 3, bands, rerank = 4)))
+    // frozen-layout append: one scan of the batch, grown index ≡ a
+    // rebuild over the union corpus bit-for-bit (no trained state)
+    Similarity.appendToBinaryIndex(batch, "id", "vec", dir)
+    val codes1 = spark.read.parquet(s"$dir/codes")
+    val bands1 = spark.read.parquet(s"$dir/bands")
+    assert(codes1.count() == 20 && bands1.count() == 20L * bands)
+    assert(rows(Similarity.searchBinaryIndex(q, union, codes1, bands1,
+        bands, k = 3, rerank = 4)) ==
+      rows(Similarity.topKBinaryBanded(q, union, k = 3, bands, rerank = 4)))
+  }
+
   test("binaryBands: rejects band counts that cannot split the two halves evenly") {
     val codes = Similarity.binaryCodes(
       Seq((1L, signVec(Set(1)))).toDF("id", "vec"), "id", "vec")
@@ -1681,15 +1715,39 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("frame_byte_sum") == md.slice(12, 16).map(_ & 0xff).sum.toLong)
   }
 
-  test("frame sampling fans out nFrames rows per doc with per-frame byte sums") {
-    val docs = Seq((0L, "hello world"), (1L, "spark engine")).toDF("doc_id", "text")
-    val out = Multimodal.sampleFrames(Multimodal.attachPayload(docs)).collect()
-    assert(out.length == 8) // 2 docs x 4 frames
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest("hello world".getBytes("UTF-8"))
-    val sums = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2))
-    assert(sums.toSeq == (0 until 4).map(f =>
-      md.slice(f * 4, f * 4 + 4).map(_ & 0xff).sum.toLong))
+  test("frame sampling: RAGGED data-dependent fan-out (1..max frames per doc), per-frame byte sums") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    // enough docs that the first-byte probe produces several distinct
+    // frame counts — the fixture must genuinely be ragged
+    val texts = (0L to 11L).map(i => (i, s"doc body $i"))
+    val docs = texts.toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.attachPayload(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    texts.foreach { case (i, t) =>
+      val md = md5(t)
+      val expectedN = 1 + ((md(0) & 0xff) % 4)
+      val frames = byDoc(i).sortBy(_._2)
+      // count derived from the payload's first byte; ids contiguous 0..n−1
+      assert(frames.length == expectedN, s"doc $i fan-out")
+      assert(frames.map(_._2).toSeq == (0 until expectedN))
+      assert(frames.map(_._3).toSeq == (0 until expectedN).map(f =>
+        md.slice(f * 4, f * 4 + 4).map(_ & 0xff).sum.toLong))
+    }
+    // the raggedness is real: at least two distinct per-doc counts
+    assert(byDoc.values.map(_.length).toSet.size >= 2,
+      "fixture produced a fixed-shape fan-out")
+  }
+
+  test("frame count probe: ragged bounds, empty payload yields one frame") {
+    val d = Multimodal.FakeDecoder.open()
+    assert(d.frameCount(Array.emptyByteArray, 4) == 1)
+    assert(d.frameCount(Array[Byte](0, 9), 4) == 1)      // 0 % 4 → 1 frame
+    assert(d.frameCount(Array[Byte](3, 9), 4) == 4)      // 3 % 4 → 4 frames
+    assert(d.frameCount(Array[Byte](-1, 9), 4) == 4)     // 0xff unsigned → 255 % 4 = 3
+    for (b <- 0 until 256)
+      assert((1 to 4).contains(d.frameCount(Array(b.toByte), 4)))
   }
 }
 
