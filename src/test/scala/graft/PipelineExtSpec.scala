@@ -1260,6 +1260,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.binaryBands(codes, bands).count() == cmap.size.toLong * bands)
   }
 
+  test("binaryCodes ≡ driver twin on random vectors (zeros included); packing embeds sign space isometrically") {
+    val rnd = new scala.util.Random(123)
+    // ~10% exact zeros: the > 0 rule must treat them as the negative side
+    val vecs = (0L until 30L).map(i => (i, Array.fill(64)(
+      if (rnd.nextInt(10) == 0) 0.0f else (rnd.nextDouble() * 2 - 1).toFloat)))
+    def twin(v: Array[Float]): (Long, Long) = {
+      def half(off: Int) = (0 until 32).foldLeft(0L)((a, j) =>
+        a + (if (v(off + j) > 0) 1L << j else 0L))
+      (half(0), half(32))
+    }
+    val cmap = codesOf(vecs)
+    vecs.foreach { case (i, v) => assert(cmap(i) == twin(v), s"doc $i") }
+    // the packed-code Hamming distance IS the per-dim sign disagreement
+    // count — the packing is an isometric embedding of sign space
+    for ((a, va) <- vecs; (b, vb) <- vecs if a < b) {
+      val expected = (0 until 64).count(j => (va(j) > 0) != (vb(j) > 0))
+      val (al, ah) = cmap(a); val (bl, bh) = cmap(b)
+      assert(java.lang.Long.bitCount(al ^ bl) +
+        java.lang.Long.bitCount(ah ^ bh) == expected, s"pair ($a,$b)")
+    }
+  }
+
   test("binary index lifecycle: prebuilt artifacts search ≡ inline; append ≡ union rebuild") {
     val bands = PipelineConfig.Default.binaryBands
     val rnd = new scala.util.Random(11)
@@ -1274,6 +1296,12 @@ class SimilaritySpec extends SparkSpec {
     // band key prunes at the directory level
     assert(new java.io.File(s"$dir/bands").listFiles
       .exists(_.getName.startsWith("band=")), "bands not band-partitioned")
+    // a band filter prunes at the PARTITION level — a probe cell reads
+    // one band directory, not the corpus-wide posting table
+    val scanPlan = spark.read.parquet(s"$dir/bands").filter(col("band") === 0)
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("band"),
+      s"band filter did not reach partition pruning:\n$scanPlan")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
