@@ -147,6 +147,13 @@ final case class PipelineConfig(
     // Must divide 64 with an even quotient of halves (2 bands per
     // 32-bit half minimum); mirrored literally by the banded oracle.
     binaryBands: Int = 8,
+    // matryoshka truncation tiers (sim_trunc_recall): recall of cosine
+    // top-k over the FIRST d dims vs the full-dim exact top-k — the
+    // dimension-count axis of the compression family (SQ/PQ/binary cut
+    // per-dim precision; MRL-style truncation cuts dims, a 64/d×
+    // scan-bandwidth saving). Must include the full dim so the gate
+    // self-validates at recall 1.0; mirrored literally by the oracle.
+    truncDims: Seq[Int] = Seq(16, 32, 64),
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the
@@ -237,6 +244,9 @@ final case class PipelineConfig(
     rrfDenseQueryId: Long = 0L,
     rrfDenseK: Int = 10,
     rrfTopK: Int = 10) {
+  require(truncDims.nonEmpty && truncDims.forall(d => d >= 1 && d <= 64)
+      && truncDims.contains(64) && truncDims == truncDims.sorted,
+    s"truncDims must be sorted tiers within 1..64 incl. the full dim 64, got $truncDims")
   /** Number of minhash signature values the banding consumes. */
   def nSig: Int = numBands * rowsPerBand
   /** The as-of instant as a SQL literal for oracle interpolation. */

@@ -1669,6 +1669,33 @@ object SparkEntry {
           Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
     }),
 
+    // Matryoshka truncation gate — the DIMENSION-COUNT axis of the
+    // compression family (SQ/PQ/binary cut per-dim precision; MRL-style
+    // truncation cuts dims, the 64/d× scan-bandwidth saving a serving
+    // tier takes by reading a vector prefix): recall of the cosine
+    // top-3 over the FIRST d dims vs the full-64-dim exact top-3, one
+    // row per (tier, query). The d=64 tier is 1.0 by construction (a
+    // prefix of the whole IS the whole), so the gate self-validates;
+    // the lower tiers are the measured quality price of the cut.
+    "sim_trunc_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, emb, 3).select(col("q_id"), col("c_id"))
+      def tier(d: Int): DataFrame = {
+        def cut(df: DataFrame) = df.select(col("id"),
+          slice(Similarity.asDouble(col("vec")), 1, d).as("vec"))
+        val t = Similarity.topKBrute(cut(q), cut(emb), 3)
+          .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+        brute.join(t, Seq("q_id", "c_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("__hit")).as("hits"),
+            Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+          .select(lit(d).as("dim"), col("q_id"), col("hits"), col("recall"))
+      }
+      Cfg.truncDims.map(tier).reduce(_.unionByName(_))
+    }),
+
     // Retrieval eval — MRR of the RAW compressed-domain rankings, one
     // row per (family, query): the reciprocal rank of each query's
     // TRUE nearest neighbor (brute top-1) within the family's
@@ -3995,6 +4022,41 @@ object SparkEntry {
        |  FROM cand JOIN bc q ON q.id = cand.q_id JOIN bc c ON c.id = cand.c_id)"""
   }
 
+  /** sim_trunc_recall: one truncated-cosine ranking CTE pair per
+    * Cfg.truncDims tier (DuckDB 1-based inclusive list slice `v[1:d]` ≡
+    * Spark `slice(v, 1, d)`), each gated against the shared full-dim
+    * brute CTE and UNION ALL'd — tiers unrolled at SQL-generation time
+    * from the SAME config constant the plan maps over.
+    */
+  private def truncRecallSql: String = {
+    val tiers = Cfg.truncDims.map { d =>
+      s"""t${d}s AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos(s"qv[1:$d]", s"c.v[1:$d]")} AS cos
+         |  FROM q, e c WHERE q.q_id <> c.id),
+         |t$d AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM t${d}s)
+         |  WHERE rnk <= 3)"""
+    }.mkString(",\n")
+    val unions = Cfg.truncDims.map { d =>
+      s"""SELECT CAST($d AS INT) AS dim, b.q_id, CAST(count(t.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(t.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN t$d t ON b.q_id = t.q_id AND b.c_id = t.c_id
+         |GROUP BY b.q_id"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+       |bs AS (
+       |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+       |  FROM q, e c WHERE q.q_id <> c.id),
+       |brute AS (
+       |  SELECT q_id, c_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+       |  WHERE rnk <= 3),
+       |$tiers
+       |$unions""".stripMargin
+  }
+
   /** sim_eval_mrr: brute top-1 truth, then each compressed family's RAW
     * top-binaryMrrK ranking (binary Hamming over [[binaryHalfSql]]
     * codes; PQ full-corpus ADC over [[pqCodesCtes]]' reconstruction;
@@ -5185,6 +5247,11 @@ object SparkEntry {
          |${binaryRecallTail("bsc")}""".stripMargin,
 
     "sim_eval_mrr" -> mrrEvalSql,
+
+    // Per-tier truncated-cosine top-3 vs the full-dim exact top-3 —
+    // tiers unrolled from the same Cfg.truncDims the plan reads; the
+    // full-dim tier must read 1.0, self-validating the gate.
+    "sim_trunc_recall" -> truncRecallSql,
 
     "sim_sq_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

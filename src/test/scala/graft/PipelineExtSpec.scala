@@ -1322,6 +1322,19 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.topKBinaryBanded(q, union, k = 3, bands, rerank = 4)))
   }
 
+  test("matryoshka truncation gate: full-dim tier reads exactly 1.0; tier rows complete and bounded") {
+    val tiers = PipelineConfig.Default.truncDims
+    val out = SparkEntry.queries("sim_trunc_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == tiers.size * 5) // one row per (tier, query)
+    assert(out.map(_._1).toSet == tiers.toSet)
+    out.foreach { case (d, q, h, rec) =>
+      assert(h >= 0 && h <= 3 && rec >= 0.0 && rec <= 1.0, s"tier $d query $q") }
+    // a prefix of the whole IS the whole: the full-dim tier is exact —
+    // pins the gate arithmetic independent of the embedding's quality
+    assert(out.filter(_._1 == 64).forall(_._4 == 1.0))
+  }
+
   test("binaryBands: rejects band counts that cannot split the two halves evenly") {
     val codes = Similarity.binaryCodes(
       Seq((1L, signVec(Set(1)))).toDF("id", "vec"), "id", "vec")
