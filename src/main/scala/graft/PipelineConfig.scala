@@ -147,6 +147,12 @@ final case class PipelineConfig(
     // Must divide 64 with an even quotient of halves (2 bands per
     // 32-bit half minimum); mirrored literally by the banded oracle.
     binaryBands: Int = 8,
+    // streaming binary candidate screen (st17_binary_scan): the
+    // arriving micro-batch fixture re-encodes base vectors with id
+    // below this bound (bounded probe set, same discipline as the id<5
+    // query slices); the hamming cut is bands−1 — the pigeonhole-
+    // complete radius — applied at both call site and oracle.
+    binaryScreenArrivals: Long = 1000L,
     // matryoshka truncation tiers (sim_trunc_recall): recall of cosine
     // top-k over the FIRST d dims vs the full-dim exact top-k — the
     // dimension-count axis of the compression family (SQ/PQ/binary cut

@@ -851,6 +851,33 @@ object SparkEntry {
         math.max(Dedup.BloomWords.toLong, 4L * base.count()))
     }),
 
+    // ST17 — batch shadow of StreamingBinaryScreen.screen: the live
+    // banded-binary candidate screen (multi-index Hamming probe as a
+    // stateless stream-static equi-join against the standing code/band
+    // postings — st16's discipline applied to the ANN side). Arrivals
+    // are bounded re-encodes of the base: ids %3==0 fully negated
+    // (novel — Hamming ~64, cut by the radius filter) and the rest
+    // with ONLY the first component's sign flipped (Hamming ≤ 1 —
+    // inside the pigeonhole radius, so the screen MUST surface them).
+    // One row per colliding band cell within hamming ≤ bands−1; no
+    // cross-band distinct (that dedup belongs to the bounded verify
+    // stage — a streaming distinct would be unbounded pair state).
+    "st17_binary_scan" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("vec"))
+        .filter(col("vec").isNotNull)
+      val arrivals = emb.filter(col("id") < Cfg.binaryScreenArrivals)
+        .select((col("id") + lit(100000L)).as("id"),
+          when(col("id") % 3 === 0,
+            transform(col("vec"), x => -x))
+          .otherwise(concat(
+            array(-element_at(col("vec"), 1)),
+            slice(col("vec"), 2, 63))).as("vec"))
+      graft.streaming.StreamingBinaryScreen.screenScan(emb, arrivals,
+        bands = Cfg.binaryBands, maxHamming = Cfg.binaryBands - 1)
+    }),
+
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
     // merge: dedup_spans' boilerplate fixture with st8's arrival layout
     // (doc_id seconds past 2024-01-01), every window occurrence EXCEPT
@@ -4022,6 +4049,44 @@ object SparkEntry {
        |  FROM cand JOIN bc q ON q.id = cand.q_id JOIN bc c ON c.id = cand.c_id)"""
   }
 
+  /** st17_binary_scan: the stateless banded screen's oracle — base and
+    * arrival sign codes ([[binaryHalfSql]]), both sliced into band
+    * cells with the SAME shift/mask arithmetic as [[bandedCandCtes]],
+    * equi-joined on (band, band_val), one row per colliding cell whose
+    * XOR+popcount hamming clears the bands−1 pigeonhole radius. The
+    * arrival fixture mirrors the plan: ids %3==0 fully negated (novel),
+    * the rest with only v[1]'s sign flipped (Hamming ≤ 1 — must
+    * surface). `aid` aliasing avoids DuckDB's lateral-alias ambiguity
+    * between the shifted output id and the source id the CASE reads.
+    */
+  private def binaryScreenSql: String = {
+    val bands = Cfg.binaryBands
+    require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
+      s"binaryScreenSql: bands must split the two 32-bit halves evenly, got $bands")
+    val perHalf = bands / 2
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    def bandCte(src: String) =
+      s"""SELECT id, code_lo, code_hi, t.b AS band,
+         |       CASE WHEN t.b < $perHalf THEN (code_lo >> ($w * t.b)) & $mask
+         |            ELSE (code_hi >> ($w * (t.b - $perHalf))) & $mask END AS band_val
+         |FROM $src CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) t"""
+    s"""WITH eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |arr AS (
+       |  SELECT id + 100000 AS aid,
+       |         CASE WHEN id % 3 = 0 THEN list_transform(v, x -> -x)
+       |              ELSE list_concat([-v[1]], v[2:64]) END AS v
+       |  FROM eb WHERE id < ${Cfg.binaryScreenArrivals}),
+       |bc AS (SELECT id, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi FROM eb),
+       |ac AS (SELECT aid AS id, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi FROM arr),
+       |bb AS (${bandCte("bc")}),
+       |ab AS (${bandCte("ac")})
+       |SELECT a.id AS new_id, b.id AS base_id, CAST(a.band AS INT) AS band,
+       |       CAST(bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi)) AS INT) AS hamming
+       |FROM ab a JOIN bb b ON a.band = b.band AND a.band_val = b.band_val
+       |WHERE bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi)) <= ${bands - 1}""".stripMargin
+  }
+
   /** sim_trunc_recall: one truncated-cosine ranking CTE pair per
     * Cfg.truncDims tier (DuckDB 1-based inclusive list slice `v[1:d]` ≡
     * Spark `slice(v, 1, d)`), each gated against the shared full-dim
@@ -4800,6 +4865,10 @@ object SparkEntry {
     // The streaming screen's batch shadow computes the identical verdict
     // set a third way (stateless per-position join chain) — same oracle.
     "st16_bloom_scan" -> bloomOracleSql,
+
+    // Stateless banded-binary candidate screen: colliding band cells
+    // within the pigeonhole radius, per (arrival, base, band).
+    "st17_binary_scan" -> binaryScreenSql,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

@@ -449,7 +449,8 @@ object Similarity {
     * path like IVF's list probe, instead of [[topKBinary]]'s
     * full-corpus Hamming scan.
     */
-  def binaryBands(codes: DataFrame, bands: Int): DataFrame = {
+  def binaryBands(codes: DataFrame, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
       s"binaryBands: bands must split the two 32-bit halves evenly, got $bands")
     val perHalf = bands / 2
@@ -460,8 +461,13 @@ object Similarity {
       struct(lit(b).as("band"),
         shiftright(half, w * (b % perHalf)).bitwiseAND(lit(mask)).as("band_val"))
     }
-    codes.select(col("id"), explode(array(slices: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    // `carry` rides extra columns through the explode (the streaming
+    // screen keeps the code halves on the band rows — a separate join
+    // back to the codes would be stream-stream on the live side)
+    codes.select(col("id") +: carry.map(col) :+
+        explode(array(slices: _*)).as("bb"): _*)
+      .select(col("id") +: carry.map(col) :+
+        col("bb.band").as("band") :+ col("bb.band_val").as("band_val"): _*)
   }
 
   /** Banded binary top-k — [[topKBinary]] with multi-index Hamming

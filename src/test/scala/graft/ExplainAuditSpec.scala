@@ -39,7 +39,8 @@ class ExplainAuditSpec extends SparkSpec {
     for (q <- Seq("dedup_minhash", "dedup_incremental", "dedup_ngram_jaccard",
         "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "sim_lsh_mp_ann",
         "sim_hard_negatives", "dedup_exact", "dedup_containment",
-        "st5_neardedup_scan", "st9_paragraph_scan", "st10_containment_scan")) {
+        "st5_neardedup_scan", "st9_paragraph_scan", "st10_containment_scan",
+        "st17_binary_scan")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")

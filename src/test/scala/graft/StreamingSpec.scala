@@ -875,6 +875,59 @@ class StreamingSpec extends SparkSpec {
       ("head", 3L, 1L, 1), ("head", 3L, 2L, 2), ("head", 3L, 3L, 3),
       ("tail", 1L, 101L, 1)))
   }
+
+  test("binary screen: stateless stream-static candidate emission in append mode; live ≡ batch twin") {
+    import graft.streaming.StreamingBinaryScreen
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    val bands = 8
+    val rnd = new scala.util.Random(5)
+    val baseRows = (0L until 20L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val base = baseRows.toDF("id", "vec")
+    // the index job's artifacts: codes + band postings, built once
+    val codes = Similarity.binaryCodes(base, "id", "vec")
+      .localCheckpoint(true)
+    val postings = Similarity.binaryBands(codes, bands).localCheckpoint(true)
+    def twin(src: Long, newId: Long): (Long, Array[Float]) = {
+      val v = baseRows(src.toInt)._2.clone(); v(0) = -v(0); (newId, v)
+    }
+    def novel(src: Long, newId: Long): (Long, Array[Float]) =
+      (newId, baseRows(src.toInt)._2.map(x => -x))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingBinaryScreen.screen(input.toDS().toDF("id", "vec"),
+        codes, postings, bands, maxHamming = bands - 1)
+      .writeStream.format("memory").queryName("binscr")
+      .outputMode("append").start()
+    try {
+      input.addData(twin(7L, 1001L), novel(2L, 1002L))
+      q.processAllAvailable()
+      // batch 2 needs NO carried state: a repeat of the novel vector
+      // still emits nothing, another near twin still surfaces
+      input.addData(twin(3L, 1003L), novel(2L, 1004L))
+      q.processAllAvailable()
+      val out = spark.table("binscr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+      // a first-dim sign flip is Hamming 1: inside the pigeonhole
+      // radius, so the twin MUST collide with its source in every band
+      // not containing the flipped bit (≥ bands−1 cells)
+      for ((nid, src) <- Seq(1001L -> 7L, 1003L -> 3L)) {
+        val hits = out.filter(p => p._1 == nid && p._2 == src)
+        assert(hits.size >= bands - 1, s"twin $nid missing collisions")
+        assert(hits.forall(_._4 <= 1))
+      }
+      // fully negated arrivals are ~Hamming 64 from everything: the
+      // radius cut drops every chance cell collision
+      assert(!out.exists(p => p._1 == 1002L || p._1 == 1004L))
+      // and the live rows equal the batch twin's over the same arrivals
+      val arrivals = Seq(twin(7L, 1001L), novel(2L, 1002L),
+        twin(3L, 1003L), novel(2L, 1004L)).toDF("id", "vec")
+      val batchForm = StreamingBinaryScreen
+        .screenScan(base, arrivals, bands, bands - 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+      assert(out.sorted == batchForm.sorted)
+    } finally q.stop()
+  }
 }
 
 /** Top-level so the MemoryStream encoder needs no outer instance. */
