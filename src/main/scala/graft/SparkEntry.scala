@@ -76,6 +76,30 @@ object SparkEntry {
     })
   }
 
+  /** The live-ingest screen's base corpus: embeddings as (id, vec). */
+  private def screenBase(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+      .filter(col("vec").isNotNull)
+
+  /** The arriving micro-batch fixture st17_binary_scan and
+    * e8_ingest_screen share: bounded re-encodes of the base — ids
+    * %3==0 fully negated (novel, ~Hamming 64 from everything), the
+    * rest with ONLY the first component's sign flipped (Hamming ≤ 1 —
+    * inside the pigeonhole radius, near-exact cosine to their source).
+    * Exact IEEE negation (`-x`) so both engines compute identical
+    * doubles; mirrored literally by the shared oracle CTE prefix.
+    */
+  private def screenArrivals(emb: DataFrame): DataFrame =
+    emb.filter(col("id") < Cfg.binaryScreenArrivals)
+      .select((col("id") + lit(100000L)).as("id"),
+        when(col("id") % 3 === 0,
+          transform(col("vec"), x => -x))
+        .otherwise(concat(
+          array(-element_at(col("vec"), 1)),
+          slice(col("vec"), 2, 63))).as("vec"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e1_pipeline")(spark, "/root/testdata/sf0.001")
@@ -863,19 +887,50 @@ object SparkEntry {
     // cross-band distinct (that dedup belongs to the bounded verify
     // stage — a streaming distinct would be unbounded pair state).
     "st17_binary_scan" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"),
-          Similarity.asDouble(col("embedding")).as("vec"))
-        .filter(col("vec").isNotNull)
-      val arrivals = emb.filter(col("id") < Cfg.binaryScreenArrivals)
-        .select((col("id") + lit(100000L)).as("id"),
-          when(col("id") % 3 === 0,
-            transform(col("vec"), x => -x))
-          .otherwise(concat(
-            array(-element_at(col("vec"), 1)),
-            slice(col("vec"), 2, 63))).as("vec"))
-      graft.streaming.StreamingBinaryScreen.screenScan(emb, arrivals,
+      val emb = screenBase(s, dir)
+      graft.streaming.StreamingBinaryScreen.screenScan(emb,
+        screenArrivals(emb),
         bands = Cfg.binaryBands, maxHamming = Cfg.binaryBands - 1)
+    }),
+
+    // E8 — the daily-ingest admission flagship: the st17 banded screen
+    // composed with the bounded exact-verify stage it feeds, one DAG.
+    // Candidates (colliding band cells within the pigeonhole radius)
+    // are DISTINCT-collapsed to pairs — a batch aggregate the stream
+    // deliberately defers to exactly this stage — then ONLY those
+    // pairs' full-precision vectors are read for the 6-dp exact
+    // cosine (k·candidates rows, never |arrivals|·|base|); per
+    // arrival, the best match (cos DESC, lower base_id on ties) and
+    // the verdict: admit unless a match clears semanticThreshold —
+    // incremental SemDeDup against a standing corpus, the admission
+    // gate a 100 TB ingest runs on every micro-batch. Near twins
+    // (first-dim flip, cos ≈ 1) are rejected with their source as
+    // best match; negated arrivals generate zero candidates and admit.
+    "e8_ingest_screen" -> ((s, dir) => {
+      val emb = screenBase(s, dir)
+      val arrivals = screenArrivals(emb)
+      val cand = graft.streaming.StreamingBinaryScreen.screenScan(emb,
+          arrivals, bands = Cfg.binaryBands,
+          maxHamming = Cfg.binaryBands - 1)
+        .select(col("new_id"), col("base_id")).distinct()
+      val av = arrivals.select(col("id").as("new_id"), col("vec").as("a_v"))
+      val bv = emb.select(col("id").as("base_id"), col("vec").as("b_v"))
+      val scored = cand.join(bv, Seq("base_id")).join(broadcast(av), Seq("new_id"))
+        .withColumn("cos", round(Similarity.cosine(col("a_v"), col("b_v")), 6))
+      // argmax by (cos desc, base_id asc) via one min-struct aggregate
+      val best = scored.groupBy(col("new_id"))
+        .agg(min(struct((lit(0.0) - col("cos")).as("nc"),
+            col("base_id").as("b"))).as("m"),
+          count(lit(1)).as("n_cand"))
+        .select(col("new_id"), col("n_cand"), col("m.b").as("best_id"),
+          (lit(0.0) - col("m.nc")).as("best_cos"))
+      arrivals.select(col("id").as("new_id")).join(best, Seq("new_id"), "left")
+        .select(col("new_id").as("id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("best_id"), lit(-1L)).as("best_id"),
+          coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
+          (coalesce(col("best_cos"), lit(0.0)) < lit(Cfg.semanticThreshold))
+            .as("admit"))
     }),
 
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
@@ -4059,10 +4114,15 @@ object SparkEntry {
     * surface). `aid` aliasing avoids DuckDB's lateral-alias ambiguity
     * between the shifted output id and the source id the CASE reads.
     */
-  private def binaryScreenSql: String = {
+  /** The CTE prefix st17_binary_scan and e8_ingest_screen share:
+    * eb (base), arr (the re-encode arrival fixture, `aid` to dodge
+    * DuckDB lateral-alias ambiguity), bc/ac (sign codes), bb/ab (band
+    * cells, the [[bandedCandCtes]] shift/mask arithmetic).
+    */
+  private def binaryScreenCtes: String = {
     val bands = Cfg.binaryBands
     require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
-      s"binaryScreenSql: bands must split the two 32-bit halves evenly, got $bands")
+      s"binaryScreenCtes: bands must split the two 32-bit halves evenly, got $bands")
     val perHalf = bands / 2
     val w = 64 / bands
     val mask = (1L << w) - 1
@@ -4071,7 +4131,7 @@ object SparkEntry {
          |       CASE WHEN t.b < $perHalf THEN (code_lo >> ($w * t.b)) & $mask
          |            ELSE (code_hi >> ($w * (t.b - $perHalf))) & $mask END AS band_val
          |FROM $src CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) t"""
-    s"""WITH eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+    s"""eb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |arr AS (
        |  SELECT id + 100000 AS aid,
        |         CASE WHEN id % 3 = 0 THEN list_transform(v, x -> -x)
@@ -4080,11 +4140,49 @@ object SparkEntry {
        |bc AS (SELECT id, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi FROM eb),
        |ac AS (SELECT aid AS id, ${binaryHalfSql(0)} AS code_lo, ${binaryHalfSql(32)} AS code_hi FROM arr),
        |bb AS (${bandCte("bc")}),
-       |ab AS (${bandCte("ac")})
+       |ab AS (${bandCte("ac")})"""
+  }
+
+  private def binaryScreenSql: String = {
+    val bands = Cfg.binaryBands
+    s"""WITH $binaryScreenCtes
        |SELECT a.id AS new_id, b.id AS base_id, CAST(a.band AS INT) AS band,
        |       CAST(bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi)) AS INT) AS hamming
        |FROM ab a JOIN bb b ON a.band = b.band AND a.band_val = b.band_val
        |WHERE bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi)) <= ${bands - 1}""".stripMargin
+  }
+
+  /** e8_ingest_screen: the screen's DISTINCT candidate pairs, exact
+    * 6-dp cosine over only those pairs, per-arrival argmax
+    * (cos DESC, lower base_id) + candidate count, and the admission
+    * verdict against semanticThreshold — the SQL twin of the
+    * screen→verify→admit DAG.
+    */
+  private def ingestScreenSql: String = {
+    val bands = Cfg.binaryBands
+    s"""WITH $binaryScreenCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.id AS new_id, b.id AS base_id
+       |  FROM ab a JOIN bb b ON a.band = b.band AND a.band_val = b.band_val
+       |  WHERE bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi)) <= ${bands - 1}),
+       |sc AS (
+       |  SELECT c.new_id, c.base_id, ${sqlCos("av.v", "bv.v")} AS cos
+       |  FROM cand c
+       |  JOIN (SELECT aid AS id, v FROM arr) av ON av.id = c.new_id
+       |  JOIN eb bv ON bv.id = c.base_id),
+       |best AS (
+       |  SELECT new_id, base_id AS best_id, cos AS best_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY cos DESC, base_id ASC) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |cnt AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY new_id)
+       |SELECT a.aid AS id,
+       |       CAST(coalesce(cnt.n_cand, 0) AS BIGINT) AS n_cand,
+       |       CAST(coalesce(best.best_id, -1) AS BIGINT) AS best_id,
+       |       coalesce(best.best_cos, 0.0) AS best_cos,
+       |       coalesce(best.best_cos, 0.0) < ${Cfg.semanticThreshold} AS admit
+       |FROM arr a
+       |LEFT JOIN cnt ON cnt.new_id = a.aid
+       |LEFT JOIN best ON best.new_id = a.aid""".stripMargin
   }
 
   /** sim_trunc_recall: one truncated-cosine ranking CTE pair per
@@ -4869,6 +4967,9 @@ object SparkEntry {
     // Stateless banded-binary candidate screen: colliding band cells
     // within the pigeonhole radius, per (arrival, base, band).
     "st17_binary_scan" -> binaryScreenSql,
+
+    // The ingest-admission flagship: screen → exact verify → admit.
+    "e8_ingest_screen" -> ingestScreenSql,
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

@@ -1335,6 +1335,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 64).forall(_._4 == 1.0))
   }
 
+  test("e8 ingest screen: novel arrivals admit with zero candidates; near twins reject onto their source") {
+    val out = SparkEntry.queries("e8_ingest_screen")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val thr = PipelineConfig.Default.semanticThreshold
+    // one verdict per arrival; verdict ≡ the threshold cut
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (id, n, b, c, admit) =>
+      assert(admit == (c < thr), s"arrival $id")
+      // no candidates ⇒ the sentinel match and an admit
+      if (n == 0) assert(b == -1L && c == 0.0 && admit, s"arrival $id")
+    }
+    // fully negated arrivals (source id %3==0) are ~Hamming 64 from
+    // everything: zero candidates, admitted
+    val negated = out.filter(r => (r._1 - 100000) % 3 == 0)
+    assert(negated.nonEmpty && negated.forall(r => r._2 == 0 && r._5))
+    // rejected near twins overwhelmingly match their own source (a
+    // different winner needs a base vector closer than cos ≈ 1)
+    val rejected = out.filter(!_._5)
+    assert(rejected.nonEmpty)
+    assert(rejected.count(r => r._3 == r._1 - 100000) >= rejected.length * 8 / 10)
+    rejected.foreach(r => assert(r._4 >= thr))
+  }
+
   test("binaryBands: rejects band counts that cannot split the two halves evenly") {
     val codes = Similarity.binaryCodes(
       Seq((1L, signVec(Set(1)))).toDF("id", "vec"), "id", "vec")
