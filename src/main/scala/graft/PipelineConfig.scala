@@ -64,6 +64,10 @@ final case class PipelineConfig(
     // "paragraph" — the deterministic boundary stand-in; real data
     // swaps in a newline split
     paraBlockTokens: Int = 16,
+    // frame-level multimodal dedup (mm_frame_dedup): a video whose
+    // corpus-wide-duplicated-frame fraction reaches this bound is
+    // dropped (re-used footage / boilerplate-dominated uploads)
+    mmDupFrameMax: Double = 0.5,
     // substring-duplication spans (dedup_spans): sliding-window width in
     // tokens (Lee et al. use 50; the synthetic docs are shorter)
     spanWindowTokens: Int = 12,

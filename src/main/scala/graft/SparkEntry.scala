@@ -2711,6 +2711,37 @@ object SparkEntry {
       frames.withColumn("is_key", row_number().over(wnd) === 1)
     }),
 
+    // MM frame-level dedup — exact dedup lifted to the multimodal
+    // plane: videos decode (per-partition stub decoder, ragged
+    // length-derived fan-out) into per-frame perceptual-hash
+    // signatures; one min-struct aggregate elects the corpus-wide
+    // canonical occurrence of each signature (partial agg absorbs a
+    // frame repeated across millions of videos — the black-frame /
+    // intro-card hot key a window-rank form would sort in one
+    // partition); the join-back marks non-canonical frames and a
+    // per-doc rollup emits the duplicated-frame fraction + the keep
+    // verdict (drop re-used-footage-dominated uploads). Cross-doc
+    // overlap is REAL in the fixture: shared boilerplate blocks become
+    // shared frames, so fractions land strictly between 0 and 1.
+    "mm_frame_dedup" -> ((s, dir) => {
+      val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+        Tables.documents(s, dir), Cfg.paraBlockTokens))
+      val canon = sigs.groupBy(col("frame_sig"))
+        .agg(min(struct(col("doc_id"), col("frame_id"))).as("c"))
+      sigs.join(canon, Seq("frame_sig"))
+        .withColumn("is_dup",
+          !(col("doc_id") === col("c").getField("doc_id") &&
+            col("frame_id") === col("c").getField("frame_id")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup"))
+        .withColumn("dup_frac", Rounding.stable(
+          col("n_dup").cast("double") / col("n_frames"), 4))
+        .select(col("doc_id"), col("n_frames"), col("n_dup"),
+          col("dup_frac"),
+          (col("dup_frac") < lit(Cfg.mmDupFrameMax)).as("keep"))
+    }),
+
     // Bigram language-model estimation: P(w2|w1) = c(w1 w2)/c(w1) for
     // the corpus's top-25 bigrams — the statistical-LM table a data
     // pipeline derives before training (rational arithmetic only; both
@@ -6700,6 +6731,32 @@ object SparkEntry {
         |SELECT doc_id, frame_id, frame_sum,
         |       row_number() OVER (PARTITION BY doc_id ORDER BY frame_sum DESC, frame_id ASC) = 1 AS is_key
         |FROM s""".stripMargin,
+
+    // Frame dedup: the payload bytes are md5-per-block by construction,
+    // so the oracle never touches binary — frame_sig ≡ the first 14 hex
+    // chars of the block md5, canonical election ≡ row_number over
+    // (doc_id, frame_id), the min-struct's lexicographic order.
+    "mm_frame_dedup" -> {
+      val b = Cfg.paraBlockTokens
+      val frac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vs AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
+         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
+         |       FROM ve),
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY frame_sig
+         |                                    ORDER BY doc_id, frame_id) AS rn
+         |       FROM vs),
+         |vd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |              CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup
+         |       FROM vr GROUP BY doc_id)
+         |SELECT doc_id, n_frames, n_dup, $frac AS dup_frac,
+         |       $frac < ${Cfg.mmDupFrameMax} AS keep
+         |FROM vd""".stripMargin
+    },
 
     "ta_grouping_sets" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,

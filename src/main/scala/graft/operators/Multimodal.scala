@@ -85,6 +85,34 @@ object Multimodal {
       while (i < end) { s += payload(i) & 0xff; i += 1 }
       s
     }
+
+    /** Frame count of a VIDEO payload — 16 bytes per encoded frame
+      * ([[attachVideoPayload]]'s layout), so the fan-out is exactly as
+      * ragged as the source footage is long. Sub-frame tail / empty
+      * payload decode to one frame (degrade, not drop).
+      */
+    def videoFrameCount(payload: Array[Byte]): Int =
+      math.max(1, payload.length / 16)
+
+    /** Perceptual-hash stand-in: the first 7 bytes of a frame's
+      * 16-byte block, lowercase hex (14 chars) — the content signature
+      * a real pipeline computes per decoded frame (pHash/dHash) to
+      * dedup frames ACROSS videos. Pure function of the frame bytes;
+      * clamped at the payload tail.
+      */
+    def frameSignature(payload: Array[Byte], frameId: Int): String = {
+      val from = frameId * 16
+      val end = math.min(from + 7, payload.length)
+      val sb = new java.lang.StringBuilder(14)
+      var i = from
+      while (i < end) {
+        val b = payload(i) & 0xff
+        sb.append(Character.forDigit(b >> 4, 16))
+        sb.append(Character.forDigit(b & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
     def close(): Unit = ()
   }
   object FakeDecoder {
@@ -116,6 +144,50 @@ object Multimodal {
         val n = decoder.frameCount(d.payload, maxFrames)
         (0 until n).iterator.map(f =>
           MMFrame(d.doc_id, f, decoder.frameByteSum(d.payload, f)))
+      }
+    }.toDF()
+  }
+
+  case class MMVideo(doc_id: Long, payload: Array[Byte])
+  case class MMFrameSig(doc_id: Long, frame_id: Int, frame_sig: String)
+
+  /** Attach a synthetic VIDEO payload: one 16-byte "encoded frame"
+    * (md5 of each `blockTokens`-token block of the text) per scene, so
+    * payload LENGTH is data-dependent and cross-document frame overlap
+    * is real — two docs sharing boilerplate share exactly those frames,
+    * the way re-used intro/outro footage repeats across real videos.
+    * Deterministic (md5 of the block text), so the oracle rebuilds the
+    * identical bytes relationally.
+    */
+  def attachVideoPayload(docs: DataFrame, blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("_tv"))
+      .select(col("doc_id"),
+        unhex(concat_ws("", transform(
+          sequence(lit(0),
+            expr(s"(size(_tv) - 1) div $blockTokens").cast("int")),
+          i => md5(concat_ws(" ",
+            slice(col("_tv"), i * blockTokens + 1, lit(blockTokens))))))
+        ).as("payload"))
+  }
+
+  /** Decode a video payload into per-frame signature rows: FAN OUT one
+    * (doc_id, frame_id, frame_sig) per frame, signature from the
+    * decoder — the narrow per-partition stage feeding corpus-wide
+    * frame dedup ([[FakeDecoder.frameSignature]]). Same decoder
+    * lifecycle as [[sampleFrames]]; ragged by construction (frame
+    * count = payload length / 16).
+    */
+  def frameSignatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMVideo].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      rows.flatMap { d =>
+        val n = decoder.videoFrameCount(d.payload)
+        (0 until n).iterator.map(f =>
+          MMFrameSig(d.doc_id, f, decoder.frameSignature(d.payload, f)))
       }
     }.toDF()
   }

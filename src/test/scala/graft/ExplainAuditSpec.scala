@@ -40,7 +40,7 @@ class ExplainAuditSpec extends SparkSpec {
         "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "sim_lsh_mp_ann",
         "sim_hard_negatives", "dedup_exact", "dedup_containment",
         "st5_neardedup_scan", "st9_paragraph_scan", "st10_containment_scan",
-        "st17_binary_scan", "e8_ingest_screen")) {
+        "st17_binary_scan", "e8_ingest_screen", "mm_frame_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")

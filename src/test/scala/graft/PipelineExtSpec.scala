@@ -1815,6 +1815,45 @@ class MultimodalSpec extends SparkSpec {
     for (b <- 0 until 256)
       assert((1 to 4).contains(d.frameCount(Array(b.toByte), 4)))
   }
+
+  test("video payload: one 16-byte frame per token block; signature = frame's first 7 bytes hex") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    // blockTokens=2: doc 1 has blocks ("a b","c d"), doc 2 shares "c d"
+    val docs = Seq((1L, "a b c d"), (2L, "c d")).toDF("doc_id", "text")
+    val sigs = Multimodal.frameSignatures(
+        Multimodal.attachVideoPayload(docs, blockTokens = 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(sigs.length == 3)
+    val byDoc = sigs.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq(hex(md5("a b").take(7)), hex(md5("c d").take(7))))
+    assert(byDoc(2L).map(_._3).toSeq == Seq(hex(md5("c d").take(7))))
+    // the shared block shares its frame signature across docs
+    assert(byDoc(1L).map(_._3).toSet.intersect(byDoc(2L).map(_._3).toSet).size == 1)
+  }
+
+  test("mm_frame_dedup: canonical-first verdicts, partial fractions, ragged counts on real data") {
+    val out = SparkEntry.queries("mm_frame_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty && out.map(_._1).distinct.length == out.length)
+    val thr = PipelineConfig.Default.mmDupFrameMax
+    out.foreach { case (id, n, d, f, keep) =>
+      assert(n >= 1 && d >= 0 && d <= n, s"doc $id counts")
+      assert(f == Rounding.stableVal(d.toDouble / n, 4), s"doc $id frac")
+      assert(keep == (f < thr), s"doc $id verdict")
+    }
+    // the fixture produces REAL partial overlap (boilerplate blocks
+    // shared across docs), ragged frame counts, and both verdicts
+    assert(out.exists(r => r._4 > 0 && r._4 < 1), "no partial dup fractions")
+    assert(out.map(_._2).distinct.length >= 3, "frame fan-out not ragged")
+    assert(out.exists(_._5) && out.exists(!_._5), "one-sided verdicts")
+    // frame conservation: canonical frames + duplicated frames = all
+    // frames, and at least one frame is duplicated corpus-wide
+    assert(out.map(_._3).sum > 0)
+  }
 }
 
 class SinksSpec extends SparkSpec {
