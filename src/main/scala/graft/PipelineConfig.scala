@@ -164,6 +164,12 @@ final case class PipelineConfig(
     // scan-bandwidth saving). Must include the full dim so the gate
     // self-validates at recall 1.0; mirrored literally by the oracle.
     truncDims: Seq[Int] = Seq(16, 32, 64),
+    // metadata-filtered ANN (sim_filtered_ann / sim_filtered_ivf_recall):
+    // the admission predicate — search only documents in this language.
+    // Interpolated into both the semi-join plan and the oracle's IN
+    // subquery; at scale this is the partition-pruning key of a
+    // lang-partitioned posting layout.
+    annFilterLang: String = "en",
     // SemDeDup (dedup_semantic): within-cluster cosine keep threshold,
     // and the deterministic first-component delta that fakes a
     // "re-embedded paraphrase" of each vector (unit-norm corpus → the
@@ -254,6 +260,9 @@ final case class PipelineConfig(
     rrfDenseQueryId: Long = 0L,
     rrfDenseK: Int = 10,
     rrfTopK: Int = 10) {
+  require(annFilterLang.matches("[a-z]{2}"),
+    s"annFilterLang must be a two-letter lowercase code (it is interpolated " +
+      s"into oracle SQL as a quoted literal), got '$annFilterLang'")
   require(truncDims.nonEmpty && truncDims.forall(d => d >= 1 && d <= 64)
       && truncDims.contains(64) && truncDims == truncDims.sorted,
     s"truncDims must be sorted tiers within 1..64 incl. the full dim 64, got $truncDims")

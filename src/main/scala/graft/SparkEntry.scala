@@ -1828,6 +1828,56 @@ object SparkEntry {
       Cfg.truncDims.map(tier).reduce(_.unionByName(_))
     }),
 
+    // Metadata-filtered exact search — the "top-k similar documents
+    // AMONG <predicate>" query every retrieval deployment actually
+    // serves (filters on lang/source/license/date are the norm, not
+    // the exception). The predicate lives on the DOCUMENTS scan
+    // (parquet-pushdown-able), admission reaches the vector side as a
+    // LEFT SEMI join (ships doc_ids only, materializes no document
+    // columns), and distance is computed ONLY over admitted vectors —
+    // filter-before-distance, never score-then-discard. At 100 TB the
+    // same plan rides a lang-partitioned embedding layout: the
+    // semi-join collapses into partition pruning.
+    "sim_filtered_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val admitted = Tables.documents(s, dir)
+        .filter(col("lang") === lit(Cfg.annFilterLang))
+        .select(col("doc_id").as("id"))
+      Similarity.topKBrute(emb.filter(col("id") < 5),
+        emb.join(admitted, Seq("id"), "left_semi"), 3)
+    }),
+
+    // Filtered-IVF recall gate — the production hazard the filtered
+    // family exists to measure: the standing coarse codebook is
+    // trained on the WHOLE corpus (indexes are built once, filters
+    // arrive at query time), so a query routes by overall geometry
+    // while admission prunes its probed lists; when the predicate is
+    // selective, a probed list can hold few or no admitted vectors and
+    // recall degrades — the number that tells the tuning loop to raise
+    // nProbe (or partition the index by the filter key). Postings are
+    // pre-filtered BEFORE the probe join (the semi-join on the corpus
+    // side), so the probe scores only admitted candidates — the
+    // cheap-filter ordering, and exactly what a lang-partitioned
+    // posting layout gives for free via partition pruning.
+    "sim_filtered_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val admitted = Tables.documents(s, dir)
+        .filter(col("lang") === lit(Cfg.annFilterLang))
+        .select(col("doc_id").as("id"))
+      val fc = emb.join(admitted, Seq("id"), "left_semi")
+      val q = emb.filter(col("id") < 5)
+      val brute = Similarity.topKBrute(q, fc, 3).select(col("q_id"), col("c_id"))
+      val ivf = Similarity.topKIvfWith(q, fc, k = 3,
+          centroids = standingCodebooks(s, dir, emb)._1, nProbe = 2)
+        .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("__hit")).as("hits"),
+          Rounding.stable(count(col("__hit")).cast("double") / 3, 4).as("recall"))
+    }),
+
     // Retrieval eval — MRR of the RAW compressed-domain rankings, one
     // row per (family, query): the reciprocal rank of each query's
     // TRUE nearest neighbor (brute top-1) within the family's
@@ -5503,6 +5553,64 @@ object SparkEntry {
     // tiers unrolled from the same Cfg.truncDims the plan reads; the
     // full-dim tier must read 1.0, self-validating the gate.
     "sim_trunc_recall" -> truncRecallSql,
+
+    // Filtered exact search: admission is an IN-subquery on documents
+    // (≡ the Spark plan's left-semi join); distance only over admitted.
+    "sim_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |fc AS (SELECT * FROM e WHERE id IN (SELECT doc_id FROM documents WHERE lang = '${Cfg.annFilterLang}')),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |s AS (
+         |  SELECT q.q_id, c.id AS c_id, ${sqlCos("qv", "c.v")} AS cos
+         |  FROM q, fc c WHERE q.q_id <> c.id)
+         |SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // Filtered-IVF recall: the coarse chain trains on the WHOLE corpus
+    // (the standing index), cassign/brute range over the ADMITTED
+    // subset only — mirroring pre-filtered postings probed by
+    // unfiltered-routed queries.
+    "sim_filtered_ivf_recall" ->
+      s"""WITH ${kmeansCtesOver(
+             "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+             k = 8)},
+         |eb AS (SELECT vec_id AS id, v FROM e),
+         |fc AS (SELECT * FROM eb WHERE id IN (SELECT doc_id FROM documents WHERE lang = '${Cfg.annFilterLang}')),
+         |cent AS (SELECT cid, cv FROM c1),
+         |cscore AS (
+         |  SELECT c.id AS c_id, c.v AS c_vec, cent.cid, ${sqlCos("c.v", "cent.cv")} AS ccos
+         |  FROM fc c CROSS JOIN cent),
+         |cassign AS (
+         |  SELECT c_id, c_vec, cid AS list_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY ccos DESC, cid ASC) AS rn FROM cscore)
+         |  WHERE rn = 1),
+         |qscore AS (
+         |  SELECT q.id AS q_id, q.v AS q_vec, cent.cid, ${sqlCos("q.v", "cent.cv")} AS qcos
+         |  FROM (SELECT * FROM eb WHERE id < 5) q CROSS JOIN cent),
+         |qassign AS (
+         |  SELECT q_id, q_vec, cid AS list_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid ASC) AS rn FROM qscore)
+         |  WHERE rn <= 2),
+         |ivfs AS (
+         |  SELECT q.q_id, c.c_id, round(${sqlCos("q.q_vec", "c.c_vec")}, 6) AS cos
+         |  FROM qassign q JOIN cassign c USING (list_id)
+         |  WHERE q.q_id <> c.c_id),
+         |ivf AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM ivfs)
+         |  WHERE rnk <= 3),
+         |bs AS (
+         |  SELECT q.id AS q_id, c.id AS c_id, ${sqlCos("q.v", "c.v")} AS cos
+         |  FROM (SELECT * FROM eb WHERE id < 5) q, fc c WHERE q.id <> c.id),
+         |brute AS (
+         |  SELECT q_id, c_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk FROM bs)
+         |  WHERE rnk <= 3)
+         |SELECT b.q_id, CAST(count(i.c_id) AS BIGINT) AS hits,
+         |       ${Rounding.stableSql("count(i.c_id)::DOUBLE / 3", 4)} AS recall
+         |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "sim_sq_recall" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

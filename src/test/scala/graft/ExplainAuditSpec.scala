@@ -50,6 +50,16 @@ class ExplainAuditSpec extends SparkSpec {
     assert(plan("sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("filtered ANN: admission is a semi-join (doc_ids only) and the lang predicate is pushed to parquet") {
+    val p = plan("sim_filtered_ann")
+    assert(p.contains("LeftSemi"), s"admission lost the semi-join:\n$p")
+    // the predicate reaches the documents scan — at 100 TB this is the
+    // row-group prune / partition prune, not a post-scan filter
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(lang,.*"),
+      s"lang predicate not pushed to the documents scan:\n$p")
+  }
+
   test("binary banded ANN: equi-join candidates, query bands broadcast, bounded TopK rank") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)

@@ -1335,6 +1335,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 64).forall(_._4 == 1.0))
   }
 
+  test("filtered ANN: results drawn from the admitted subset only; filter genuinely reshapes top-k") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val lang = PipelineConfig.Default.annFilterLang
+    val admitted = Tables.documents(spark, sf)
+      .filter(col("lang") === lang).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val out = SparkEntry.queries("sim_filtered_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // every neighbor admitted; ranks contiguous 1..3 per query; cos sane
+    out.foreach { case (q, c, cos, rnk) =>
+      assert(admitted.contains(c), s"query $q returned non-$lang neighbor $c")
+      assert(cos >= -1.000001 && cos <= 1.000001 && rnk >= 1 && rnk <= 3)
+    }
+    assert(out.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq == Seq(1, 2, 3)))
+    // non-vacuous: at least one unfiltered top-3 neighbor is NOT
+    // admitted, so filter-then-rank ≠ rank-then-filter on this fixture
+    val unfiltered = SparkEntry.queries("sim_topk")(spark, sf)
+      .filter(col("rnk") <= 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unfiltered.exists { case (_, c) => !admitted.contains(c) },
+      "fixture vacuous: unfiltered top-3 already all admitted")
+  }
+
+  test("filtered-IVF recall gate: one row per query, stable arithmetic, measures a REAL miss") {
+    val out = SparkEntry.queries("sim_filtered_ivf_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 5 && out.map(_._1).distinct.length == 5)
+    out.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 3, s"query $q hits")
+      assert(rec == Rounding.stableVal(h.toDouble / 3, 4), s"query $q recall")
+    }
+    // the gate exists to surface filtered-probe misses: whole-corpus
+    // routing + admission-pruned lists loses at least one true
+    // neighbor on this fixture, and recovers at least one fully
+    assert(out.exists(_._2 < 3), "no filtered-probe miss — gate vacuous here")
+    assert(out.exists(_._2 == 3), "no fully-recovered query")
+  }
+
   test("e8 ingest screen: novel arrivals admit with zero candidates; near twins reject onto their source") {
     val out = SparkEntry.queries("e8_ingest_screen")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
