@@ -68,6 +68,11 @@ final case class PipelineConfig(
     // corpus-wide-duplicated-frame fraction reaches this bound is
     // dropped (re-used footage / boilerplate-dominated uploads)
     mmDupFrameMax: Double = 0.5,
+    // audio activity segmentation (mm_audio_segments): a 16-sample
+    // window is "speech" when its byte-energy reaches this bound.
+    // Uniform-ish md5 bytes sum to ~2040 per window, so 2048 splits
+    // the fixture near-evenly into active/silent runs.
+    audioEnergyThreshold: Int = 2048,
     // substring-duplication spans (dedup_spans): sliding-window width in
     // tokens (Lee et al. use 50; the synthetic docs are shorter)
     spanWindowTokens: Int = 12,

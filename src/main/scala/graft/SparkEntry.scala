@@ -2792,6 +2792,36 @@ object SparkEntry {
           (col("dup_frac") < lit(Cfg.mmDupFrameMax)).as("keep"))
     }),
 
+    // Audio activity segmentation (the VAD / silence-trim pre-step of
+    // an audio training pipeline): payloads decode (per-partition stub
+    // decoder, ragged length-derived fan-out) into per-16-sample-window
+    // byte-energies; a threshold flags each window speech/silence; a
+    // gaps-and-islands pass (window_id − per-flag rank) folds
+    // consecutive same-flag windows into maximal segments with start /
+    // length / total energy. Both window functions partition by doc_id
+    // (+ flag), so per-doc sort state is bounded by the doc's own
+    // window count — narrow and skew-free at any corpus size.
+    "mm_audio_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = Multimodal.audioWindows(Multimodal.attachAudioPayload(
+          Tables.documents(s, dir), Cfg.paraBlockTokens))
+        .withColumn("is_speech",
+          col("energy") >= lit(Cfg.audioEnergyThreshold.toLong))
+      val byFlag = Window.partitionBy(col("doc_id"), col("is_speech"))
+        .orderBy(col("window_id"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("start_window"))
+      wins.withColumn("isl", col("window_id") - row_number().over(byFlag))
+        .groupBy(col("doc_id"), col("is_speech"), col("isl"))
+        .agg(min(col("window_id")).as("start_window"),
+          count(lit(1)).as("n_windows"),
+          sum(col("energy")).as("seg_energy"))
+        .select(col("doc_id"),
+          row_number().over(byDoc).as("seg_id"),
+          col("is_speech"), col("start_window"),
+          col("n_windows"), col("seg_energy"))
+    }),
+
     // Bigram language-model estimation: P(w2|w1) = c(w1 w2)/c(w1) for
     // the corpus's top-25 bigrams — the statistical-LM table a data
     // pipeline derives before training (rational arithmetic only; both
@@ -6864,6 +6894,47 @@ object SparkEntry {
          |SELECT doc_id, n_frames, n_dup, $frac AS dup_frac,
          |       $frac < ${Cfg.mmDupFrameMax} AS keep
          |FROM vd""".stripMargin
+    },
+
+    // Audio segmentation: the payload windows are md5-per-block by
+    // construction, so window energy ≡ the unsigned-byte sum of the
+    // block md5 (decoded nibble-pairwise: odd hex chars weigh 16);
+    // the islands fold with the classic window_id − per-flag
+    // row_number difference.
+    "mm_audio_segments" -> {
+      val b = Cfg.paraBlockTokens
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS wid
+         |       FROM vt),
+         |vw AS (SELECT doc_id, CAST(wid AS INT) AS window_id,
+         |              md5(array_to_string(tv[wid*$b+1 : wid*$b+$b], ' ')) AS mx
+         |       FROM ve),
+         |en AS (SELECT doc_id, window_id,
+         |              CAST(list_sum(list_transform(range(1, 33), i ->
+         |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
+         |                      THEN ascii(substr(mx, i, 1)) - 87
+         |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
+         |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
+         |                AS BIGINT) AS energy
+         |       FROM vw),
+         |ac AS (SELECT *, energy >= ${Cfg.audioEnergyThreshold} AS is_speech
+         |       FROM en),
+         |il AS (SELECT *, window_id - row_number()
+         |              OVER (PARTITION BY doc_id, is_speech
+         |                    ORDER BY window_id) AS isl
+         |       FROM ac),
+         |sg AS (SELECT doc_id, is_speech,
+         |              CAST(min(window_id) AS INT) AS start_window,
+         |              CAST(count(*) AS BIGINT) AS n_windows,
+         |              CAST(sum(energy) AS BIGINT) AS seg_energy
+         |       FROM il GROUP BY doc_id, is_speech, isl)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY start_window) AS INT) AS seg_id,
+         |       is_speech, start_window, n_windows, seg_energy
+         |FROM sg""".stripMargin
     },
 
     "ta_grouping_sets" ->

@@ -86,6 +86,27 @@ object Multimodal {
       s
     }
 
+    /** Window count of an AUDIO payload — 16 samples (bytes) per
+      * analysis window, the same block layout as
+      * [[attachAudioPayload]] emits. Sub-window tail / empty payload
+      * decode to one window (degrade, not drop).
+      */
+    def audioWindowCount(payload: Array[Byte]): Int =
+      math.max(1, payload.length / 16)
+
+    /** Byte-energy of one 16-sample analysis window — the RMS/energy
+      * probe a real voice-activity detector computes per frame, as a
+      * pure function of the payload bytes; clamped at the payload
+      * tail.
+      */
+    def windowEnergy(payload: Array[Byte], windowId: Int): Long = {
+      var s = 0L
+      var i = windowId * 16
+      val end = math.min(i + 16, payload.length)
+      while (i < end) { s += payload(i) & 0xff; i += 1 }
+      s
+    }
+
     /** Frame count of a VIDEO payload — 16 bytes per encoded frame
       * ([[attachVideoPayload]]'s layout), so the fan-out is exactly as
       * ragged as the source footage is long. Sub-frame tail / empty
@@ -188,6 +209,38 @@ object Multimodal {
         val n = decoder.videoFrameCount(d.payload)
         (0 until n).iterator.map(f =>
           MMFrameSig(d.doc_id, f, decoder.frameSignature(d.payload, f)))
+      }
+    }.toDF()
+  }
+
+  case class MMAudioWin(doc_id: Long, window_id: Int, energy: Long)
+
+  /** Attach a synthetic AUDIO payload: a PCM stand-in re-using the
+    * md5-per-token-block byte construction of [[attachVideoPayload]]
+    * (here each 16-byte block is 16 "samples" of one analysis window),
+    * so payload LENGTH — and therefore the speech/silence run structure
+    * downstream — is data-dependent, and the oracle rebuilds the
+    * identical bytes relationally.
+    */
+  def attachAudioPayload(docs: DataFrame, blockTokens: Int): DataFrame =
+    attachVideoPayload(docs, blockTokens)
+
+  /** Decode an audio payload into per-window energy rows: FAN OUT one
+    * (doc_id, window_id, energy) per 16-sample analysis window — the
+    * narrow per-partition stage feeding voice-activity segmentation
+    * ([[FakeDecoder.windowEnergy]]). Same decoder lifecycle as
+    * [[sampleFrames]]; ragged by construction (window count = payload
+    * length / 16).
+    */
+  def audioWindows(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMVideo].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      rows.flatMap { d =>
+        val n = decoder.audioWindowCount(d.payload)
+        (0 until n).iterator.map(w =>
+          MMAudioWin(d.doc_id, w, decoder.windowEnergy(d.payload, w)))
       }
     }.toDF()
   }

@@ -1892,6 +1892,60 @@ class MultimodalSpec extends SparkSpec {
     // frames, and at least one frame is duplicated corpus-wide
     assert(out.map(_._3).sum > 0)
   }
+
+  test("audio windows: per-16-byte energies from md5 blocks; tail clamped; empty payload one window") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val d = Multimodal.FakeDecoder.open()
+    assert(d.audioWindowCount(Array.emptyByteArray) == 1)
+    assert(d.audioWindowCount(new Array[Byte](40)) == 2)
+    assert(d.windowEnergy(Array.emptyByteArray, 0) == 0L)
+    val p = Array.tabulate[Byte](20)(i => i.toByte)
+    assert(d.windowEnergy(p, 0) == (0 until 16).sum.toLong)
+    assert(d.windowEnergy(p, 1) == (16 until 20).sum.toLong) // tail clamp
+    // end-to-end: blockTokens=2 → one window per 2-token block, energy
+    // = unsigned byte sum of that block's md5; shared block shares it
+    val docs = Seq((1L, "a b c d"), (2L, "c d")).toDF("doc_id", "text")
+    val wins = Multimodal.audioWindows(
+        Multimodal.attachAudioPayload(docs, blockTokens = 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def e(s: String) = md5(s).map(_ & 0xff).sum.toLong
+    assert(wins.toSet ==
+      Set((1L, 0, e("a b")), (1L, 1, e("c d")), (2L, 0, e("c d"))))
+  }
+
+  test("mm_audio_segments: maximal alternating runs tile the window axis; real speech/silence mix") {
+    val out = SparkEntry.queries("mm_audio_segments")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val thr = PipelineConfig.Default.audioEnergyThreshold
+    out.groupBy(_._1).foreach { case (id, segs0) =>
+      val segs = segs0.sortBy(_._2)
+      // seg ids contiguous from 1 in start-window order
+      assert(segs.map(_._2).toSeq == (1 to segs.length), s"doc $id seg ids")
+      // segments TILE the window axis: each starts where the last ended
+      var next = 0
+      segs.foreach { g =>
+        assert(g._4 == next, s"doc $id segment start")
+        next += g._5.toInt
+      }
+      // runs are MAXIMAL: consecutive segments alternate flags
+      segs.sliding(2).foreach {
+        case Array(a, c) => assert(a._3 != c._3, s"doc $id non-maximal run")
+        case _ =>
+      }
+      // threshold semantics visible on single-window runs: the flag is
+      // exactly (energy >= threshold)
+      segs.filter(_._5 == 1).foreach { g =>
+        assert((g._6 >= thr) == g._3, s"doc $id flag/energy mismatch")
+      }
+    }
+    // the 2048 bound genuinely splits the fixture: both flags occur,
+    // and some runs fold more than one window
+    assert(out.exists(_._3) && out.exists(!_._3), "one-sided activity")
+    assert(out.exists(_._5 > 1), "no multi-window runs folded")
+  }
 }
 
 class SinksSpec extends SparkSpec {
