@@ -2796,28 +2796,33 @@ object SparkEntry {
     // an audio training pipeline): payloads decode (per-partition stub
     // decoder, ragged length-derived fan-out) into per-16-sample-window
     // byte-energies; a threshold flags each window speech/silence; a
-    // gaps-and-islands pass (window_id − per-flag rank) folds
-    // consecutive same-flag windows into maximal segments with start /
-    // length / total energy. Both window functions partition by doc_id
-    // (+ flag), so per-doc sort state is bounded by the doc's own
-    // window count — narrow and skew-free at any corpus size.
+    // gaps-and-islands pass folds consecutive same-flag windows into
+    // maximal segments with start / length / total energy. The island
+    // id is the RUNNING FLAG-CHANGE COUNT (null-safe lag ≠ + running
+    // sum) rather than the window_id − per-flag-rank difference: every
+    // window function then partitions by doc_id alone, the downstream
+    // groupBy is co-partitioned with it (hash(doc_id) satisfies the
+    // (doc_id, flag, isl) clustering), and the change count IS the
+    // 1-based segment id — ONE exchange + one per-doc sort end to end,
+    // vs three partitionings for the rank form. Per-doc state is
+    // bounded by the doc's own window count — skew-free at any scale.
     "mm_audio_segments" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wins = Multimodal.audioWindows(Multimodal.attachAudioPayload(
           Tables.documents(s, dir), Cfg.paraBlockTokens))
         .withColumn("is_speech",
           col("energy") >= lit(Cfg.audioEnergyThreshold.toLong))
-      val byFlag = Window.partitionBy(col("doc_id"), col("is_speech"))
-        .orderBy(col("window_id"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-        .orderBy(col("start_window"))
-      wins.withColumn("isl", col("window_id") - row_number().over(byFlag))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("window_id"))
+      wins
+        .withColumn("chg",
+          when(!(lag(col("is_speech"), 1).over(byDoc) <=> col("is_speech")),
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("isl", sum(col("chg")).over(byDoc))
         .groupBy(col("doc_id"), col("is_speech"), col("isl"))
         .agg(min(col("window_id")).as("start_window"),
           count(lit(1)).as("n_windows"),
           sum(col("energy")).as("seg_energy"))
-        .select(col("doc_id"),
-          row_number().over(byDoc).as("seg_id"),
+        .select(col("doc_id"), col("isl").cast("int").as("seg_id"),
           col("is_speech"), col("start_window"),
           col("n_windows"), col("seg_energy"))
     }),
@@ -6899,8 +6904,8 @@ object SparkEntry {
     // Audio segmentation: the payload windows are md5-per-block by
     // construction, so window energy ≡ the unsigned-byte sum of the
     // block md5 (decoded nibble-pairwise: odd hex chars weigh 16);
-    // the islands fold with the classic window_id − per-flag
-    // row_number difference.
+    // the islands fold with the running flag-change count (null-safe
+    // lag inequality + running sum), which doubles as the segment id.
     "mm_audio_segments" -> {
       val b = Cfg.paraBlockTokens
       s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
@@ -6921,20 +6926,18 @@ object SparkEntry {
          |       FROM vw),
          |ac AS (SELECT *, energy >= ${Cfg.audioEnergyThreshold} AS is_speech
          |       FROM en),
-         |il AS (SELECT *, window_id - row_number()
-         |              OVER (PARTITION BY doc_id, is_speech
-         |                    ORDER BY window_id) AS isl
+         |ch AS (SELECT *, CASE WHEN lag(is_speech)
+         |                OVER (PARTITION BY doc_id ORDER BY window_id)
+         |              IS DISTINCT FROM is_speech THEN 1 ELSE 0 END AS chg
          |       FROM ac),
-         |sg AS (SELECT doc_id, is_speech,
-         |              CAST(min(window_id) AS INT) AS start_window,
-         |              CAST(count(*) AS BIGINT) AS n_windows,
-         |              CAST(sum(energy) AS BIGINT) AS seg_energy
-         |       FROM il GROUP BY doc_id, is_speech, isl)
-         |SELECT doc_id,
-         |       CAST(row_number() OVER (PARTITION BY doc_id
-         |                               ORDER BY start_window) AS INT) AS seg_id,
-         |       is_speech, start_window, n_windows, seg_energy
-         |FROM sg""".stripMargin
+         |il AS (SELECT *, sum(chg) OVER (PARTITION BY doc_id
+         |                                ORDER BY window_id) AS isl
+         |       FROM ch)
+         |SELECT doc_id, CAST(isl AS INT) AS seg_id, is_speech,
+         |       CAST(min(window_id) AS INT) AS start_window,
+         |       CAST(count(*) AS BIGINT) AS n_windows,
+         |       CAST(sum(energy) AS BIGINT) AS seg_energy
+         |FROM il GROUP BY doc_id, is_speech, isl""".stripMargin
     },
 
     "ta_grouping_sets" ->
