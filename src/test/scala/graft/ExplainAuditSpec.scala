@@ -761,6 +761,19 @@ class ExplainAuditSpec extends SparkSpec {
     assert(p.contains("text_hash"), s"window lost the hash partitioning:\n$p")
   }
 
+  test("mm_audio_segments: one exchange end-to-end — windows and groupBy share the doc partitioning") {
+    val p = plan("mm_audio_segments")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the running-change-count form keeps every window on hash(doc_id)
+    // and the segment aggregate co-partitioned: exactly ONE shuffle (the
+    // rank form needed hash(doc_id, flag) + hash(doc_id) + the agg)
+    assert("Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size == 1,
+      s"audio segmentation grew a second shuffle:\n$p")
+    // one sort feeds both window passes
+    assert("(?m)^\\s*[+:]- Sort".r.findAllIn(p).size == 1,
+      s"window passes stopped sharing the per-doc sort:\n$p")
+  }
+
   test("ta_bpe_merges trains on the word-frequency table with map-side combine") {
     // the plan of the FIRST round's pair count (the per-round shape):
     // corpus scan → explode → partial count (vocab compression) →
