@@ -73,6 +73,17 @@ final case class PipelineConfig(
     // Uniform-ish md5 bytes sum to ~2040 per window, so 2048 splits
     // the fixture near-evenly into active/silent runs.
     audioEnergyThreshold: Int = 2048,
+    // AV curation (e9_av_curation): minimum speech-window fraction —
+    // near the energy threshold the per-doc fraction is ~Binomial(n,
+    // ~.5)/n, so 0.3 drops short/unlucky uploads while keeping a real
+    // mix of verdicts in the fixture
+    avSpeechFracMin: Double = 0.3,
+    // AV curation text gate — stricter than the corpus-wide qualityMin
+    // (whose 0.2 nothing in the fixture fails: min quality ≈ 0.31):
+    // 0.34 sits just under the 5th percentile, so the low_quality
+    // branch — and the first-failure priority over dup_video /
+    // low_speech — is genuinely exercised and oracle-pinned
+    avQualityMin: Double = 0.34,
     // substring-duplication spans (dedup_spans): sliding-window width in
     // tokens (Lee et al. use 50; the synthetic docs are shorter)
     spanWindowTokens: Int = 12,

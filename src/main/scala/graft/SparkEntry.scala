@@ -230,6 +230,31 @@ object SparkEntry {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** Corpus-wide video frame-dup rollup (mm_frame_dedup, and the video
+    * signal of e9_av_curation): per-frame perceptual-hash signatures →
+    * one min-struct aggregate elects each signature's canonical
+    * occurrence → join-back marks duplicates → per-doc duplicated-frame
+    * fraction + keep verdict under `mmDupFrameMax`.
+    */
+  private def videoDupRollup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+      Tables.documents(s, dir), Cfg.paraBlockTokens))
+    val canon = sigs.groupBy(col("frame_sig"))
+      .agg(min(struct(col("doc_id"), col("frame_id"))).as("c"))
+    sigs.join(canon, Seq("frame_sig"))
+      .withColumn("is_dup",
+        !(col("doc_id") === col("c").getField("doc_id") &&
+          col("frame_id") === col("c").getField("frame_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_frac", Rounding.stable(
+        col("n_dup").cast("double") / col("n_frames"), 4))
+      .select(col("doc_id"), col("n_frames"), col("n_dup"),
+        col("dup_frac"),
+        (col("dup_frac") < lit(Cfg.mmDupFrameMax)).as("keep"))
+  }
+
   /** Deterministic PII fixture (ta_pii / e6): appends id-derived email /
     * phone / IPv4 / mixed tokens to ~1/3, 1/4, 1/5, 1/7 of docs — the
     * synthetic corpus has no natural PII, so the scrub stage's work is
@@ -981,6 +1006,40 @@ object SparkEntry {
           coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
           (coalesce(col("best_cos"), lit(0.0)) < lit(Cfg.semanticThreshold))
             .as("admit"))
+    }),
+
+    // E9 — the cross-modal curation flagship: one admission verdict per
+    // upload from three independent per-doc modality signals — (1) text
+    // heuristic quality, (2) corpus-wide duplicated-video-frame
+    // fraction (the shared videoDupRollup), (3) audio speech-window
+    // fraction — folded through a k6-style first-failure reason-code
+    // chain (low_quality → dup_video → low_speech → ok). Each signal is
+    // per-doc bounded (the only corpus-wide exchange is the frame-sig
+    // canonical election inside the rollup); the three joins are all
+    // doc_id-keyed co-partitioned hash joins, so at 100 TB the whole
+    // verdict is one frame-sig shuffle plus doc-keyed merges — no
+    // signal ever shuffles another's intermediate state.
+    "e9_av_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val q = TextAnalysis.qualityColumns(col("text")).toMap
+      val tq = docs.select(col("doc_id"), q("quality").as("quality"))
+      val vid = videoDupRollup(s, dir).select(col("doc_id"), col("dup_frac"))
+      val aud = Multimodal.audioWindows(Multimodal.attachAudioPayload(
+          docs, Cfg.paraBlockTokens))
+        .groupBy(col("doc_id"))
+        .agg(Rounding.stable(
+          sum(when(col("energy") >= lit(Cfg.audioEnergyThreshold.toLong),
+            lit(1.0)).otherwise(lit(0.0))) / count(lit(1)), 4)
+          .as("speech_frac"))
+      tq.join(vid, Seq("doc_id")).join(aud, Seq("doc_id"))
+        .withColumn("reason",
+          when(col("quality") < lit(Cfg.avQualityMin), "low_quality")
+            .when(col("dup_frac") >= lit(Cfg.mmDupFrameMax), "dup_video")
+            .when(col("speech_frac") < lit(Cfg.avSpeechFracMin), "low_speech")
+            .otherwise(lit("ok")))
+        .select(col("doc_id"), col("quality"), col("dup_frac"),
+          col("speech_frac"), col("reason"),
+          (col("reason") === "ok").as("keep"))
     }),
 
     // ST11 — batch shadow of StreamingSpans.firstSeenWindows + the span
@@ -2773,24 +2832,7 @@ object SparkEntry {
     // verdict (drop re-used-footage-dominated uploads). Cross-doc
     // overlap is REAL in the fixture: shared boilerplate blocks become
     // shared frames, so fractions land strictly between 0 and 1.
-    "mm_frame_dedup" -> ((s, dir) => {
-      val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
-        Tables.documents(s, dir), Cfg.paraBlockTokens))
-      val canon = sigs.groupBy(col("frame_sig"))
-        .agg(min(struct(col("doc_id"), col("frame_id"))).as("c"))
-      sigs.join(canon, Seq("frame_sig"))
-        .withColumn("is_dup",
-          !(col("doc_id") === col("c").getField("doc_id") &&
-            col("frame_id") === col("c").getField("frame_id")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup"))
-        .withColumn("dup_frac", Rounding.stable(
-          col("n_dup").cast("double") / col("n_frames"), 4))
-        .select(col("doc_id"), col("n_frames"), col("n_dup"),
-          col("dup_frac"),
-          (col("dup_frac") < lit(Cfg.mmDupFrameMax)).as("keep"))
-    }),
+    "mm_frame_dedup" -> ((s, dir) => videoDupRollup(s, dir)),
 
     // Audio activity segmentation (the VAD / silence-trim pre-step of
     // an audio training pipeline): payloads decode (per-partition stub
@@ -5136,6 +5178,57 @@ object SparkEntry {
 
     // The ingest-admission flagship: screen → exact verify → admit.
     "e8_ingest_screen" -> ingestScreenSql,
+
+    // The cross-modal curation flagship: the three per-doc modality
+    // signals re-derived relationally — video dup fraction via the
+    // frame-sig row_number (the min-struct election's window form),
+    // audio speech fraction via the nibble-decoded window energies,
+    // text quality via the shared quality CTE — folded through the
+    // same first-failure CASE chain as the plan.
+    "e9_av_curation" -> {
+      val b = Cfg.paraBlockTokens
+      val dupFrac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
+      val speechFrac = Rounding.stableSql(
+        s"count(CASE WHEN energy >= ${Cfg.audioEnergyThreshold} THEN 1 END)::DOUBLE / count(*)", 4)
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vm AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
+         |              md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')) AS mx
+         |       FROM ve),
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY substr(mx, 1, 14)
+         |                                    ORDER BY doc_id, frame_id) AS rn
+         |       FROM vm),
+         |vd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |              CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup
+         |       FROM vr GROUP BY doc_id),
+         |vf AS (SELECT doc_id, $dupFrac AS dup_frac FROM vd),
+         |ae AS (SELECT doc_id,
+         |              CAST(list_sum(list_transform(range(1, 33), i ->
+         |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
+         |                      THEN ascii(substr(mx, i, 1)) - 87
+         |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
+         |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
+         |                AS BIGINT) AS energy
+         |       FROM vm),
+         |af AS (SELECT doc_id, $speechFrac AS speech_frac
+         |       FROM ae GROUP BY doc_id),
+         |tq0 AS (
+         |${qualityCteSql("documents")}
+         |  WHERE text IS NOT NULL),
+         |tq AS (SELECT doc_id, $QualitySql AS quality FROM tq0),
+         |j AS (SELECT doc_id, quality, dup_frac, speech_frac,
+         |             CASE WHEN quality < ${Cfg.avQualityMin} THEN 'low_quality'
+         |                  WHEN dup_frac >= ${Cfg.mmDupFrameMax} THEN 'dup_video'
+         |                  WHEN speech_frac < ${Cfg.avSpeechFracMin} THEN 'low_speech'
+         |                  ELSE 'ok' END AS reason
+         |      FROM tq JOIN vf USING (doc_id) JOIN af USING (doc_id))
+         |SELECT doc_id, quality, dup_frac, speech_frac, reason,
+         |       reason = 'ok' AS keep
+         |FROM j""".stripMargin
+    },
 
     "dedup_minhash" -> minhashOracle(numBands = Cfg.numBands, rowsPerBand = Cfg.rowsPerBand, threshold = Cfg.nearDupThreshold,
       maxBucket = Some(Cfg.maxBucket)),

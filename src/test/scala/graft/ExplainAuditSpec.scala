@@ -40,7 +40,8 @@ class ExplainAuditSpec extends SparkSpec {
         "dedup_embedding", "sim_lsh_ann", "sim_ivf_ann", "sim_lsh_mp_ann",
         "sim_hard_negatives", "dedup_exact", "dedup_containment",
         "st5_neardedup_scan", "st9_paragraph_scan", "st10_containment_scan",
-        "st17_binary_scan", "e8_ingest_screen", "mm_frame_dedup")) {
+        "st17_binary_scan", "e8_ingest_screen", "mm_frame_dedup",
+        "e9_av_curation")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")

@@ -1946,6 +1946,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._3) && out.exists(!_._3), "one-sided activity")
     assert(out.exists(_._5 > 1), "no multi-window runs folded")
   }
+
+  test("e9_av_curation: first-failure reasons from the three signals; consistent with the component queries") {
+    val sf = "/root/testdata/sf0.001"
+    val cfg = PipelineConfig.Default
+    val out = SparkEntry.queries("e9_av_curation")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(out.nonEmpty)
+    // reason = FIRST failing gate in priority order; keep ⇔ ok
+    out.foreach { case (id, (q, d, s, reason, keep)) =>
+      val expect = if (q < cfg.avQualityMin) "low_quality"
+        else if (d >= cfg.mmDupFrameMax) "dup_video"
+        else if (s < cfg.avSpeechFracMin) "low_speech"
+        else "ok"
+      assert(reason == expect, s"doc $id reason")
+      assert(keep == (reason == "ok"), s"doc $id keep")
+    }
+    // the video signal is EXACTLY the standalone rollup's fraction
+    val vid = SparkEntry.queries("mm_frame_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach { case (id, t) => assert(vid(id) == t._2, s"doc $id dup_frac") }
+    // the audio signal is EXACTLY the segment table re-aggregated
+    val seg = SparkEntry.queries("mm_audio_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(4)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> Rounding.stableVal(
+          rows.filter(_._2).map(_._3).sum.toDouble / rows.map(_._3).sum, 4)
+      }
+    out.foreach { case (id, t) => assert(seg(id) == t._3, s"doc $id speech_frac") }
+    // every branch of the chain fires on the fixture
+    assert(out.values.map(_._4).toSet ==
+      Set("ok", "low_quality", "dup_video", "low_speech"))
+  }
 }
 
 class SinksSpec extends SparkSpec {
