@@ -967,6 +967,19 @@ object SparkEntry {
         bands = Cfg.binaryBands, maxHamming = Cfg.binaryBands - 1)
     }),
 
+    // ST18 — stateless streaming twin of mm_audio_segments: each upload
+    // arrives WHOLE, so the gaps-and-islands fold happens inside the
+    // row (one flatMap — zero shuffle, zero state store, no watermark;
+    // the live plan is strictly narrower than the batch window form,
+    // whose per-doc sort exists only because batch fans the windows
+    // out as rows first). Bit-identical output by construction; shares
+    // the batch oracle (the st16 bloom discipline).
+    "st18_audio_scan" -> ((s, dir) =>
+      graft.streaming.StreamingAudioSegments.segments(
+        Multimodal.attachAudioPayload(Tables.documents(s, dir),
+          Cfg.paraBlockTokens),
+        Cfg.audioEnergyThreshold.toLong)),
+
     // E8 — the daily-ingest admission flagship: the st17 banded screen
     // composed with the bounded exact-verify stage it feeds, one DAG.
     // Candidates (colliding band cells within the pigeonhole radius)
@@ -4351,6 +4364,47 @@ object SparkEntry {
        |ab AS (${bandCte("ac")})"""
   }
 
+  /** Shared oracle for mm_audio_segments and its stateless streaming
+    * twin st18_audio_scan (the per-row fold is bit-identical to the
+    * windowed batch form by construction, so one SQL pins both): the
+    * payload windows are md5-per-block, so window energy ≡ the
+    * unsigned-byte sum of the block md5; the islands fold with the
+    * running flag-change count, which doubles as the segment id.
+    */
+  private def audioSegmentsSql: String = {
+    val b = Cfg.paraBlockTokens
+    s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+       |           FROM documents WHERE text IS NOT NULL),
+       |ve AS (SELECT doc_id, tv,
+       |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS wid
+       |       FROM vt),
+       |vw AS (SELECT doc_id, CAST(wid AS INT) AS window_id,
+       |              md5(array_to_string(tv[wid*$b+1 : wid*$b+$b], ' ')) AS mx
+       |       FROM ve),
+       |en AS (SELECT doc_id, window_id,
+       |              CAST(list_sum(list_transform(range(1, 33), i ->
+       |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
+       |                      THEN ascii(substr(mx, i, 1)) - 87
+       |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
+       |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
+       |                AS BIGINT) AS energy
+       |       FROM vw),
+       |ac AS (SELECT *, energy >= ${Cfg.audioEnergyThreshold} AS is_speech
+       |       FROM en),
+       |ch AS (SELECT *, CASE WHEN lag(is_speech)
+       |                OVER (PARTITION BY doc_id ORDER BY window_id)
+       |              IS DISTINCT FROM is_speech THEN 1 ELSE 0 END AS chg
+       |       FROM ac),
+       |il AS (SELECT *, sum(chg) OVER (PARTITION BY doc_id
+       |                                ORDER BY window_id) AS isl
+       |       FROM ch)
+       |SELECT doc_id, CAST(isl AS INT) AS seg_id, is_speech,
+       |       CAST(min(window_id) AS INT) AS start_window,
+       |       CAST(count(*) AS BIGINT) AS n_windows,
+       |       CAST(sum(energy) AS BIGINT) AS seg_energy
+       |FROM il GROUP BY doc_id, is_speech, isl""".stripMargin
+  }
+
   private def binaryScreenSql: String = {
     val bands = Cfg.binaryBands
     s"""WITH $binaryScreenCtes
@@ -6999,39 +7053,12 @@ object SparkEntry {
     // block md5 (decoded nibble-pairwise: odd hex chars weigh 16);
     // the islands fold with the running flag-change count (null-safe
     // lag inequality + running sum), which doubles as the segment id.
-    "mm_audio_segments" -> {
-      val b = Cfg.paraBlockTokens
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS wid
-         |       FROM vt),
-         |vw AS (SELECT doc_id, CAST(wid AS INT) AS window_id,
-         |              md5(array_to_string(tv[wid*$b+1 : wid*$b+$b], ' ')) AS mx
-         |       FROM ve),
-         |en AS (SELECT doc_id, window_id,
-         |              CAST(list_sum(list_transform(range(1, 33), i ->
-         |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
-         |                      THEN ascii(substr(mx, i, 1)) - 87
-         |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
-         |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
-         |                AS BIGINT) AS energy
-         |       FROM vw),
-         |ac AS (SELECT *, energy >= ${Cfg.audioEnergyThreshold} AS is_speech
-         |       FROM en),
-         |ch AS (SELECT *, CASE WHEN lag(is_speech)
-         |                OVER (PARTITION BY doc_id ORDER BY window_id)
-         |              IS DISTINCT FROM is_speech THEN 1 ELSE 0 END AS chg
-         |       FROM ac),
-         |il AS (SELECT *, sum(chg) OVER (PARTITION BY doc_id
-         |                                ORDER BY window_id) AS isl
-         |       FROM ch)
-         |SELECT doc_id, CAST(isl AS INT) AS seg_id, is_speech,
-         |       CAST(min(window_id) AS INT) AS start_window,
-         |       CAST(count(*) AS BIGINT) AS n_windows,
-         |       CAST(sum(energy) AS BIGINT) AS seg_energy
-         |FROM il GROUP BY doc_id, is_speech, isl""".stripMargin
-    },
+    "mm_audio_segments" -> audioSegmentsSql,
+
+    // The streaming per-row fold computes the identical segment set a
+    // second way (single-pass flatMap inside the row) — same oracle,
+    // the st16 bloom discipline.
+    "st18_audio_scan" -> audioSegmentsSql,
 
     "ta_grouping_sets" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,

@@ -245,6 +245,50 @@ object Multimodal {
     }.toDF()
   }
 
+  case class MMAudioSeg(doc_id: Long, seg_id: Int, is_speech: Boolean,
+      start_window: Int, n_windows: Long, seg_energy: Long)
+
+  /** Single-pass audio segmentation: decode each payload's windows and
+    * fold maximal same-flag runs INSIDE the row — one flatMap, no
+    * window functions, no shuffle. This is the per-row form of
+    * mm_audio_segments' gaps-and-islands fold (bit-identical by
+    * construction: the running flag-change count is exactly `seg_id`
+    * here), usable unchanged under Structured Streaming because it
+    * carries zero state. Batch prefers the windowed form when the
+    * windows are already fanned out as rows; this form wins when each
+    * document arrives whole.
+    */
+  def segmentAudio(withPayload: DataFrame, threshold: Long): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMVideo].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      rows.flatMap { d =>
+        val n = decoder.audioWindowCount(d.payload)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MMAudioSeg]
+        var segId = 0
+        var segStart = 0
+        var segEnergy = 0L
+        var segFlag = false
+        var w = 0
+        while (w < n) {
+          val e = decoder.windowEnergy(d.payload, w)
+          val f = e >= threshold
+          if (w == 0 || f != segFlag) {
+            if (w > 0) out += MMAudioSeg(d.doc_id, segId, segFlag,
+              segStart, (w - segStart).toLong, segEnergy)
+            segId += 1; segStart = w; segEnergy = 0L; segFlag = f
+          }
+          segEnergy += e
+          w += 1
+        }
+        out += MMAudioSeg(d.doc_id, segId, segFlag, segStart,
+          (n - segStart).toLong, segEnergy)
+        out.iterator
+      }
+    }.toDF()
+  }
+
   /** Batch feature extraction: one decoder per partition, streamed rows.
     * Brightness = mean byte / 16-byte payload ⇒ an exact multiple of
     * 1/16, so no rounding is needed for cross-engine comparison.

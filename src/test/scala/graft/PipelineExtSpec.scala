@@ -1947,6 +1947,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._5 > 1), "no multi-window runs folded")
   }
 
+  test("per-row segment fold ≡ batch windowed segmentation bit-for-bit (st18 twin)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("mm_audio_segments")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val folded = SparkEntry.queries("st18_audio_scan")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(folded == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("e9_av_curation: first-failure reasons from the three signals; consistent with the component queries") {
     val sf = "/root/testdata/sf0.001"
     val cfg = PipelineConfig.Default

@@ -321,6 +321,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audio segments: stateless per-row fold segments live uploads in append mode") {
+    import graft.streaming.StreamingAudioSegments
+    implicit val ctx = spark.sqlContext
+    // window 0: 16×0xff (energy 4080, speech); window 1: 16×0x00
+    // (energy 0, silent); window 2: speech again — three maximal runs
+    val loud = Array.fill[Byte](16)(-1)
+    val quiet = new Array[Byte](16)
+    val p1 = loud ++ quiet ++ loud
+    val p2 = quiet ++ quiet           // one silent run spanning both
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingAudioSegments.segments(
+        input.toDS().toDF("doc_id", "payload"), threshold = 2048L)
+      .writeStream.format("memory").queryName("audioseg")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, p1))
+      q.processAllAvailable()
+      // batch 2 needs NO carried state: a repeat of doc 1's payload
+      // under a new id segments identically
+      input.addData((2L, p2), (3L, p1))
+      q.processAllAvailable()
+      val out = spark.table("audioseg").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+      val p1Segs = (id: Long) => Set(
+        (id, 1, true, 0, 1L, 4080L),
+        (id, 2, false, 1, 1L, 0L),
+        (id, 3, true, 2, 1L, 4080L))
+      assert(out == p1Segs(1L) ++ p1Segs(3L) + ((2L, 1, false, 0, 2L, 0L)))
+    } finally q.stop()
+  }
+
   test("occurrenceWeights: 1/arrival-rank per hash, count state carried across batches") {
     import graft.streaming.StreamingSoftWeights
     import graft.streaming.StreamingSoftWeights.DocIn
