@@ -422,6 +422,47 @@ class SparkAlgebraSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("property: segmentAudio equals a driver-side fold on random payloads") {
+    val thr = 2048L
+    // random lengths incl. 0, sub-window, and non-multiples of 16
+    val payloads = (0L until 150L).map { i =>
+      val len = rng.nextInt(200)
+      val p = new Array[Byte](len)
+      rng.nextBytes(p)
+      (i, p)
+    }
+    def energies(p: Array[Byte]): Seq[Long] = {
+      val n = math.max(1, p.length / 16)
+      (0 until n).map(w =>
+        p.slice(w * 16, math.min(w * 16 + 16, p.length))
+          .map(b => (b & 0xff).toLong).sum)
+    }
+    def fold(p: Array[Byte]): Seq[(Int, Boolean, Int, Long, Long)] = {
+      val es = energies(p)
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Boolean, Int, Long, Long)]
+      es.zipWithIndex.foreach { case (e, w) =>
+        val f = e >= thr
+        if (runs.nonEmpty && runs.last._2 == f) {
+          val l = runs.last
+          runs(runs.length - 1) = (l._1, f, l._3, l._4 + 1, l._5 + e)
+        } else runs += ((runs.length + 1, f, w, 1L, e))
+      }
+      runs.toSeq
+    }
+    val got = Multimodal.segmentAudio(payloads.toDF("doc_id", "payload"), thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+      }
+    payloads.foreach { case (id, p) =>
+      assert(got(id) == fold(p), s"doc $id (len ${p.length})")
+    }
+  }
+
   test("property: shuffleLayout equals the driver rank model; invariant to bucket size") {
     // sparse non-contiguous ids exercise uneven h-bucket population
     val ids = (0 until 300).map(_ => rng.nextLong(1L << 40)).distinct
