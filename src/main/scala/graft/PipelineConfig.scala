@@ -73,6 +73,16 @@ final case class PipelineConfig(
     // Uniform-ish md5 bytes sum to ~2040 per window, so 2048 splits
     // the fixture near-evenly into active/silent runs.
     audioEnergyThreshold: Int = 2048,
+    // video near-dup pairs (mm_video_neardup): signatures in more than
+    // dfCap videos leave pair generation (boilerplate frames are not
+    // re-upload evidence, and the cap bounds candidate volume);
+    // pairs keep at >= minShared shared sigs; verdict at containment
+    // (shared / smaller video's frames) >= containMin
+    videoSigDfCap: Int = 100,
+    videoMinShared: Int = 2,
+    // 0.8: the fixture's pair containments land on {2/3, 3/4, 4/5,
+    // 5/6, 1}, so this bound genuinely splits the verdicts
+    videoContainMin: Double = 0.8,
     // AV curation (e9_av_curation): minimum speech-window fraction —
     // near the energy threshold the per-doc fraction is ~Binomial(n,
     // ~.5)/n, so 0.3 drops short/unlucky uploads while keeping a real

@@ -2847,6 +2847,24 @@ object SparkEntry {
     // shared frames, so fractions land strictly between 0 and 1.
     "mm_frame_dedup" -> ((s, dir) => videoDupRollup(s, dir)),
 
+    // MM video near-dup PAIRS — the pair form of the frame plane
+    // (mm_frame_dedup answers "how much of THIS video is re-used";
+    // this answers "WHICH uploads re-use each other"): distinct
+    // (video, frame-sig) postings, df-capped exactly like
+    // dedup_containment's inverted index (a boilerplate frame in
+    // hundreds of uploads is dropped from pair generation — its
+    // bucket is the all-pairs blowup), sig-bucket self-join a<b,
+    // shared-count aggregate, containment = shared / smaller video's
+    // frames (the right asymmetry for a clip cut from a longer
+    // video), verdict at videoContainMin.
+    "mm_video_neardup" -> ((s, dir) => {
+      val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+        Tables.documents(s, dir), Cfg.paraBlockTokens))
+      Multimodal.videoNearDupPairs(sigs, dfCap = Cfg.videoSigDfCap,
+        minShared = Cfg.videoMinShared.toLong,
+        containMin = Cfg.videoContainMin)
+    }),
+
     // Audio activity segmentation (the VAD / silence-trim pre-step of
     // an audio training pipeline): payloads decode (per-partition stub
     // decoder, ragged length-derived fan-out) into per-16-sample-window
@@ -7059,6 +7077,42 @@ object SparkEntry {
     // second way (single-pass flatMap inside the row) — same oracle,
     // the st16 bloom discipline.
     "st18_audio_scan" -> audioSegmentsSql,
+
+    // Video near-dup pairs: the df-capped inverted-index pair pipeline
+    // re-derived relationally over the block-md5 frame signatures.
+    "mm_video_neardup" -> {
+      val b = Cfg.paraBlockTokens
+      val contain = Rounding.stableSql(
+        "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vs AS (SELECT doc_id,
+         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
+         |       FROM ve),
+         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
+         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |       FROM ds GROUP BY doc_id),
+         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
+         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
+         |post AS (SELECT ds.doc_id, ds.frame_sig FROM ds JOIN dfq USING (frame_sig)),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              CAST(count(*) AS BIGINT) AS shared_frames
+         |       FROM post a JOIN post b USING (frame_sig)
+         |       WHERE a.doc_id < b.doc_id
+         |       GROUP BY 1, 2
+         |       HAVING count(*) >= ${Cfg.videoMinShared}),
+         |j AS (SELECT doc_a, doc_b, shared_frames,
+         |             na.nf AS nf_a, nb.nf AS nf_b
+         |      FROM sh JOIN nf na ON na.doc_id = sh.doc_a
+         |              JOIN nf nb ON nb.doc_id = sh.doc_b)
+         |SELECT doc_a, doc_b, shared_frames, nf_a, nf_b,
+         |       $contain AS containment,
+         |       $contain >= ${Cfg.videoContainMin} AS is_neardup
+         |FROM j""".stripMargin
+    },
 
     "ta_grouping_sets" ->
       """SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid,

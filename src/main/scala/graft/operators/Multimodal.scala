@@ -245,6 +245,52 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Video near-dup pairs — re-uploaded / re-cut footage detection:
+    * docs sharing ≥ `minShared` distinct frame signatures, scored by
+    * frame containment (shared / smaller video's frame count, the
+    * right asymmetry for a short clip cut from a longer video).
+    *
+    * Scale discipline is dedup_containment's df-capped inverted index:
+    * signatures shared by more than `dfCap` videos are dropped from
+    * pair generation (a black frame / intro card in thousands of
+    * uploads is not re-upload evidence — and its bucket's pair
+    * explosion is the all-pairs blowup this cap exists to prevent), so
+    * candidate volume is bounded by dfCap² per signature. The pair
+    * aggregate and the two per-doc frame-count joins are all key-
+    * partitioned; nothing is ever all-pairs.
+    *
+    * @param sigs (doc_id, frame_id, frame_sig) from [[frameSignatures]]
+    */
+  def videoNearDupPairs(sigs: DataFrame, dfCap: Int, minShared: Long,
+      containMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct (doc, sig): a sig looping within one video counts once
+    val ds = sigs.select(col("doc_id"), col("frame_sig")).distinct()
+      .localCheckpoint(eager = false) // read by postings + both nf sides
+    val nf = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val post = ds
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("frame_sig"))))
+      .filter(col("__df") <= dfCap).drop("__df")
+    val shared = post.select(col("frame_sig"), col("doc_id").as("doc_a"))
+      .join(post.select(col("frame_sig"), col("doc_id").as("doc_b")),
+        Seq("frame_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+    shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")),
+        Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")),
+        Seq("doc_b"))
+      .withColumn("containment", Rounding.stable(
+        col("shared_frames").cast("double") /
+          least(col("nf_a"), col("nf_b")), 4))
+      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+        col("nf_a"), col("nf_b"), col("containment"),
+        (col("containment") >= lit(containMin)).as("is_neardup"))
+  }
+
   case class MMAudioSeg(doc_id: Long, seg_id: Int, is_speech: Boolean,
       start_window: Int, n_windows: Long, seg_energy: Long)
 

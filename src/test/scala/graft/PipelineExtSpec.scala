@@ -1947,6 +1947,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._5 > 1), "no multi-window runs folded")
   }
 
+  test("video near-dup pairs: shared-sig counts, containment asymmetry, df-cap drops hot sigs") {
+    // blockTokens=2 → sigs are 2-token blocks. docs 1/2/3 overlap on
+    // "a b"(df 4) and "c d"(df 3); doc 8 shares only ONE sig (under
+    // minShared); docs 5,6,7,9,10 share a sig at df 5 > cap — dropped
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c d"),
+      (8L, "a b q r"),
+      (5L, "h h"), (6L, "h h"), (7L, "h h"), (9L, "h h"), (10L, "h h")
+    ).toDF("doc_id", "text")
+    val sigs = Multimodal.frameSignatures(
+      Multimodal.attachVideoPayload(docs, blockTokens = 2))
+    val out = Multimodal.videoNearDupPairs(sigs, dfCap = 4,
+        minShared = 2L, containMin = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 3L, 3L, 0.6667, false), // 2 shared / min(3,3)
+      (1L, 3L, 2L, 3L, 2L, 1.0, true),     // doc 3 contained in doc 1
+      (2L, 3L, 2L, 3L, 2L, 1.0, true)))
+  }
+
+  test("mm_video_neardup: pair invariants + real verdict mix on real data") {
+    val out = SparkEntry.queries("mm_video_neardup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    val cfg = PipelineConfig.Default
+    out.foreach { case (a, b, sh, na, nb, c, nd) =>
+      assert(a < b, s"pair ($a,$b) unordered")
+      assert(sh >= cfg.videoMinShared && sh <= math.min(na, nb))
+      assert(c == Rounding.stableVal(sh.toDouble / math.min(na, nb), 4))
+      assert(nd == (c >= cfg.videoContainMin))
+    }
+    assert(out.exists(_._7) && out.exists(!_._7), "one-sided verdicts")
+  }
+
   test("per-row segment fold ≡ batch windowed segmentation bit-for-bit (st18 twin)") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("mm_audio_segments")(spark, sf)
