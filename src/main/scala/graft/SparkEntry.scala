@@ -2865,6 +2865,26 @@ object SparkEntry {
         containMin = Cfg.videoContainMin)
     }),
 
+    // MM video dup CLUSTERS — the canonicalization step after pair
+    // generation, lifted to the video plane: near-dup verdict pairs
+    // feed the same bounded label-propagation loop as dedup_clusters
+    // (connected components, label = component-min doc_id — keeping
+    // one upload per re-use group needs the transitive closure, since
+    // a re-cut links two originals through itself even when they never
+    // share a frame directly). Nodes = every doc with a payload, so
+    // non-duplicated uploads keep their own id as cluster_id.
+    "mm_video_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val sigs = Multimodal.frameSignatures(
+        Multimodal.attachVideoPayload(docs, Cfg.paraBlockTokens))
+      val pairs = Multimodal.videoNearDupPairs(sigs,
+          dfCap = Cfg.videoSigDfCap, minShared = Cfg.videoMinShared.toLong,
+          containMin = Cfg.videoContainMin)
+        .filter(col("is_neardup")).select(col("doc_a"), col("doc_b"))
+      Dedup.duplicateClusters(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }),
+
     // Audio activity segmentation (the VAD / silence-trim pre-step of
     // an audio training pipeline): payloads decode (per-partition stub
     // decoder, ragged length-derived fan-out) into per-16-sample-window
@@ -7112,6 +7132,51 @@ object SparkEntry {
          |       $contain AS containment,
          |       $contain >= ${Cfg.videoContainMin} AS is_neardup
          |FROM j""".stripMargin
+    },
+
+    // Video dup clusters: the near-dup pair CTEs + the same recursive
+    // reachability walk as dedup_clusters (min over reachable labels =
+    // the label-propagation fixpoint).
+    "mm_video_clusters" -> {
+      val b = Cfg.paraBlockTokens
+      val contain = Rounding.stableSql(
+        "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
+      s"""WITH RECURSIVE vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vs AS (SELECT doc_id,
+         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
+         |       FROM ve),
+         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
+         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |       FROM ds GROUP BY doc_id),
+         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
+         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
+         |post AS (SELECT ds.doc_id, ds.frame_sig FROM ds JOIN dfq USING (frame_sig)),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              CAST(count(*) AS BIGINT) AS shared_frames
+         |       FROM post a JOIN post b USING (frame_sig)
+         |       WHERE a.doc_id < b.doc_id
+         |       GROUP BY 1, 2
+         |       HAVING count(*) >= ${Cfg.videoMinShared}),
+         |verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (SELECT doc_a, doc_b, shared_frames, na.nf AS nf_a, nb.nf AS nf_b
+         |        FROM sh JOIN nf na ON na.doc_id = sh.doc_a
+         |                JOIN nf nb ON nb.doc_id = sh.doc_b)
+         |  WHERE $contain >= ${Cfg.videoContainMin}),
+         |nodes AS (SELECT doc_id FROM vt),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL SELECT doc_b, doc_a FROM verified),
+         |walk(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
+         |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin
     },
 
     "ta_grouping_sets" ->

@@ -1983,6 +1983,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._7) && out.exists(!_._7), "one-sided verdicts")
   }
 
+  test("mm_video_clusters: components cover the verified pairs; singletons keep their id") {
+    val sf = "/root/testdata/sf0.001"
+    val lab = SparkEntry.queries("mm_video_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("mm_video_neardup")(spark, sf).collect()
+      .filter(_.getBoolean(6)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(lab.nonEmpty && pairs.nonEmpty)
+    // every verified near-dup pair lands in one cluster, labeled by a member
+    pairs.foreach { case (a, b) =>
+      assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters")
+    }
+    lab.foreach { case (id, c) => assert(c <= id && lab.contains(c)) }
+    // docs in no verified pair keep their own id
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    lab.filterNot(kv => paired(kv._1)).foreach { case (id, c) =>
+      assert(c == id, s"singleton $id relabeled")
+    }
+    // the fixture has REAL multi-doc clusters
+    assert(lab.values.groupBy(identity).exists(_._2.size > 1))
+  }
+
   test("per-row segment fold ≡ batch windowed segmentation bit-for-bit (st18 twin)") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("mm_audio_segments")(spark, sf)
