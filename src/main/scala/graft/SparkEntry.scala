@@ -255,6 +255,19 @@ object SparkEntry {
         (col("dup_frac") < lit(Cfg.mmDupFrameMax)).as("keep"))
   }
 
+  /** Per-doc audio speech-window fraction (e9_av_curation's audio
+    * signal, mm_profile's per-format input): stable-rounded share of
+    * windows whose byte-energy clears `audioEnergyThreshold`.
+    */
+  private def speechFracPerDoc(docs: DataFrame): DataFrame =
+    Multimodal.audioWindows(Multimodal.attachAudioPayload(
+        docs, Cfg.paraBlockTokens))
+      .groupBy(col("doc_id"))
+      .agg(Rounding.stable(
+        sum(when(col("energy") >= lit(Cfg.audioEnergyThreshold.toLong),
+          lit(1.0)).otherwise(lit(0.0))) / count(lit(1)), 4)
+        .as("speech_frac"))
+
   /** Deterministic PII fixture (ta_pii / e6): appends id-derived email /
     * phone / IPv4 / mixed tokens to ~1/3, 1/4, 1/5, 1/7 of docs — the
     * synthetic corpus has no natural PII, so the scrub stage's work is
@@ -1037,13 +1050,7 @@ object SparkEntry {
       val q = TextAnalysis.qualityColumns(col("text")).toMap
       val tq = docs.select(col("doc_id"), q("quality").as("quality"))
       val vid = videoDupRollup(s, dir).select(col("doc_id"), col("dup_frac"))
-      val aud = Multimodal.audioWindows(Multimodal.attachAudioPayload(
-          docs, Cfg.paraBlockTokens))
-        .groupBy(col("doc_id"))
-        .agg(Rounding.stable(
-          sum(when(col("energy") >= lit(Cfg.audioEnergyThreshold.toLong),
-            lit(1.0)).otherwise(lit(0.0))) / count(lit(1)), 4)
-          .as("speech_frac"))
+      val aud = speechFracPerDoc(docs)
       tq.join(vid, Seq("doc_id")).join(aud, Seq("doc_id"))
         .withColumn("reason",
           when(col("quality") < lit(Cfg.avQualityMin), "low_quality")
@@ -2883,6 +2890,37 @@ object SparkEntry {
         .filter(col("is_neardup")).select(col("doc_a"), col("doc_b"))
       Dedup.duplicateClusters(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }),
+
+    // MM modality-mix profile — the per-format corpus report a
+    // multimodal ingest writes next to its manifest: doc counts, mean
+    // image brightness, total/ragged video frame mass, mean
+    // duplicated-frame fraction, mean speech fraction. Averages take
+    // the INTEGER PATH for cross-engine hash identity: brightness×16
+    // and frac×10⁴ are exact integers by construction (mean-of-16
+    // bytes; 4-dp-rounded ratios), so both engines sum longs and
+    // divide once — never a float-accumulation order dependence. One
+    // format-keyed 3-row aggregate after three doc-keyed joins.
+    "mm_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val feat = Multimodal.extractFeatures(Multimodal.attachPayload(docs))
+        .select(col("doc_id"), col("format"), col("brightness"))
+      val vid = videoDupRollup(s, dir)
+        .select(col("doc_id"), col("n_frames"), col("dup_frac"))
+      val aud = speechFracPerDoc(docs)
+      feat.join(vid, Seq("doc_id")).join(aud, Seq("doc_id"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          Rounding.stable(
+            sum((col("brightness") * 16).cast("long")).cast("double") /
+              (count(lit(1)) * 16), 4).as("avg_brightness"),
+          sum(col("n_frames")).as("total_frames"),
+          Rounding.stable(
+            sum(round(col("dup_frac") * 10000).cast("long")).cast("double") /
+              (count(lit(1)) * 10000), 4).as("avg_dup_frac"),
+          Rounding.stable(
+            sum(round(col("speech_frac") * 10000).cast("long")).cast("double") /
+              (count(lit(1)) * 10000), 4).as("avg_speech_frac"))
     }),
 
     // Audio activity segmentation (the VAD / silence-trim pre-step of
@@ -7177,6 +7215,61 @@ object SparkEntry {
          |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
          |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node""".stripMargin
+    },
+
+    // Modality-mix profile: per-format aggregates over the three
+    // signals, all averages on the INTEGER path (byte sums; 4-dp
+    // micro-units) so both engines sum longs and divide once.
+    "mm_profile" -> {
+      val b = Cfg.paraBlockTokens
+      val nib =
+        """list_sum(list_transform(range(1, 33), i ->
+          |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
+          |                      THEN ascii(substr(mx, i, 1)) - 87
+          |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
+          |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))""".stripMargin
+      val dupFrac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
+      val speechFrac = Rounding.stableSql(
+        s"count(CASE WHEN energy >= ${Cfg.audioEnergyThreshold} THEN 1 END)::DOUBLE / count(*)", 4)
+      val avgBright = Rounding.stableSql(
+        "sum(bsum)::DOUBLE / (count(*) * 16)", 4)
+      val avgDup = Rounding.stableSql(
+        "sum(CAST(round(dup_frac * 10000) AS BIGINT))::DOUBLE / (count(*) * 10000)", 4)
+      val avgSpeech = Rounding.stableSql(
+        "sum(CAST(round(speech_frac * 10000) AS BIGINT))::DOUBLE / (count(*) * 10000)", 4)
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vm AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
+         |              md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')) AS mx
+         |       FROM ve),
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY substr(mx, 1, 14)
+         |                                    ORDER BY doc_id, frame_id) AS rn
+         |       FROM vm),
+         |vd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |              CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup
+         |       FROM vr GROUP BY doc_id),
+         |vf AS (SELECT doc_id, n_frames, $dupFrac AS dup_frac FROM vd),
+         |ae AS (SELECT doc_id, CAST($nib AS BIGINT) AS energy FROM vm),
+         |af AS (SELECT doc_id, $speechFrac AS speech_frac
+         |       FROM ae GROUP BY doc_id),
+         |br AS (SELECT doc_id, CAST($nib AS BIGINT) AS bsum
+         |       FROM (SELECT doc_id, md5(text) AS mx
+         |             FROM documents WHERE text IS NOT NULL)),
+         |j AS (SELECT br.doc_id,
+         |             CASE WHEN br.doc_id % 3 = 0 THEN 'png'
+         |                  WHEN br.doc_id % 3 = 1 THEN 'jpeg'
+         |                  ELSE 'webp' END AS format,
+         |             br.bsum, vf.n_frames, vf.dup_frac, af.speech_frac
+         |      FROM br JOIN vf USING (doc_id) JOIN af USING (doc_id))
+         |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+         |       $avgBright AS avg_brightness,
+         |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+         |       $avgDup AS avg_dup_frac,
+         |       $avgSpeech AS avg_speech_frac
+         |FROM j GROUP BY format""".stripMargin
     },
 
     "ta_grouping_sets" ->

@@ -2004,6 +2004,30 @@ class MultimodalSpec extends SparkSpec {
     assert(lab.values.groupBy(identity).exists(_._2.size > 1))
   }
 
+  test("mm_profile: per-format rollup equals the micro-unit mean of the per-doc signals") {
+    val sf = "/root/testdata/sf0.001"
+    val prof = SparkEntry.queries("mm_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(prof.keySet == Set("png", "jpeg", "webp"))
+    // per-doc ground truth from the component queries, format by id%3
+    def fmt(id: Long) = (id % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }
+    val vid = SparkEntry.queries("mm_frame_dedup")(spark, sf).collect()
+      .map(r => (fmt(r.getLong(0)), r.getLong(1), r.getDouble(3)))
+    vid.groupBy(_._1).foreach { case (f, rows) =>
+      val (n, af, tf, ad, _) = prof(f)
+      assert(n == rows.length, s"$f doc count")
+      assert(tf == rows.map(_._2).sum, s"$f frame mass")
+      // integer micro-unit mean, the exact path the plan takes
+      val expect = Rounding.stableVal(
+        rows.map(r => math.round(r._3 * 10000)).sum.toDouble / (n * 10000), 4)
+      assert(ad == expect, s"$f avg_dup_frac")
+      assert(af >= 0 && af <= 255, s"$f brightness range")
+    }
+  }
+
   test("per-row segment fold ≡ batch windowed segmentation bit-for-bit (st18 twin)") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("mm_audio_segments")(spark, sf)
