@@ -145,6 +145,63 @@ object SparkEntry {
           array(-element_at(col("vec"), 1)),
           slice(col("vec"), 2, 63))).as("vec"))
 
+  /** Standing frame-signature index for the live-ingest video screen —
+    * the [[standingBinaryIndex]] discipline on the frame plane: the
+    * first call per (sf dir, blockTokens, dfCap, data mtime) builds the
+    * df-capped postings under the JVM temp dir
+    * ([[Multimodal.writeFrameSigIndex]]); every later call scans the
+    * artifact instead of re-deriving signatures from the full corpus.
+    * Indexed ≡ inline df-capped postings bit-for-bit (spec-pinned), so
+    * the oracle CTEs stay on the inline form.
+    */
+  private def standingFrameSigIndex(s: SparkSession, dir: String): DataFrame = {
+    val fmt = 1
+    val dataDir = new java.io.File(dir, "documents.parquet")
+    val mtime = Option(dataDir.listFiles())
+      .map(_.map(_.lastModified()).foldLeft(dataDir.lastModified())(math.max))
+      .getOrElse(dataDir.lastModified())
+    val key = Seq(dir, fmt, Cfg.paraBlockTokens, Cfg.videoSigDfCap, mtime)
+      .mkString("|")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val art = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_framesigidx_$digest")
+    if (!new java.io.File(art, "postings/_SUCCESS").isFile) {
+      val tmp = new java.io.File(art.getParentFile,
+        art.getName + ".tmp" + ProcessHandle.current().pid())
+      Multimodal.writeFrameSigIndex(
+        Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+          Tables.documents(s, dir), Cfg.paraBlockTokens)),
+        tmp.toString, Cfg.paraBlockTokens, Cfg.videoSigDfCap)
+      if (!tmp.renameTo(art)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    s.read.parquet(s"$art/postings").select(col("doc_id"), col("frame_sig"))
+  }
+
+  /** The arriving-upload fixture st19_video_scan screens: ids %10==0
+    * re-upload a CLIP (the first two blocks of the source video, new id
+    * +2·10⁶ — every clip frame exists in the base by construction);
+    * ids %10==5 are NOVEL uploads (synthetic text, id +3·10⁶ — their
+    * single frame collides with nothing). Deterministic string
+    * construction on both sides, mirrored literally by the oracle.
+    */
+  private def videoArrivals(docs: DataFrame): DataFrame = {
+    val nn = docs.filter(col("text").isNotNull)
+    val clips = nn.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1,
+          2 * Cfg.paraBlockTokens)).as("text"))
+    val novel = nn.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        concat(lit("novel upload "), col("doc_id").cast("string")).as("text"))
+    clips.unionByName(novel)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e1_pipeline")(spark, "/root/testdata/sf0.001")
@@ -979,6 +1036,23 @@ object SparkEntry {
         codes, bandPost,
         bands = Cfg.binaryBands, maxHamming = Cfg.binaryBands - 1)
     }),
+
+    // ST19 — stateless streaming video frame-reuse screen: arriving
+    // uploads decode into per-frame signatures (stateless per-partition
+    // flatMap) and stream-static join the STANDING df-capped posting
+    // index ([[standingFrameSigIndex]] — built once per corpus,
+    // frozen-layout append, measured df-drift gate). One row per
+    // (arrival frame, base posting) collision; no pair aggregation (an
+    // unbounded pair keyspace would be streaming state — scoring
+    // belongs to the bounded verify stage, e8's discipline). Clip
+    // re-uploads surface on every shared frame; novel uploads emit
+    // nothing; boilerplate emission is bounded at the source by the
+    // index's build-time cap.
+    "st19_video_scan" -> ((s, dir) =>
+      graft.streaming.StreamingVideoScreen.screen(
+        Multimodal.attachVideoPayload(
+          videoArrivals(Tables.documents(s, dir)), Cfg.paraBlockTokens),
+        standingFrameSigIndex(s, dir))),
 
     // ST18 — stateless streaming twin of mm_audio_segments: each upload
     // arrives WHOLE, so the gaps-and-islands fold happens inside the
@@ -7170,6 +7244,41 @@ object SparkEntry {
          |       $contain AS containment,
          |       $contain >= ${Cfg.videoContainMin} AS is_neardup
          |FROM j""".stripMargin
+    },
+
+    // Streaming video screen: arrival clips/novels rebuilt literally
+    // (token-slice and synthetic-string construction mirror the plan),
+    // joined against the inline df-capped postings (indexed ≡ inline,
+    // spec-pinned).
+    "st19_video_scan" -> {
+      val b = Cfg.paraBlockTokens
+      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+         |           FROM documents WHERE text IS NOT NULL),
+         |ve AS (SELECT doc_id, tv,
+         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+         |       FROM vt),
+         |vs AS (SELECT doc_id,
+         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
+         |       FROM ve),
+         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
+         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
+         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
+         |post AS (SELECT ds.doc_id AS base_id, ds.frame_sig
+         |         FROM ds JOIN dfq USING (frame_sig)),
+         |arrc AS (SELECT doc_id + 2000000 AS new_id, tv[1 : ${2 * b}] AS tv2
+         |         FROM vt WHERE doc_id % 10 = 0),
+         |arrn AS (SELECT doc_id + 3000000 AS new_id,
+         |                string_split('novel upload ' || doc_id, ' ') AS tv2
+         |         FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 5),
+         |arr AS (SELECT * FROM arrc UNION ALL SELECT * FROM arrn),
+         |ae AS (SELECT new_id, tv2,
+         |              UNNEST(generate_series(0, (len(tv2) - 1) // $b)) AS fid
+         |       FROM arr),
+         |asig AS (SELECT new_id, CAST(fid AS INT) AS frame_id,
+         |                substr(md5(array_to_string(tv2[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
+         |         FROM ae)
+         |SELECT new_id, frame_id, base_id, frame_sig
+         |FROM asig JOIN post USING (frame_sig)""".stripMargin
     },
 
     // Video dup clusters: the near-dup pair CTEs + the same recursive

@@ -291,6 +291,75 @@ object Multimodal {
         (col("containment") >= lit(containMin)).as("is_neardup"))
   }
 
+  /** Frame-signature index artifact — the standing inverted index the
+    * live-ingest video screen probes, with the binary-index lifecycle:
+    *
+    *  - `postings/` — DISTINCT (doc_id, frame_sig), df-capped AT BUILD
+    *    (signatures in more than `dfCap` videos are excluded — a
+    *    boilerplate frame in hundreds of uploads is not re-use
+    *    evidence, and its bucket is the screen's emission blowup),
+    *    laid out by `sig_shard` (first hex nibble, 16 dirs) so file
+    *    sizes stay bounded and point probes can prune
+    *  - `meta/` — blockTokens + dfCap pinned, so an append can never
+    *    be sliced or capped differently from the standing postings
+    *
+    * Append writes a new batch's distinct postings at the frozen
+    * layout WITHOUT re-applying the corpus-wide cap (a batch sees only
+    * itself, and the standing corpus is never re-read), so a signature
+    * can drift across the cap as batches accumulate — the same
+    * measured-staleness problem as IVF-PQ centroid drift, handled the
+    * same way: [[frameSigIndexDfGate]] measures the hot fraction and
+    * triggers a rebuild, never a silent in-place fixup.
+    */
+  def writeFrameSigIndex(sigs: DataFrame, dir: String,
+      blockTokens: Int, dfCap: Int): Unit = {
+    val sp = sigs.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ds = sigs.select(col("doc_id"), col("frame_sig")).distinct()
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("frame_sig"))))
+      .filter(col("__df") <= dfCap).drop("__df")
+    ds.withColumn("sig_shard", substring(col("frame_sig"), 1, 1))
+      .write.partitionBy("sig_shard").mode("overwrite")
+      .parquet(s"$dir/postings")
+    Seq((blockTokens, dfCap)).toDF("block_tokens", "df_cap").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a new batch's frame signatures: distinct postings of the
+    * batch only, at the layout frozen in `meta/`. No cap re-check (see
+    * [[writeFrameSigIndex]] — drift is measured, not silently fixed).
+    */
+  def appendToFrameSigIndex(newSigs: DataFrame, dir: String): Unit = {
+    val sp = newSigs.sparkSession
+    sp.read.parquet(s"$dir/meta").collect() // layout pin must exist
+    newSigs.select(col("doc_id"), col("frame_sig")).distinct()
+      .withColumn("sig_shard", substring(col("frame_sig"), 1, 1))
+      .write.partitionBy("sig_shard").mode("append")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Measure cap drift on a grown index: the fraction of postings
+    * whose signature's CORPUS-WIDE df now exceeds the build-time cap
+    * (appends are capped only within their own batch). One aggregate
+    * over the postings; `rebuild` trips at `maxHotFrac`.
+    */
+  def frameSigIndexDfGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxHotFrac: Double): DataFrame = {
+    val dfCap = spark.read.parquet(s"$dir/meta")
+      .collect()(0).getAs[Int]("df_cap")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("frame_sig")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("n_postings"),
+        sum(when(col("df") > dfCap, col("df")).otherwise(lit(0L)))
+          .as("hot_postings"))
+      .select(col("n_postings"), col("hot_postings"),
+        Rounding.stable(col("hot_postings").cast("double") /
+          col("n_postings"), 4).as("hot_frac"))
+      .withColumn("rebuild", col("hot_frac") > lit(maxHotFrac))
+  }
+
   case class MMAudioSeg(doc_id: Long, seg_id: Int, is_speech: Boolean,
       start_window: Int, n_windows: Long, seg_energy: Long)
 

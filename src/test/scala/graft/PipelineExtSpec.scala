@@ -1983,6 +1983,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_._7) && out.exists(!_._7), "one-sided verdicts")
   }
 
+  test("frame-sig index lifecycle: indexed ≡ inline df-capped; frozen append; gate measures cap drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsidx").toString
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.frameSignatures(Multimodal.attachVideoPayload(df, 2))
+    // "h h" appears in 3 docs — above dfCap=2, excluded at build
+    val base = Seq((1L, "a b c d"), (2L, "c d e f"),
+      (3L, "h h"), (4L, "h h"), (5L, "h h")).toDF("doc_id", "text")
+    Multimodal.writeFrameSigIndex(sigsOf(base), dir, blockTokens = 2, dfCap = 2)
+    def postings() = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "frame_sig").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def sig(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(7).map(b => f"${b & 0xff}%02x").mkString
+    assert(postings() == Set((1L, sig("a b")), (1L, sig("c d")),
+      (2L, sig("c d")), (2L, sig("e f"))), "build cap not applied")
+    // clean append (no sig crosses the cap): append ≡ rebuild
+    Multimodal.appendToFrameSigIndex(
+      sigsOf(Seq((11L, "p q")).toDF("doc_id", "text")), dir)
+    assert(postings().contains((11L, sig("p q"))) && postings().size == 5)
+    val g0 = Multimodal.frameSigIndexDfGate(spark, dir, 0.2).collect()(0)
+    assert(g0.getLong(1) == 0L && !g0.getBoolean(3), "clean append flagged")
+    // drift append: "c d" reaches corpus-wide df 3 > 2 — appends are
+    // batch-capped only, so the gate must catch it
+    Multimodal.appendToFrameSigIndex(
+      sigsOf(Seq((10L, "c d x y")).toDF("doc_id", "text")), dir)
+    val g1 = Multimodal.frameSigIndexDfGate(spark, dir, 0.4).collect()(0)
+    // hot postings = the three "c d" rows of 7 total
+    assert(g1.getLong(0) == 7L && g1.getLong(1) == 3L)
+    assert(g1.getDouble(2) == Rounding.stableVal(3.0 / 7, 4))
+    assert(g1.getBoolean(3), "cap drift not flagged")
+    assert(!Multimodal.frameSigIndexDfGate(spark, dir, 0.6)
+      .collect()(0).getBoolean(3))
+  }
+
   test("mm_video_clusters: components cover the verified pairs; singletons keep their id") {
     val sf = "/root/testdata/sf0.001"
     val lab = SparkEntry.queries("mm_video_clusters")(spark, sf).collect()

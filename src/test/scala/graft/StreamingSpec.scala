@@ -321,6 +321,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("video screen: stateless stream-static frame probe against the standing postings") {
+    import graft.streaming.StreamingVideoScreen
+    import graft.operators.Multimodal
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidscr").toString
+    val base = Seq((1L, "a b c d"), (2L, "c d e f"), (3L, "g h"))
+      .toDF("doc_id", "text")
+    Multimodal.writeFrameSigIndex(
+      Multimodal.frameSignatures(Multimodal.attachVideoPayload(base, 2)),
+      dir, blockTokens = 2, dfCap = 10)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "frame_sig").localCheckpoint(eager = true)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingVideoScreen.screen(
+        Multimodal.attachVideoPayload(
+          input.toDS().toDF("doc_id", "text"), blockTokens = 2), postings)
+      .writeStream.format("memory").queryName("vidscr")
+      .outputMode("append").start()
+    try {
+      // batch 1: one clip sharing "c d" with docs 1 AND 2, one novel
+      input.addData((100L, "c d"), (101L, "zz qq"))
+      q.processAllAvailable()
+      // batch 2: same content under a new id — verdicts carry NO state
+      input.addData((102L, "c d"))
+      q.processAllAvailable()
+      val out = spark.table("vidscr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(out == Set((100L, 0, 1L), (100L, 0, 2L),
+        (102L, 0, 1L), (102L, 0, 2L)))
+    } finally q.stop()
+  }
+
   test("audio segments: stateless per-row fold segments live uploads in append mode") {
     import graft.streaming.StreamingAudioSegments
     implicit val ctx = spark.sqlContext
