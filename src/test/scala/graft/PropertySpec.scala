@@ -463,6 +463,41 @@ class SparkAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("property: videoNearDupPairs equals a driver-side set-overlap twin on random corpora") {
+    import graft.operators.Multimodal
+    val (dfCap, minShared, containMin) = (6, 2L, 0.6)
+    // small block alphabet so sig collisions (and hot sigs) are real
+    val docs = (0L until 60L).map { i =>
+      val nBlocks = 1 + rng.nextInt(5)
+      (i, (0 until nBlocks * 2).map(_ => ('a' + rng.nextInt(6)).toChar.toString)
+        .mkString(" "))
+    }
+    def blockSigs(t: String): Set[String] = t.split(" ").grouped(2)
+      .map(g => java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+        .take(7).map(b => f"${b & 0xff}%02x").mkString).toSet
+    val sigSets = docs.map { case (i, t) => i -> blockSigs(t) }.toMap
+    val df = sigSets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val kept = sigSets.map { case (i, ss) => i -> ss.filter(df(_) <= dfCap) }
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sh = (kept(a) intersect kept(b)).size.toLong if sh >= minShared
+    } yield {
+      val c = Rounding.stableVal(
+        sh.toDouble / math.min(sigSets(a).size, sigSets(b).size), 4)
+      (a, b, sh, sigSets(a).size.toLong, sigSets(b).size.toLong, c,
+        c >= containMin)
+    }).toSet
+    val got = Multimodal.videoNearDupPairs(
+        Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+          docs.toDF("doc_id", "text"), blockTokens = 2)),
+        dfCap = dfCap, minShared = minShared, containMin = containMin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no pairs — property vacuous")
+  }
+
   test("property: shuffleLayout equals the driver rank model; invariant to bucket size") {
     // sparse non-contiguous ids exercise uneven h-bucket population
     val ids = (0 until 300).map(_ => rng.nextLong(1L << 40)).distinct
