@@ -76,6 +76,45 @@ object SparkEntry {
     })
   }
 
+  /** Max mtime under a testdata table dir — folded into standing-
+    * artifact keys so a regenerated testdata set can never be shadowed
+    * by a stale artifact.
+    */
+  private def dataMtime(dir: String, table: String): Long = {
+    val d = new java.io.File(dir, table)
+    Option(d.listFiles())
+      .map(_.map(_.lastModified()).foldLeft(d.lastModified())(math.max))
+      .getOrElse(d.lastModified())
+  }
+
+  /** Build-once /tmp artifact shared by the standing indexes: the
+    * first call per key builds under a pid-suffixed temp dir and
+    * atomically renames into place (write-then-rename, so a concurrent
+    * JVM never reads a half-written artifact; if the rename loses the
+    * race the duplicate build is discarded — determinism makes the
+    * winner identical); later calls return the existing path.
+    */
+  private def standingArtifact(prefix: String, keyParts: Seq[Any],
+      successMarkers: Seq[String])(build: String => Unit): java.io.File = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyParts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val art = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"${prefix}_$digest")
+    if (!successMarkers.forall(m => new java.io.File(art, m).isFile)) {
+      val tmp = new java.io.File(art.getParentFile,
+        art.getName + ".tmp" + ProcessHandle.current().pid())
+      build(tmp.toString)
+      if (!tmp.renameTo(art)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    art
+  }
+
   /** Standing binary index for the live-ingest screens — the
     * [[standingCodebooks]] discipline applied to the cheapest index in
     * the house: the first call per (sf dir, bands, data mtime) runs
@@ -85,36 +124,14 @@ object SparkEntry {
     * scans the two small artifacts instead of re-deriving sign bits
     * from the full-precision corpus. Inline ≡ prebuilt bit-for-bit
     * (the slicing is static per-row arithmetic; spec-pinned), so
-    * st17/e8's oracle CTEs need no change. The embeddings dir's max
-    * mtime is folded into the key so a regenerated testdata set can
-    * never be shadowed by a stale artifact.
+    * st17/e8's oracle CTEs need no change.
     */
   private def standingBinaryIndex(s: SparkSession, dir: String,
       emb: DataFrame): (DataFrame, DataFrame) = {
-    val fmt = 1
-    val mtime = Option(new java.io.File(dir, "embeddings.parquet").listFiles())
-      .map(_.map(_.lastModified()).foldLeft(
-        new java.io.File(dir, "embeddings.parquet").lastModified())(math.max))
-      .getOrElse(new java.io.File(dir, "embeddings.parquet").lastModified())
-    val key = Seq(dir, fmt, Cfg.binaryBands, mtime).mkString("|")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val art = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_binidx_$digest")
-    val done =
-      new java.io.File(art, "codes/_SUCCESS").isFile &&
-        new java.io.File(art, "bands/_SUCCESS").isFile
-    if (!done) {
-      val tmp = new java.io.File(art.getParentFile,
-        art.getName + ".tmp" + ProcessHandle.current().pid())
-      Similarity.writeBinaryIndex(emb, "id", "vec", tmp.toString,
-        Cfg.binaryBands)
-      if (!tmp.renameTo(art)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+    val art = standingArtifact("graft_binidx",
+      Seq(dir, 1, Cfg.binaryBands, dataMtime(dir, "embeddings.parquet")),
+      Seq("codes/_SUCCESS", "bands/_SUCCESS")) { tmp =>
+      Similarity.writeBinaryIndex(emb, "id", "vec", tmp, Cfg.binaryBands)
     }
     (s.read.parquet(s"$art/codes"),
       s.read.parquet(s"$art/bands")
@@ -155,30 +172,14 @@ object SparkEntry {
     * the oracle CTEs stay on the inline form.
     */
   private def standingFrameSigIndex(s: SparkSession, dir: String): DataFrame = {
-    val fmt = 1
-    val dataDir = new java.io.File(dir, "documents.parquet")
-    val mtime = Option(dataDir.listFiles())
-      .map(_.map(_.lastModified()).foldLeft(dataDir.lastModified())(math.max))
-      .getOrElse(dataDir.lastModified())
-    val key = Seq(dir, fmt, Cfg.paraBlockTokens, Cfg.videoSigDfCap, mtime)
-      .mkString("|")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val art = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_framesigidx_$digest")
-    if (!new java.io.File(art, "postings/_SUCCESS").isFile) {
-      val tmp = new java.io.File(art.getParentFile,
-        art.getName + ".tmp" + ProcessHandle.current().pid())
+    val art = standingArtifact("graft_framesigidx",
+      Seq(dir, 1, Cfg.paraBlockTokens, Cfg.videoSigDfCap,
+        dataMtime(dir, "documents.parquet")),
+      Seq("postings/_SUCCESS")) { tmp =>
       Multimodal.writeFrameSigIndex(
         Multimodal.frameSignatures(Multimodal.attachVideoPayload(
           Tables.documents(s, dir), Cfg.paraBlockTokens)),
-        tmp.toString, Cfg.paraBlockTokens, Cfg.videoSigDfCap)
-      if (!tmp.renameTo(art)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+        tmp, Cfg.paraBlockTokens, Cfg.videoSigDfCap)
     }
     s.read.parquet(s"$art/postings").select(col("doc_id"), col("frame_sig"))
   }
@@ -293,9 +294,17 @@ object SparkEntry {
     * occurrence → join-back marks duplicates → per-doc duplicated-frame
     * fraction + keep verdict under `mmDupFrameMax`.
     */
-  private def videoDupRollup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+  private def videoDupRollup(s: SparkSession, dir: String): DataFrame =
+    videoDupRollupFrom(Multimodal.attachVideoPayload(
       Tables.documents(s, dir), Cfg.paraBlockTokens))
+
+  /** Rollup over an ALREADY-ATTACHED payload — e9/mm_profile attach the
+    * md5-per-block payload once and feed both this and the audio side
+    * (the block hashing is the query's most expensive narrow stage;
+    * computing it per-signal would double it).
+    */
+  private def videoDupRollupFrom(withPayload: DataFrame): DataFrame = {
+    val sigs = Multimodal.frameSignatures(withPayload)
     val canon = sigs.groupBy(col("frame_sig"))
       .agg(min(struct(col("doc_id"), col("frame_id"))).as("c"))
     sigs.join(canon, Seq("frame_sig"))
@@ -313,12 +322,13 @@ object SparkEntry {
   }
 
   /** Per-doc audio speech-window fraction (e9_av_curation's audio
-    * signal, mm_profile's per-format input): stable-rounded share of
-    * windows whose byte-energy clears `audioEnergyThreshold`.
+    * signal, mm_profile's per-format input) over an ALREADY-ATTACHED
+    * payload (shared with the video side — see [[videoDupRollupFrom]]):
+    * stable-rounded share of windows whose byte-energy clears
+    * `audioEnergyThreshold`.
     */
-  private def speechFracPerDoc(docs: DataFrame): DataFrame =
-    Multimodal.audioWindows(Multimodal.attachAudioPayload(
-        docs, Cfg.paraBlockTokens))
+  private def speechFracPerDoc(withPayload: DataFrame): DataFrame =
+    Multimodal.audioWindows(withPayload)
       .groupBy(col("doc_id"))
       .agg(Rounding.stable(
         sum(when(col("energy") >= lit(Cfg.audioEnergyThreshold.toLong),
@@ -1123,8 +1133,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       val q = TextAnalysis.qualityColumns(col("text")).toMap
       val tq = docs.select(col("doc_id"), q("quality").as("quality"))
-      val vid = videoDupRollup(s, dir).select(col("doc_id"), col("dup_frac"))
-      val aud = speechFracPerDoc(docs)
+      // ONE payload attach feeds both binary-plane signals — the
+      // md5-per-block hashing is the query's most expensive narrow
+      // stage, and the audio payload IS the video payload
+      val pay = Multimodal.attachVideoPayload(docs, Cfg.paraBlockTokens)
+      val vid = videoDupRollupFrom(pay).select(col("doc_id"), col("dup_frac"))
+      val aud = speechFracPerDoc(pay)
       tq.join(vid, Seq("doc_id")).join(aud, Seq("doc_id"))
         .withColumn("reason",
           when(col("quality") < lit(Cfg.avQualityMin), "low_quality")
@@ -2936,8 +2950,8 @@ object SparkEntry {
     // hundreds of uploads is dropped from pair generation — its
     // bucket is the all-pairs blowup), sig-bucket self-join a<b,
     // shared-count aggregate, containment = shared / smaller video's
-    // frames (the right asymmetry for a clip cut from a longer
-    // video), verdict at videoContainMin.
+    // DISTINCT-signature count (set semantics; the right asymmetry
+    // for a clip cut from a longer video), verdict at videoContainMin.
     "mm_video_neardup" -> ((s, dir) => {
       val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
         Tables.documents(s, dir), Cfg.paraBlockTokens))
@@ -2979,9 +2993,10 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       val feat = Multimodal.extractFeatures(Multimodal.attachPayload(docs))
         .select(col("doc_id"), col("format"), col("brightness"))
-      val vid = videoDupRollup(s, dir)
+      val pay = Multimodal.attachVideoPayload(docs, Cfg.paraBlockTokens)
+      val vid = videoDupRollupFrom(pay)
         .select(col("doc_id"), col("n_frames"), col("dup_frac"))
-      val aud = speechFracPerDoc(docs)
+      val aud = speechFracPerDoc(pay)
       feat.join(vid, Seq("doc_id")).join(aud, Seq("doc_id"))
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n_docs"),
@@ -4514,6 +4529,52 @@ object SparkEntry {
        |ab AS (${bandCte("ac")})"""
   }
 
+  /** Shared DuckDB CTE prefix for the frame plane — the relational
+    * mirror of `attachVideoPayload` (= `attachAudioPayload`) plus the
+    * decoder fan-out: tokens → one block per `b` tokens → per-block
+    * md5. Every frame/audio oracle builds on `vm` (doc_id, frame_id,
+    * mx) so the payload arithmetic lives in exactly one place.
+    */
+  private def frameBlockCtes(b: Int): String =
+    s"""vt AS (SELECT doc_id, string_split(text, ' ') AS tv
+       |           FROM documents WHERE text IS NOT NULL),
+       |ve AS (SELECT doc_id, tv,
+       |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
+       |       FROM vt),
+       |vm AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
+       |              md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')) AS mx
+       |       FROM ve)""".stripMargin
+
+  /** vm's per-frame perceptual-hash signature (FakeDecoder
+    * .frameSignature's 14-hex-char prefix).
+    */
+  private val FrameSigCte: String =
+    "vs AS (SELECT doc_id, frame_id, substr(mx, 1, 14) AS frame_sig FROM vm)"
+
+  /** df-capped distinct posting chain over `vs` — the relational
+    * mirror of videoNearDupPairs' inverted index (and
+    * writeFrameSigIndex's build cap): distinct (doc, sig), per-doc
+    * signature counts, postings restricted to sigs within the cap.
+    */
+  private def frameSigPostCtes(dfCap: Int): String =
+    s"""ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
+       |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+       |       FROM ds GROUP BY doc_id),
+       |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
+       |        HAVING count(*) <= $dfCap),
+       |post AS (SELECT ds.doc_id, ds.frame_sig FROM ds JOIN dfq USING (frame_sig))""".stripMargin
+
+  /** Unsigned-byte sum of the 16-byte md5 hex in column `mx`, decoded
+    * nibble-pairwise (odd hex chars weigh 16) — the SQL twin of
+    * FakeDecoder.windowEnergy / decodeBrightness's numerator.
+    */
+  private val NibbleSumSql: String =
+    """list_sum(list_transform(range(1, 33), i ->
+      |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
+      |                      THEN ascii(substr(mx, i, 1)) - 87
+      |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
+      |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))""".stripMargin
+
   /** Shared oracle for mm_audio_segments and its stateless streaming
     * twin st18_audio_scan (the per-row fold is bit-identical to the
     * windowed batch form by construction, so one SQL pins both): the
@@ -4521,24 +4582,11 @@ object SparkEntry {
     * unsigned-byte sum of the block md5; the islands fold with the
     * running flag-change count, which doubles as the segment id.
     */
-  private def audioSegmentsSql: String = {
-    val b = Cfg.paraBlockTokens
-    s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-       |           FROM documents WHERE text IS NOT NULL),
-       |ve AS (SELECT doc_id, tv,
-       |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS wid
-       |       FROM vt),
-       |vw AS (SELECT doc_id, CAST(wid AS INT) AS window_id,
-       |              md5(array_to_string(tv[wid*$b+1 : wid*$b+$b], ' ')) AS mx
-       |       FROM ve),
-       |en AS (SELECT doc_id, window_id,
-       |              CAST(list_sum(list_transform(range(1, 33), i ->
-       |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
-       |                      THEN ascii(substr(mx, i, 1)) - 87
-       |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
-       |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
-       |                AS BIGINT) AS energy
-       |       FROM vw),
+  private def audioSegmentsSql: String =
+    s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+       |en AS (SELECT doc_id, frame_id AS window_id,
+       |              CAST($NibbleSumSql AS BIGINT) AS energy
+       |       FROM vm),
        |ac AS (SELECT *, energy >= ${Cfg.audioEnergyThreshold} AS is_speech
        |       FROM en),
        |ch AS (SELECT *, CASE WHEN lag(is_speech)
@@ -4553,7 +4601,6 @@ object SparkEntry {
        |       CAST(count(*) AS BIGINT) AS n_windows,
        |       CAST(sum(energy) AS BIGINT) AS seg_energy
        |FROM il GROUP BY doc_id, is_speech, isl""".stripMargin
-  }
 
   private def binaryScreenSql: String = {
     val bands = Cfg.binaryBands
@@ -5390,32 +5437,19 @@ object SparkEntry {
     // text quality via the shared quality CTE — folded through the
     // same first-failure CASE chain as the plan.
     "e9_av_curation" -> {
-      val b = Cfg.paraBlockTokens
       val dupFrac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
       val speechFrac = Rounding.stableSql(
         s"count(CASE WHEN energy >= ${Cfg.audioEnergyThreshold} THEN 1 END)::DOUBLE / count(*)", 4)
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vm AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
-         |              md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')) AS mx
-         |       FROM ve),
-         |vr AS (SELECT *, row_number() OVER (PARTITION BY substr(mx, 1, 14)
+      s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY frame_sig
          |                                    ORDER BY doc_id, frame_id) AS rn
-         |       FROM vm),
+         |       FROM vs),
          |vd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
          |              CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup
          |       FROM vr GROUP BY doc_id),
          |vf AS (SELECT doc_id, $dupFrac AS dup_frac FROM vd),
-         |ae AS (SELECT doc_id,
-         |              CAST(list_sum(list_transform(range(1, 33), i ->
-         |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
-         |                      THEN ascii(substr(mx, i, 1)) - 87
-         |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
-         |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))
-         |                AS BIGINT) AS energy
+         |ae AS (SELECT doc_id, CAST($NibbleSumSql AS BIGINT) AS energy
          |       FROM vm),
          |af AS (SELECT doc_id, $speechFrac AS speech_frac
          |       FROM ae GROUP BY doc_id),
@@ -7177,16 +7211,9 @@ object SparkEntry {
     // chars of the block md5, canonical election ≡ row_number over
     // (doc_id, frame_id), the min-struct's lexicographic order.
     "mm_frame_dedup" -> {
-      val b = Cfg.paraBlockTokens
       val frac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vs AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
-         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
-         |       FROM ve),
+      s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
          |vr AS (SELECT *, row_number() OVER (PARTITION BY frame_sig
          |                                    ORDER BY doc_id, frame_id) AS rn
          |       FROM vs),
@@ -7213,23 +7240,11 @@ object SparkEntry {
     // Video near-dup pairs: the df-capped inverted-index pair pipeline
     // re-derived relationally over the block-md5 frame signatures.
     "mm_video_neardup" -> {
-      val b = Cfg.paraBlockTokens
       val contain = Rounding.stableSql(
         "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vs AS (SELECT doc_id,
-         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
-         |       FROM ve),
-         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
-         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
-         |       FROM ds GROUP BY doc_id),
-         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
-         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
-         |post AS (SELECT ds.doc_id, ds.frame_sig FROM ds JOIN dfq USING (frame_sig)),
+      s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
+         |${frameSigPostCtes(Cfg.videoSigDfCap)},
          |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |              CAST(count(*) AS BIGINT) AS shared_frames
          |       FROM post a JOIN post b USING (frame_sig)
@@ -7252,19 +7267,9 @@ object SparkEntry {
     // spec-pinned).
     "st19_video_scan" -> {
       val b = Cfg.paraBlockTokens
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vs AS (SELECT doc_id,
-         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
-         |       FROM ve),
-         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
-         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
-         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
-         |post AS (SELECT ds.doc_id AS base_id, ds.frame_sig
-         |         FROM ds JOIN dfq USING (frame_sig)),
+      s"""WITH ${frameBlockCtes(b)},
+         |$FrameSigCte,
+         |${frameSigPostCtes(Cfg.videoSigDfCap)},
          |arrc AS (SELECT doc_id + 2000000 AS new_id, tv[1 : ${2 * b}] AS tv2
          |         FROM vt WHERE doc_id % 10 = 0),
          |arrn AS (SELECT doc_id + 3000000 AS new_id,
@@ -7277,7 +7282,7 @@ object SparkEntry {
          |asig AS (SELECT new_id, CAST(fid AS INT) AS frame_id,
          |                substr(md5(array_to_string(tv2[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
          |         FROM ae)
-         |SELECT new_id, frame_id, base_id, frame_sig
+         |SELECT new_id, frame_id, post.doc_id AS base_id, frame_sig
          |FROM asig JOIN post USING (frame_sig)""".stripMargin
     },
 
@@ -7285,23 +7290,11 @@ object SparkEntry {
     // reachability walk as dedup_clusters (min over reachable labels =
     // the label-propagation fixpoint).
     "mm_video_clusters" -> {
-      val b = Cfg.paraBlockTokens
       val contain = Rounding.stableSql(
         "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
-      s"""WITH RECURSIVE vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vs AS (SELECT doc_id,
-         |              substr(md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')), 1, 14) AS frame_sig
-         |       FROM ve),
-         |ds AS (SELECT DISTINCT doc_id, frame_sig FROM vs),
-         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
-         |       FROM ds GROUP BY doc_id),
-         |dfq AS (SELECT frame_sig FROM ds GROUP BY frame_sig
-         |        HAVING count(*) <= ${Cfg.videoSigDfCap}),
-         |post AS (SELECT ds.doc_id, ds.frame_sig FROM ds JOIN dfq USING (frame_sig)),
+      s"""WITH RECURSIVE ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
+         |${frameSigPostCtes(Cfg.videoSigDfCap)},
          |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |              CAST(count(*) AS BIGINT) AS shared_frames
          |       FROM post a JOIN post b USING (frame_sig)
@@ -7330,13 +7323,6 @@ object SparkEntry {
     // signals, all averages on the INTEGER path (byte sums; 4-dp
     // micro-units) so both engines sum longs and divide once.
     "mm_profile" -> {
-      val b = Cfg.paraBlockTokens
-      val nib =
-        """list_sum(list_transform(range(1, 33), i ->
-          |                (CASE WHEN ascii(substr(mx, i, 1)) >= 97
-          |                      THEN ascii(substr(mx, i, 1)) - 87
-          |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
-          |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))""".stripMargin
       val dupFrac = Rounding.stableSql("n_dup::DOUBLE / n_frames", 4)
       val speechFrac = Rounding.stableSql(
         s"count(CASE WHEN energy >= ${Cfg.audioEnergyThreshold} THEN 1 END)::DOUBLE / count(*)", 4)
@@ -7346,25 +7332,19 @@ object SparkEntry {
         "sum(CAST(round(dup_frac * 10000) AS BIGINT))::DOUBLE / (count(*) * 10000)", 4)
       val avgSpeech = Rounding.stableSql(
         "sum(CAST(round(speech_frac * 10000) AS BIGINT))::DOUBLE / (count(*) * 10000)", 4)
-      s"""WITH vt AS (SELECT doc_id, string_split(text, ' ') AS tv
-         |           FROM documents WHERE text IS NOT NULL),
-         |ve AS (SELECT doc_id, tv,
-         |              UNNEST(generate_series(0, (len(tv) - 1) // $b)) AS fid
-         |       FROM vt),
-         |vm AS (SELECT doc_id, CAST(fid AS INT) AS frame_id,
-         |              md5(array_to_string(tv[fid*$b+1 : fid*$b+$b], ' ')) AS mx
-         |       FROM ve),
-         |vr AS (SELECT *, row_number() OVER (PARTITION BY substr(mx, 1, 14)
+      s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY frame_sig
          |                                    ORDER BY doc_id, frame_id) AS rn
-         |       FROM vm),
+         |       FROM vs),
          |vd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
          |              CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup
          |       FROM vr GROUP BY doc_id),
          |vf AS (SELECT doc_id, n_frames, $dupFrac AS dup_frac FROM vd),
-         |ae AS (SELECT doc_id, CAST($nib AS BIGINT) AS energy FROM vm),
+         |ae AS (SELECT doc_id, CAST($NibbleSumSql AS BIGINT) AS energy FROM vm),
          |af AS (SELECT doc_id, $speechFrac AS speech_frac
          |       FROM ae GROUP BY doc_id),
-         |br AS (SELECT doc_id, CAST($nib AS BIGINT) AS bsum
+         |br AS (SELECT doc_id, CAST($NibbleSumSql AS BIGINT) AS bsum
          |       FROM (SELECT doc_id, md5(text) AS mx
          |             FROM documents WHERE text IS NOT NULL)),
          |j AS (SELECT br.doc_id,

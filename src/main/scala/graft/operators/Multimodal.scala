@@ -247,8 +247,11 @@ object Multimodal {
 
   /** Video near-dup pairs — re-uploaded / re-cut footage detection:
     * docs sharing ≥ `minShared` distinct frame signatures, scored by
-    * frame containment (shared / smaller video's frame count, the
-    * right asymmetry for a short clip cut from a longer video).
+    * SET containment over distinct signatures (shared / smaller
+    * video's DISTINCT-signature count — the right asymmetry for a
+    * short clip cut from a longer video; deliberately set semantics,
+    * so a 1000-frame video looping 2 distinct frames is the same
+    * 2-element set as the 2-frame original it loops).
     *
     * Scale discipline is dedup_containment's df-capped inverted index:
     * signatures shared by more than `dfCap` videos are dropped from
@@ -328,13 +331,25 @@ object Multimodal {
   }
 
   /** Append a new batch's frame signatures: distinct postings of the
-    * batch only, at the layout frozen in `meta/`. No cap re-check (see
-    * [[writeFrameSigIndex]] — drift is measured, not silently fixed).
+    * batch, df-capped WITHIN THE BATCH at the cap frozen in `meta/`
+    * (a signature boilerplate-hot inside one micro-batch must not
+    * enter the postings any more than one hot at build time — the
+    * screen's emission bound survives every append). The batch cannot
+    * see the standing corpus, so CROSS-batch df drift remains and is
+    * measured by [[frameSigIndexDfGate]], never silently fixed.
+    * Batches are assumed exactly-once (the binary-index append
+    * contract): a retried batch re-appends its postings — dedupe
+    * retries upstream or rebuild.
     */
   def appendToFrameSigIndex(newSigs: DataFrame, dir: String): Unit = {
     val sp = newSigs.sparkSession
-    sp.read.parquet(s"$dir/meta").collect() // layout pin must exist
+    import org.apache.spark.sql.expressions.Window
+    val dfCap = sp.read.parquet(s"$dir/meta")
+      .collect()(0).getAs[Int]("df_cap")
     newSigs.select(col("doc_id"), col("frame_sig")).distinct()
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("frame_sig"))))
+      .filter(col("__df") <= dfCap).drop("__df")
       .withColumn("sig_shard", substring(col("frame_sig"), 1, 1))
       .write.partitionBy("sig_shard").mode("append")
       .parquet(s"$dir/postings")
@@ -351,12 +366,14 @@ object Multimodal {
       .collect()(0).getAs[Int]("df_cap")
     spark.read.parquet(s"$dir/postings")
       .groupBy(col("frame_sig")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df")).as("n_postings"),
-        sum(when(col("df") > dfCap, col("df")).otherwise(lit(0L)))
-          .as("hot_postings"))
+      .agg(coalesce(sum(col("df")), lit(0L)).as("n_postings"),
+        coalesce(sum(when(col("df") > dfCap, col("df")).otherwise(lit(0L))),
+          lit(0L)).as("hot_postings"))
       .select(col("n_postings"), col("hot_postings"),
-        Rounding.stable(col("hot_postings").cast("double") /
-          col("n_postings"), 4).as("hot_frac"))
+        // an emptied index is clean, not NaN (0/0 would null the verdict)
+        when(col("n_postings") === 0, lit(0.0))
+          .otherwise(Rounding.stable(col("hot_postings").cast("double") /
+            col("n_postings"), 4)).as("hot_frac"))
       .withColumn("rebuild", col("hot_frac") > lit(maxHotFrac))
   }
 

@@ -2004,14 +2004,22 @@ class MultimodalSpec extends SparkSpec {
     assert(postings().contains((11L, sig("p q"))) && postings().size == 5)
     val g0 = Multimodal.frameSigIndexDfGate(spark, dir, 0.2).collect()(0)
     assert(g0.getLong(1) == 0L && !g0.getBoolean(3), "clean append flagged")
+    // batch-hot append: "z z" saturates INSIDE the batch (3 docs > cap
+    // 2) — the append cap must drop it so the screen's emission bound
+    // survives; the batch's clean sig still lands
+    Multimodal.appendToFrameSigIndex(
+      sigsOf(Seq((21L, "z z"), (22L, "z z"), (23L, "z z w w"))
+        .toDF("doc_id", "text")), dir)
+    assert(!postings().exists(_._2 == sig("z z")), "batch-hot sig entered")
+    assert(postings().contains((23L, sig("w w"))) && postings().size == 6)
     // drift append: "c d" reaches corpus-wide df 3 > 2 — appends are
     // batch-capped only, so the gate must catch it
     Multimodal.appendToFrameSigIndex(
       sigsOf(Seq((10L, "c d x y")).toDF("doc_id", "text")), dir)
-    val g1 = Multimodal.frameSigIndexDfGate(spark, dir, 0.4).collect()(0)
-    // hot postings = the three "c d" rows of 7 total
-    assert(g1.getLong(0) == 7L && g1.getLong(1) == 3L)
-    assert(g1.getDouble(2) == Rounding.stableVal(3.0 / 7, 4))
+    val g1 = Multimodal.frameSigIndexDfGate(spark, dir, 0.3).collect()(0)
+    // hot postings = the three "c d" rows of 8 total
+    assert(g1.getLong(0) == 8L && g1.getLong(1) == 3L)
+    assert(g1.getDouble(2) == Rounding.stableVal(3.0 / 8, 4))
     assert(g1.getBoolean(3), "cap drift not flagged")
     assert(!Multimodal.frameSigIndexDfGate(spark, dir, 0.6)
       .collect()(0).getBoolean(3))
