@@ -2984,6 +2984,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // MM cross-modal split leakage — ta_split_leakage lifted to the
+    // video plane: a held-out video sharing frames with a training
+    // video leaks evaluation signal even when their TEXT never banded
+    // (re-used footage under different captions is exactly what the
+    // n-gram screen misses). Verified frame near-dup pairs grouped by
+    // the unordered split pair their endpoints' stable content-keyed
+    // hash slots land in; off-diagonal rows = frame-level train/test
+    // contamination. Cost = the df-capped pair generation (never
+    // all-pairs) + one tiny aggregate.
+    "mm_split_leakage" -> ((s, dir) => {
+      val sigs = Multimodal.frameSignatures(Multimodal.attachVideoPayload(
+        Tables.documents(s, dir), Cfg.paraBlockTokens))
+      val pairs = Multimodal.videoNearDupPairs(sigs,
+          dfCap = Cfg.videoSigDfCap, minShared = Cfg.videoMinShared.toLong,
+          containMin = Cfg.videoContainMin)
+        .filter(col("is_neardup")).select(col("doc_a"), col("doc_b"))
+      val sa = Sampling.splitAssign(col("doc_a"),
+        Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = Sampling.splitAssign(col("doc_b"),
+        Cfg.splitTrainPct, Cfg.splitValPct)
+      pairs
+        .select(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+    }),
+
     // MM modality-mix profile — the per-format corpus report a
     // multimodal ingest writes next to its manifest: doc counts, mean
     // image brightness, total/ragged video frame mass, mean
@@ -4580,6 +4607,27 @@ object SparkEntry {
       |                      THEN ascii(substr(mx, i, 1)) - 87
       |                      ELSE ascii(substr(mx, i, 1)) - 48 END)
       |                * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)))""".stripMargin
+
+  /** Verified video near-dup pairs over frameSigPostCtes' postings —
+    * the sh (shared-count) + verified (containment cut) chain shared by
+    * the cluster and split-leakage oracles.
+    */
+  private def videoVerifiedPairCtes: String = {
+    val contain = Rounding.stableSql(
+      "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
+    s"""sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              CAST(count(*) AS BIGINT) AS shared_frames
+       |       FROM post a JOIN post b USING (frame_sig)
+       |       WHERE a.doc_id < b.doc_id
+       |       GROUP BY 1, 2
+       |       HAVING count(*) >= ${Cfg.videoMinShared}),
+       |verified AS (
+       |  SELECT doc_a, doc_b
+       |  FROM (SELECT doc_a, doc_b, shared_frames, na.nf AS nf_a, nb.nf AS nf_b
+       |        FROM sh JOIN nf na ON na.doc_id = sh.doc_a
+       |                JOIN nf nb ON nb.doc_id = sh.doc_b)
+       |  WHERE $contain >= ${Cfg.videoContainMin})""".stripMargin
+  }
 
   /** Shared oracle for mm_audio_segments and its stateless streaming
     * twin st18_audio_scan (the per-row fold is bit-identical to the
@@ -7296,23 +7344,10 @@ object SparkEntry {
     // reachability walk as dedup_clusters (min over reachable labels =
     // the label-propagation fixpoint).
     "mm_video_clusters" -> {
-      val contain = Rounding.stableSql(
-        "shared_frames::DOUBLE / least(nf_a, nf_b)", 4)
       s"""WITH RECURSIVE ${frameBlockCtes(Cfg.paraBlockTokens)},
          |$FrameSigCte,
          |${frameSigPostCtes(Cfg.videoSigDfCap)},
-         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |              CAST(count(*) AS BIGINT) AS shared_frames
-         |       FROM post a JOIN post b USING (frame_sig)
-         |       WHERE a.doc_id < b.doc_id
-         |       GROUP BY 1, 2
-         |       HAVING count(*) >= ${Cfg.videoMinShared}),
-         |verified AS (
-         |  SELECT doc_a, doc_b
-         |  FROM (SELECT doc_a, doc_b, shared_frames, na.nf AS nf_a, nb.nf AS nf_b
-         |        FROM sh JOIN nf na ON na.doc_id = sh.doc_a
-         |                JOIN nf nb ON nb.doc_id = sh.doc_b)
-         |  WHERE $contain >= ${Cfg.videoContainMin}),
+         |$videoVerifiedPairCtes,
          |nodes AS (SELECT doc_id FROM vt),
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM verified
@@ -7323,6 +7358,26 @@ object SparkEntry {
          |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
          |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node""".stripMargin
+    },
+
+    // Video-plane split leakage: the verified pair CTEs + the same
+    // unordered-split-pair rollup as ta_split_leakage.
+    "mm_split_leakage" -> {
+      val sa = graft.operators.Sampling.splitSql("doc_a",
+        Cfg.splitTrainPct, Cfg.splitValPct)
+      val sb = graft.operators.Sampling.splitSql("doc_b",
+        Cfg.splitTrainPct, Cfg.splitValPct)
+      s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+         |$FrameSigCte,
+         |${frameSigPostCtes(Cfg.videoSigDfCap)},
+         |$videoVerifiedPairCtes,
+         |sp AS (
+         |  SELECT least(($sa), ($sb)) AS split_lo,
+         |         greatest(($sa), ($sb)) AS split_hi
+         |  FROM verified)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_lo <> split_hi AS leaks
+         |FROM sp GROUP BY 1, 2""".stripMargin
     },
 
     // Modality-mix profile: per-format aggregates over the three

@@ -2046,6 +2046,31 @@ class MultimodalSpec extends SparkSpec {
     assert(lab.values.groupBy(identity).exists(_._2.size > 1))
   }
 
+  test("mm_split_leakage: rollup equals the verified pair table × split assignment") {
+    val sf = "/root/testdata/sf0.001"
+    val cfg = PipelineConfig.Default
+    val pairs = SparkEntry.queries("mm_video_neardup")(spark, sf).collect()
+      .filter(_.getBoolean(6)).map(r => (r.getLong(0), r.getLong(1)))
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    val splitOf = ids.toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitAssign(col("doc_id"),
+        cfg.splitTrainPct, cfg.splitValPct).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (x, y) = (splitOf(a), splitOf(b))
+        (if (x <= y) x else y, if (x <= y) y else x)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("mm_split_leakage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.map { case (k, v) => k -> v._1 } == expected)
+    got.foreach { case ((lo, hi), (_, leaks)) => assert(leaks == (lo != hi)) }
+    // the fixture genuinely leaks across a held-out boundary
+    assert(got.exists(_._2._2) && got.exists(!_._2._2))
+  }
+
   test("mm_profile: per-format rollup equals the micro-unit mean of the per-doc signals") {
     val sf = "/root/testdata/sf0.001"
     val prof = SparkEntry.queries("mm_profile")(spark, sf).collect()
