@@ -44,8 +44,12 @@ object SparkEntry {
   private def standingCodebooks(s: SparkSession, dir: String,
       emb: DataFrame): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
     val fmt = 1
+    // data mtime folded in like every other standing-artifact key
+    // (ADVICE r19): a regenerated testdata set at the same path must
+    // never serve stale codebooks — the oracle retrains live.
     val key = Seq(dir, fmt, 8, Cfg.kmeansIters, Cfg.pqTrainBound,
-      Cfg.pqM, Cfg.pqSubDim, Cfg.pqCodewords).mkString("|")
+      Cfg.pqM, Cfg.pqSubDim, Cfg.pqCodewords,
+      dataMtime(dir, "embeddings.parquet")).mkString("|")
     codebookMemo.getOrElseUpdate(key, {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -65,12 +69,10 @@ object SparkEntry {
         val tmp = new java.io.File(art.getParentFile,
           art.getName + ".tmp" + ProcessHandle.current().pid())
         Similarity.writeCodebooks(s, tmp.toString, trained._1, trained._2)
-        if (!tmp.renameTo(art)) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmp)
-        }
+        finishRename(tmp, art, complete(art))
+        // rename lost or failed: our trained values are used directly
+        // (identical by determinism), so no marker re-check is needed —
+        // an incomplete `art` is rebuilt or re-raced by the next JVM
         trained
       }
     })
@@ -87,12 +89,34 @@ object SparkEntry {
       .getOrElse(d.lastModified())
   }
 
+  /** Atomically publish a built `tmp` dir as the standing artifact
+    * `art`. A failed rename is a LOST BUILD RACE only when `art` is
+    * already complete; any other cause (a stale half-written `art`
+    * from a killed build, an IO error) must not be silently swallowed
+    * (ADVICE r19) — a stale blocker is removed and the rename retried
+    * once, and leftover tmp dirs are always cleaned up. Callers that
+    * go on to READ `art` re-check its markers and fail loudly.
+    */
+  private def finishRename(tmp: java.io.File, art: java.io.File,
+      artComplete: => Boolean): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (!tmp.renameTo(art)) {
+      if (!artComplete) { rm(art); tmp.renameTo(art); () }
+      if (tmp.exists()) rm(tmp)
+    }
+  }
+
   /** Build-once /tmp artifact shared by the standing indexes: the
     * first call per key builds under a pid-suffixed temp dir and
     * atomically renames into place (write-then-rename, so a concurrent
     * JVM never reads a half-written artifact; if the rename loses the
     * race the duplicate build is discarded — determinism makes the
-    * winner identical); later calls return the existing path.
+    * winner identical); later calls return the existing path. Throws
+    * a descriptive error if the artifact is still incomplete after the
+    * publish (an IO failure, NOT a lost race — the subsequent parquet
+    * read would otherwise die on an opaque path error).
     */
   private def standingArtifact(prefix: String, keyParts: Seq[Any],
       successMarkers: Seq[String])(build: String => Unit): java.io.File = {
@@ -101,16 +125,17 @@ object SparkEntry {
       .map("%02x".format(_)).mkString
     val art = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"${prefix}_$digest")
-    if (!successMarkers.forall(m => new java.io.File(art, m).isFile)) {
+    def complete = successMarkers.forall(
+      m => new java.io.File(art, m).isFile)
+    if (!complete) {
       val tmp = new java.io.File(art.getParentFile,
         art.getName + ".tmp" + ProcessHandle.current().pid())
       build(tmp.toString)
-      if (!tmp.renameTo(art)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
+      finishRename(tmp, art, complete)
+      if (!complete) throw new IllegalStateException(
+        s"standingArtifact: $art is missing ${successMarkers.mkString(",")} " +
+          "after build+rename — not a lost race; check disk/permissions " +
+          "under java.io.tmpdir")
     }
     art
   }
@@ -7409,8 +7434,11 @@ object SparkEntry {
          |       FROM (SELECT doc_id, md5(text) AS mx
          |             FROM documents WHERE text IS NOT NULL)),
          |j AS (SELECT br.doc_id,
-         |             CASE WHEN br.doc_id % 3 = 0 THEN 'png'
-         |                  WHEN br.doc_id % 3 = 1 THEN 'jpeg'
+         |             -- ((x%3)+3)%3 ≡ Spark's pmod (ADVICE r19): DuckDB's
+         |             -- % is sign-preserving, so a negative doc_id would
+         |             -- otherwise map to a different format key
+         |             CASE WHEN ((br.doc_id % 3) + 3) % 3 = 0 THEN 'png'
+         |                  WHEN ((br.doc_id % 3) + 3) % 3 = 1 THEN 'jpeg'
          |                  ELSE 'webp' END AS format,
          |             br.bsum, vf.n_frames, vf.dup_frac, af.speech_frac
          |      FROM br JOIN vf USING (doc_id) JOIN af USING (doc_id))
