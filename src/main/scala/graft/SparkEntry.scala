@@ -152,15 +152,17 @@ object SparkEntry {
     * st17/e8's oracle CTEs need no change.
     */
   private def standingBinaryIndex(s: SparkSession, dir: String,
-      emb: DataFrame): (DataFrame, DataFrame) = {
+      emb: DataFrame): DataFrame = {
+    // fmt 2: postings denormalize the code halves (ADVICE r19) — the
+    // key bump makes a pre-bump /tmp artifact unreachable, not misread
     val art = standingArtifact("graft_binidx",
-      Seq(dir, 1, Cfg.binaryBands, dataMtime(dir, "embeddings.parquet")),
+      Seq(dir, 2, Cfg.binaryBands, dataMtime(dir, "embeddings.parquet")),
       Seq("codes/_SUCCESS", "bands/_SUCCESS")) { tmp =>
       Similarity.writeBinaryIndex(emb, "id", "vec", tmp, Cfg.binaryBands)
     }
-    (s.read.parquet(s"$art/codes"),
-      s.read.parquet(s"$art/bands")
-        .select(col("id"), col("band").cast("int").as("band"), col("band_val")))
+    s.read.parquet(s"$art/bands")
+      .select(col("id"), col("band").cast("int").as("band"), col("band_val"),
+        col("code_lo"), col("code_hi"))
   }
 
   /** The live-ingest screen's base corpus: embeddings as (id, vec). */
@@ -1066,9 +1068,8 @@ object SparkEntry {
     // micro-batch); inline ≡ prebuilt bit-for-bit, spec-pinned.
     "st17_binary_scan" -> ((s, dir) => {
       val emb = screenBase(s, dir)
-      val (codes, bandPost) = standingBinaryIndex(s, dir, emb)
       graft.streaming.StreamingBinaryScreen.screen(screenArrivals(emb),
-        codes, bandPost,
+        standingBinaryIndex(s, dir, emb),
         bands = Cfg.binaryBands, maxHamming = Cfg.binaryBands - 1)
     }),
 
@@ -1118,9 +1119,8 @@ object SparkEntry {
     "e8_ingest_screen" -> ((s, dir) => {
       val emb = screenBase(s, dir)
       val arrivals = screenArrivals(emb)
-      val (codes, bandPost) = standingBinaryIndex(s, dir, emb)
       val cand = graft.streaming.StreamingBinaryScreen.screen(arrivals,
-          codes, bandPost, bands = Cfg.binaryBands,
+          standingBinaryIndex(s, dir, emb), bands = Cfg.binaryBands,
           maxHamming = Cfg.binaryBands - 1)
         .select(col("new_id"), col("base_id")).distinct()
       val av = arrivals.select(col("id").as("new_id"), col("vec").as("a_v"))

@@ -530,12 +530,18 @@ object Similarity {
     *    signatures the Hamming ranking scans — 16 bytes/row at any
     *    corpus size, built ONCE per ingest instead of re-deriving
     *    sign bits from the full-precision vectors per query session
-    *  - `bands/` — (id, band_val, band): the multi-index posting
-    *    table, PARTITIONED by band — each of a query's `bands` probe
-    *    cells touches one band directory (static partition pruning on
-    *    the equi-join's band key)
+    *  - `bands/` — (id, code_lo, code_hi, band_val, band): the
+    *    multi-index posting table, PARTITIONED by band — each of a
+    *    query's `bands` probe cells touches one band directory (static
+    *    partition pruning on the equi-join's band key). The two packed
+    *    code halves are DENORMALIZED onto every posting row (ADVICE
+    *    r19): +16 bytes/row buys the live screen its per-row Hamming
+    *    cut with ONE stream-static join — the normalized layout made
+    *    every micro-batch re-join the standing-corpus-sized codes
+    *    table onto its postings first
     *  - `meta/` — the band count, pinned so an append can never slice
-    *    a new batch differently from the standing postings
+    *    a new batch differently from the standing postings, plus the
+    *    layout format version (2 = denormalized code halves)
     *
     * Unlike IVF-PQ there is NO trained state — the band slicing is
     * static arithmetic over the code bits — so append ≡ rebuild holds
@@ -547,9 +553,9 @@ object Similarity {
     import sp.implicits._
     val codes = binaryCodes(emb, idCol, vecCol)
     codes.write.mode("overwrite").parquet(s"$dir/codes")
-    binaryBands(codes, bands)
+    binaryBands(codes, bands, carry = Seq("code_lo", "code_hi"))
       .write.partitionBy("band").mode("overwrite").parquet(s"$dir/bands")
-    Seq(bands).toDF("bands").coalesce(1)
+    Seq((bands, 2)).toDF("bands", "fmt").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -562,10 +568,14 @@ object Similarity {
   def appendToBinaryIndex(newEmb: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val sp = newEmb.sparkSession
-    val bands = sp.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    val meta = sp.read.parquet(s"$dir/meta").collect()(0)
+    val bands = meta.getAs[Int]("bands")
+    require(meta.getAs[Int]("fmt") == 2,
+      "appendToBinaryIndex: index layout fmt mismatch — rebuild with " +
+        "writeBinaryIndex (postings now denormalize the code halves)")
     val codes = binaryCodes(newEmb, idCol, vecCol)
     codes.write.mode("append").parquet(s"$dir/codes")
-    binaryBands(codes, bands)
+    binaryBands(codes, bands, carry = Seq("code_lo", "code_hi"))
       .write.partitionBy("band").mode("append").parquet(s"$dir/bands")
   }
 

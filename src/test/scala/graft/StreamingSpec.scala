@@ -949,10 +949,13 @@ class StreamingSpec extends SparkSpec {
     val baseRows = (0L until 20L).map(i =>
       (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
     val base = baseRows.toDF("id", "vec")
-    // the index job's artifacts: codes + band postings, built once
+    // the index job's artifacts: band postings with the code halves
+    // denormalized onto every row (the fmt-2 layout), built once
     val codes = Similarity.binaryCodes(base, "id", "vec")
       .localCheckpoint(true)
-    val postings = Similarity.binaryBands(codes, bands).localCheckpoint(true)
+    val postings = Similarity
+      .binaryBands(codes, bands, carry = Seq("code_lo", "code_hi"))
+      .localCheckpoint(true)
     def twin(src: Long, newId: Long): (Long, Array[Float]) = {
       val v = baseRows(src.toInt)._2.clone(); v(0) = -v(0); (newId, v)
     }
@@ -960,7 +963,7 @@ class StreamingSpec extends SparkSpec {
       (newId, baseRows(src.toInt)._2.map(x => -x))
     val input = MemoryStream[(Long, Array[Float])]
     val q = StreamingBinaryScreen.screen(input.toDS().toDF("id", "vec"),
-        codes, postings, bands, maxHamming = bands - 1)
+        postings, bands, maxHamming = bands - 1)
       .writeStream.format("memory").queryName("binscr")
       .outputMode("append").start()
     try {
@@ -986,10 +989,23 @@ class StreamingSpec extends SparkSpec {
       // and the live rows equal the batch twin's over the same arrivals
       val arrivals = Seq(twin(7L, 1001L), novel(2L, 1002L),
         twin(3L, 1003L), novel(2L, 1004L)).toDF("id", "vec")
-      val batchForm = StreamingBinaryScreen
-        .screenScan(base, arrivals, bands, bands - 1)
+      val batch = StreamingBinaryScreen.screenScan(base, arrivals, bands,
+        bands - 1)
+      val batchForm = batch
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
       assert(out.sorted == batchForm.sorted)
+      // the denormalized postings buy the screen its whole point: ONE
+      // join per micro-batch — a second (corpus-sized codes back onto
+      // postings) join would re-appear as another join node here
+      // AQE's toString appends an "== Initial Plan ==" copy — count
+      // join nodes in the final plan section only
+      val p = batch.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+        .findAllIn(p).toSeq
+      assert(joins.size == 1,
+        s"binary screen should be a single stream-static join, got " +
+          s"${joins.mkString(", ")}:\n$p")
     } finally q.stop()
   }
 }
