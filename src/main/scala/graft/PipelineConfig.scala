@@ -83,6 +83,17 @@ final case class PipelineConfig(
     // 0.8: the fixture's pair containments land on {2/3, 3/4, 4/5,
     // 5/6, 1}, so this bound genuinely splits the verdicts
     videoContainMin: Double = 0.8,
+    // Hamming-tolerant frame near-dup (mm_frame_neardup): the 56-bit
+    // frame signature split into `frameSigBands` substring bands —
+    // pigeonhole guarantees every pair within Hamming < bands collides
+    // on >= 1 band, so maxHamming must stay < bands. 2 bands of 28
+    // bits keep natural band collisions at ~|sigs|/2^28 per cell while
+    // covering the 1-bit re-encode noise the fixture injects; a band
+    // cell holding > frameSigBucketCap distinct sigs (a structured /
+    // near-constant signature region) is dropped whole
+    frameSigBands: Int = 2,
+    frameSigMaxHamming: Int = 1,
+    frameSigBucketCap: Int = 200,
     // AV curation (e9_av_curation): minimum speech-window fraction —
     // near the energy threshold the per-doc fraction is ~Binomial(n,
     // ~.5)/n, so 0.3 drops short/unlucky uploads while keeping a real

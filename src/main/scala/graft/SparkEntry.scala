@@ -2989,6 +2989,33 @@ object SparkEntry {
         containMin = Cfg.videoContainMin)
     }),
 
+    // MM Hamming-tolerant frame near-dup — the gap exact-signature
+    // matching leaves open (mm_frame_dedup / mm_video_neardup join on
+    // sig EQUALITY, so a 1-bit pHash flip from a re-encode splits a
+    // duplicate frame pair): the banded-Hamming candidate discipline
+    // (binaryBands / dedup_simhash_pairs) applied to the 56-bit frame
+    // signature — 2 substring bands of 28 bits, candidates by
+    // (band, slice) equi-join over DISTINCT signatures, exact
+    // XOR+popcount verify on the packed codes, hot band cells dropped
+    // whole. Pigeonhole-complete at radius 1. The fixture makes the
+    // tolerance REAL: ids %10==0 re-upload with re-encode noise
+    // (payload low-bit flip per frame -> every derived signature at
+    // Hamming exactly 1 from its source), so each emitted pair is a
+    // frame equality would have missed.
+    "mm_frame_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val re = Multimodal.attachReencodedPayload(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text")),
+        Cfg.paraBlockTokens)
+      val sigs = Multimodal.frameSignatures(
+        Multimodal.attachVideoPayload(docs, Cfg.paraBlockTokens)
+          .unionByName(re))
+      Multimodal.frameNearDupPairs(sigs, bands = Cfg.frameSigBands,
+        maxHamming = Cfg.frameSigMaxHamming,
+        bucketCap = Cfg.frameSigBucketCap)
+    }),
+
     // MM video dup CLUSTERS — the canonicalization step after pair
     // generation, lifted to the video plane: near-dup verdict pairs
     // feed the same bounded label-propagation loop as dedup_clusters
@@ -4652,6 +4679,62 @@ object SparkEntry {
        |        FROM sh JOIN nf na ON na.doc_id = sh.doc_a
        |                JOIN nf nb ON nb.doc_id = sh.doc_b)
        |  WHERE $contain >= ${Cfg.videoContainMin})""".stripMargin
+  }
+
+  /** mm_frame_neardup's oracle: base frame sigs + the re-encode
+    * arrivals (char-2 nibble-XOR-1 translate ≡ the plan's payload
+    * low-bit flip), distinct-signature banding with the hot-cell cap,
+    * candidate equi-join, exact Hamming verify over packed codes
+    * rebuilt nibble-by-nibble on the BIGINT path (the value spans 56
+    * bits — a double-typed sum would round past 2^53).
+    */
+  private def frameNearDupSql: String = {
+    val bands = Cfg.frameSigBands
+    // mirror frameNearDupPairs' requires at SQL-generation time so the
+    // two sides can never be built from an inconsistent config
+    require(bands >= 2 && 14 % bands == 0,
+      s"frameNearDupSql: bands must split the 14 hex chars evenly, got $bands")
+    require(Cfg.frameSigMaxHamming >= 1 && Cfg.frameSigMaxHamming < bands,
+      s"frameNearDupSql: need 1 <= maxHamming < bands, got " +
+        s"${Cfg.frameSigMaxHamming} / $bands")
+    val width = 14 / bands
+    val sigCode =
+      """CAST(list_sum(list_transform(range(1, 15), i ->
+        |          CAST(CASE WHEN ascii(substr(frame_sig, i, 1)) >= 97
+        |                    THEN ascii(substr(frame_sig, i, 1)) - 87
+        |                    ELSE ascii(substr(frame_sig, i, 1)) - 48 END AS BIGINT)
+        |          << (4 * (14 - i)))) AS BIGINT)""".stripMargin
+    s"""WITH ${frameBlockCtes(Cfg.paraBlockTokens)},
+       |$FrameSigCte,
+       |rs AS (SELECT doc_id + 4000000 AS doc_id, frame_id,
+       |              substr(frame_sig, 1, 1)
+       |                || translate(substr(frame_sig, 2, 1),
+       |                             '0123456789abcdef', '1032547698badcfe')
+       |                || substr(frame_sig, 3, 12) AS frame_sig
+       |       FROM vs WHERE doc_id % 10 = 0),
+       |ds AS (SELECT DISTINCT doc_id, frame_sig FROM
+       |        (SELECT doc_id, frame_sig FROM vs
+       |         UNION ALL SELECT doc_id, frame_sig FROM rs)),
+       |sd AS (SELECT frame_sig, CAST(count(*) AS BIGINT) AS df
+       |       FROM ds GROUP BY frame_sig),
+       |bd AS (SELECT frame_sig, t.b AS band_id,
+       |              substr(frame_sig, t.b * $width + 1, $width) AS band_val
+       |       FROM sd CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) t),
+       |ok AS (SELECT band_id, band_val FROM bd GROUP BY 1, 2
+       |       HAVING count(*) <= ${Cfg.frameSigBucketCap}),
+       |bb AS (SELECT bd.* FROM bd JOIN ok USING (band_id, band_val)),
+       |cd AS (SELECT DISTINCT a.frame_sig AS sig_a, b.frame_sig AS sig_b
+       |       FROM bb a JOIN bb b USING (band_id, band_val)
+       |       WHERE a.frame_sig < b.frame_sig),
+       |sc AS (SELECT frame_sig, $sigCode AS code FROM sd),
+       |hp AS (SELECT sig_a, sig_b,
+       |              CAST(bit_count(xor(ca.code, cb.code)) AS INT) AS hamming
+       |       FROM cd JOIN sc ca ON ca.frame_sig = cd.sig_a
+       |               JOIN sc cb ON cb.frame_sig = cd.sig_b)
+       |SELECT sig_a, sig_b, hamming, da.df AS df_a, db.df AS df_b
+       |FROM hp JOIN sd da ON da.frame_sig = hp.sig_a
+       |        JOIN sd db ON db.frame_sig = hp.sig_b
+       |WHERE hamming <= ${Cfg.frameSigMaxHamming}""".stripMargin
   }
 
   /** Shared oracle for mm_audio_segments and its stateless streaming
@@ -7339,6 +7422,15 @@ object SparkEntry {
          |       $contain >= ${Cfg.videoContainMin} AS is_neardup
          |FROM j""".stripMargin
     },
+
+    // Hamming-tolerant frame near-dup: perturbed re-upload sigs are the
+    // source sigs with hex char 2 nibble-XOR-1 translated (the payload
+    // low-bit flip lands entirely in that nibble); banding, bucket cap,
+    // candidate join and packed-code XOR popcount mirror the plan. The
+    // signature code is rebuilt on the INTEGER path (nibble << shift,
+    // summed as BIGINT — a double intermediate would lose bits past
+    // 2^53).
+    "mm_frame_neardup" -> frameNearDupSql,
 
     // Streaming video screen: arrival clips/novels rebuilt literally
     // (token-slice and synthetic-string construction mirror the plan),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -180,7 +180,34 @@ object Multimodal {
     * Deterministic (md5 of the block text), so the oracle rebuilds the
     * identical bytes relationally.
     */
-  def attachVideoPayload(docs: DataFrame, blockTokens: Int): DataFrame = {
+  def attachVideoPayload(docs: DataFrame, blockTokens: Int): DataFrame =
+    payloadFromBlocks(docs, blockTokens, identity)
+
+  /** Attach a RE-ENCODED video payload: the [[attachVideoPayload]]
+    * bytes with the LOW BIT of each frame's first byte flipped — the
+    * deterministic stand-in for re-encode noise (a transcode shifts
+    * pixel values slightly, so a real frame's perceptual hash moves by
+    * a bit or two while the content stays the same). The flip lives in
+    * the PAYLOAD, not the signature: the decoder then runs unchanged
+    * over genuinely perturbed bytes, and every derived frame signature
+    * lands at Hamming distance exactly 1 from its source frame's — the
+    * fixture [[frameNearDupPairs]]'s tolerance is measured against.
+    * (One hex nibble XOR 1 ≡ the byte's low-bit flip, so the transform
+    * is a per-block `translate` both engines compute identically.)
+    */
+  def attachReencodedPayload(docs: DataFrame, blockTokens: Int): DataFrame =
+    payloadFromBlocks(docs, blockTokens, mx => concat(
+      substring(mx, 1, 1),
+      translate(substring(mx, 2, 1), "0123456789abcdef", "1032547698badcfe"),
+      substring(mx, 3, 30)))
+
+  /** Shared payload constructor: one 16-byte block per `blockTokens`
+    * tokens (md5 of the block text), each block's hex run through
+    * `perBlock` before packing — identity for a faithful encode, a
+    * nibble flip for the re-encode fixture.
+    */
+  private def payloadFromBlocks(docs: DataFrame, blockTokens: Int,
+      perBlock: Column => Column): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("_tv"))
@@ -188,8 +215,8 @@ object Multimodal {
         unhex(concat_ws("", transform(
           sequence(lit(0),
             expr(s"(size(_tv) - 1) div $blockTokens").cast("int")),
-          i => md5(concat_ws(" ",
-            slice(col("_tv"), i * blockTokens + 1, lit(blockTokens))))))
+          i => perBlock(md5(concat_ws(" ",
+            slice(col("_tv"), i * blockTokens + 1, lit(blockTokens)))))))
         ).as("payload"))
   }
 
@@ -292,6 +319,70 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("shared_frames"),
         col("nf_a"), col("nf_b"), col("containment"),
         (col("containment") >= lit(containMin)).as("is_neardup"))
+  }
+
+  /** Hamming-tolerant frame near-dup pairs — the gap exact-signature
+    * matching leaves open: a re-encoded frame's perceptual hash moves
+    * by a bit or two, so [[videoNearDupPairs]]' equality join splits
+    * the duplicate pair. This is the repo's banded-Hamming discipline
+    * ([[Similarity.binaryBands]] / `dedup_simhash_pairs`) applied to
+    * the 56-bit frame signature: the 14 hex chars split into `bands`
+    * equal substring slices, candidates generated by an equi-join on
+    * (band, slice) over DISTINCT signatures, then the exact Hamming
+    * verify on the packed codes cuts chance collisions. Pigeonhole:
+    * two signatures within Hamming distance < `bands` agree on ≥1
+    * whole band, so the candidate join is COMPLETE inside the radius —
+    * `maxHamming < bands` is required, making every emitted pair
+    * guaranteed-found, never found-by-luck.
+    *
+    * Scale: pairs are generated at the SIGNATURE level (distinct sigs,
+    * not frame occurrences — a frame repeated across a million videos
+    * is one posting row), and a band cell holding more than
+    * `bucketCap` distinct signatures is dropped whole (a near-constant
+    * signature region — the black-frame byte pattern — is the
+    * quadratic blowup, and 2^28-wide cells make natural collisions
+    * ~|sigs|/2^28 per cell, so only structured content ever trips the
+    * cap). The verify runs BEFORE the cross-band pair dedup, so the
+    * dedup shuffle carries only true near-dups. Output one row per
+    * near-dup signature pair with each side's distinct-video df, ready
+    * for a tolerant-canonicalization consumer.
+    */
+  def frameNearDupPairs(sigs: DataFrame, bands: Int, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
+    require(bands >= 2 && 14 % bands == 0,
+      s"frameNearDupPairs: bands must split the 14 hex chars evenly, got $bands")
+    require(maxHamming >= 1 && maxHamming < bands,
+      s"frameNearDupPairs: pigeonhole completeness needs 1 <= maxHamming < bands, " +
+        s"got maxHamming=$maxHamming bands=$bands")
+    import org.apache.spark.sql.expressions.Window
+    val width = 14 / bands
+    val ds = sigs.select(col("doc_id"), col("frame_sig")).distinct()
+    val sd = ds.groupBy(col("frame_sig")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false) // read by the banding + two df joins
+    val banded = sd.select(col("frame_sig"),
+        posexplode(array((0 until bands).map(b =>
+          substring(col("frame_sig"), b * width + 1, width)): _*))
+          .as(Seq("band_id", "band_val")))
+      .withColumn("__bc",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_val"))))
+      .filter(col("__bc") <= bucketCap).drop("__bc")
+    def code(c: Column): Column = conv(c, 16, 10).cast("long")
+    val verified = banded
+      .select(col("frame_sig").as("sig_a"), col("band_id"), col("band_val"))
+      .join(banded.select(col("frame_sig").as("sig_b"),
+        col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+      .filter(col("sig_a") < col("sig_b"))
+      .withColumn("hamming", bit_count(
+        code(col("sig_a")).bitwiseXOR(code(col("sig_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("sig_a", "sig_b")
+    verified
+      .join(sd.select(col("frame_sig").as("sig_a"), col("df").as("df_a")),
+        Seq("sig_a"))
+      .join(sd.select(col("frame_sig").as("sig_b"), col("df").as("df_b")),
+        Seq("sig_b"))
+      .select(col("sig_a"), col("sig_b"), col("hamming"),
+        col("df_a"), col("df_b"))
   }
 
   /** Frame-signature index artifact — the standing inverted index the

@@ -2137,6 +2137,66 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.map(_._4).toSet ==
       Set("ok", "low_quality", "dup_video", "low_speech"))
   }
+
+  test("attachReencodedPayload: low bit of each frame's first byte flips, nothing else; sig Hamming exactly 1") {
+    val docs = Seq((1L, Seq.fill(32)("tok").mkString(" "))).toDF("doc_id", "text")
+    val clean = Multimodal.attachVideoPayload(docs, 16).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val noisy = Multimodal.attachReencodedPayload(docs, 16).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(clean.length == 32 && noisy.length == 32) // 2 blocks of 16
+    for (i <- clean.indices) {
+      if (i % 16 == 0) assert((clean(i) ^ noisy(i)) == 1, s"byte $i")
+      else assert(clean(i) == noisy(i), s"byte $i")
+    }
+    // and the decoder's signature therefore moves by exactly one bit
+    val d = Multimodal.FakeDecoder.open()
+    for (f <- 0 until 2) {
+      val a = java.lang.Long.parseLong(d.frameSignature(clean, f), 16)
+      val b = java.lang.Long.parseLong(d.frameSignature(noisy, f), 16)
+      assert(java.lang.Long.bitCount(a ^ b) == 1, s"frame $f")
+    }
+  }
+
+  test("frameNearDupPairs: 1-bit perturbed sigs pair, random sigs don't; pigeonhole holds at bands=7; hot cells capped") {
+    // base corpus of far-apart random 56-bit sigs + one 1-bit perturb
+    val rnd = new scala.util.Random(3)
+    def hex14(l: Long): String = "%014x".format(l & ((1L << 56) - 1))
+    val bases = (0 until 12).map(i => (i.toLong, 0, hex14(rnd.nextLong())))
+    val pert = (100L, 0, hex14(
+      java.lang.Long.parseLong(bases(4)._3, 16) ^ 1L)) // flip bit 0
+    val sigs = (bases :+ pert).toDF("doc_id", "frame_id", "frame_sig")
+    val got = Multimodal.frameNearDupPairs(sigs, bands = 2, maxHamming = 1,
+        bucketCap = 200)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // exactly the perturbed pair survives: random 56-bit sigs sit ~28
+    // bits apart, so the verify cut kills any chance band collision
+    val ex = Seq(bases(4)._3, pert._3).sorted
+    assert(got.toSeq == Seq((ex(0), ex(1), 1)))
+    // pigeonhole at bands=7 (2-hex-char bands): 6 bit flips spread over
+    // six DIFFERENT bands still agree on the 7th — must pair
+    val six = hex14(java.lang.Long.parseLong(bases(2)._3, 16)
+      ^ ((1L << 1) | (1L << 9) | (1L << 17) | (1L << 25) | (1L << 33) | (1L << 41)))
+    val got7 = Multimodal.frameNearDupPairs(
+        (bases :+ ((101L, 0, six))).toDF("doc_id", "frame_id", "frame_sig"),
+        bands = 7, maxHamming = 6, bucketCap = 200)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    val ex7 = Seq(bases(2)._3, six).sorted
+    assert(got7.contains((ex7(0), ex7(1), 6)))
+    // a hot band cell (shared 28-bit prefix beyond the cap) is dropped
+    // whole: the near pair inside it is sacrificed, never exploded
+    val hot = (0 until 5).map(i =>
+      (200L + i, 0, "00000000000%03x".format(i * 2))) // shared band 0
+    val capped = Multimodal.frameNearDupPairs(
+      hot.toDF("doc_id", "frame_id", "frame_sig"),
+      bands = 2, maxHamming = 1, bucketCap = 4).collect()
+    assert(capped.isEmpty)
+    // completeness guard: maxHamming >= bands would lose pairs silently
+    intercept[IllegalArgumentException] {
+      Multimodal.frameNearDupPairs(sigs, bands = 2, maxHamming = 2,
+        bucketCap = 200)
+    }
+  }
 }
 
 class SinksSpec extends SparkSpec {
