@@ -73,6 +73,15 @@ final case class PipelineConfig(
     // Uniform-ish md5 bytes sum to ~2040 per window, so 2048 splits
     // the fixture near-evenly into active/silent runs.
     audioEnergyThreshold: Int = 2048,
+    // acoustic fingerprints (mm_audio_neardup): consecutive window
+    // energy deltas shingled 3 at a time — a clip needs shingle+1 = 4
+    // shared consecutive windows to produce a matching fingerprint.
+    // The pair stage reuses the video plane's dfCap/minShared/
+    // containMin (same inverted-index semantics on a different key)
+    audioFpShingle: Int = 3,
+    // clip-reuse fixture (mm_audio_neardup): ids %10==0 re-upload
+    // their first 6 analysis windows (96 tokens) under id +5e6
+    audioClipWindows: Int = 6,
     // video near-dup pairs (mm_video_neardup): signatures in more than
     // dfCap videos leave pair generation (boilerplate frames are not
     // re-upload evidence, and the cap bounds candidate volume);

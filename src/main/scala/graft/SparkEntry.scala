@@ -3132,6 +3132,34 @@ object SparkEntry {
           col("n_windows"), col("seg_energy"))
     }),
 
+    // MM audio near-dup pairs — clip-reuse detection, completing the
+    // modality symmetry (video had both segmentation and re-use
+    // detection; audio had only segmentation): window-energy DELTAS
+    // shingled 3 at a time are the acoustic fingerprint (chromaprint's
+    // shape — gain-invariant, computed inside the row with zero
+    // shuffle), then the same df-capped inverted-index pair pipeline
+    // as mm_video_neardup on the fingerprint key. The fixture makes
+    // clip re-use real: ids %10==0 re-upload their first 6 analysis
+    // windows under id +5e6, reproducing the source's delta sequence
+    // exactly — containment lands on the clip side (the correct
+    // asymmetry), while documents under shingle+1 windows emit no
+    // fingerprints and stay out of the pair table.
+    "mm_audio_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val clipTokens = Cfg.audioClipWindows * Cfg.paraBlockTokens
+      val clips = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          concat_ws(" ",
+            slice(split(col("text"), " "), 1, clipTokens)).as("text"))
+      val fps = Multimodal.audioFingerprints(
+        Multimodal.attachAudioPayload(docs.unionByName(clips),
+          Cfg.paraBlockTokens),
+        Cfg.audioFpShingle)
+      Multimodal.audioNearDupPairs(fps, dfCap = Cfg.videoSigDfCap,
+        minShared = Cfg.videoMinShared.toLong,
+        containMin = Cfg.videoContainMin)
+    }),
+
     // Bigram language-model estimation: P(w2|w1) = c(w1 w2)/c(w1) for
     // the corpus's top-25 bigrams — the statistical-LM table a data
     // pipeline derives before training (rational arithmetic only; both

@@ -292,34 +292,99 @@ object Multimodal {
     * @param sigs (doc_id, frame_id, frame_sig) from [[frameSignatures]]
     */
   def videoNearDupPairs(sigs: DataFrame, dfCap: Int, minShared: Long,
-      containMin: Double): DataFrame = {
+      containMin: Double): DataFrame =
+    postingNearDupPairs(
+      sigs.select(col("doc_id"), col("frame_sig").as("__key")),
+      dfCap, minShared, containMin,
+      sharedName = "shared_frames", nPrefix = "nf")
+
+  /** The df-capped inverted-index near-dup pair core
+    * [[videoNearDupPairs]] and [[audioNearDupPairs]] share — one
+    * modality posts frame signatures, the other acoustic fingerprints,
+    * and the pair pipeline (distinct postings, df cap, key-bucket
+    * self-join, shared-count cut, containment vs the smaller side) is
+    * identical. Input: (doc_id, __key).
+    */
+  private def postingNearDupPairs(posts: DataFrame, dfCap: Int,
+      minShared: Long, containMin: Double,
+      sharedName: String, nPrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // distinct (doc, sig): a sig looping within one video counts once
-    val ds = sigs.select(col("doc_id"), col("frame_sig")).distinct()
+    // distinct (doc, key): a key looping within one doc counts once
+    val ds = posts.distinct()
       .localCheckpoint(eager = false) // read by postings + both nf sides
     val nf = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val post = ds
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("frame_sig"))))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__key"))))
       .filter(col("__df") <= dfCap).drop("__df")
-    val shared = post.select(col("frame_sig"), col("doc_id").as("doc_a"))
-      .join(post.select(col("frame_sig"), col("doc_id").as("doc_b")),
-        Seq("frame_sig"))
+    val shared = post.select(col("__key"), col("doc_id").as("doc_a"))
+      .join(post.select(col("__key"), col("doc_id").as("doc_b")),
+        Seq("__key"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .filter(col("shared_frames") >= minShared)
+      .agg(count(lit(1)).as(sharedName))
+      .filter(col(sharedName) >= minShared)
     shared
-      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")),
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as(s"${nPrefix}_a")),
         Seq("doc_a"))
-      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")),
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as(s"${nPrefix}_b")),
         Seq("doc_b"))
       .withColumn("containment", Rounding.stable(
-        col("shared_frames").cast("double") /
-          least(col("nf_a"), col("nf_b")), 4))
-      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
-        col("nf_a"), col("nf_b"), col("containment"),
+        col(sharedName).cast("double") /
+          least(col(s"${nPrefix}_a"), col(s"${nPrefix}_b")), 4))
+      .select(col("doc_a"), col("doc_b"), col(sharedName),
+        col(s"${nPrefix}_a"), col(s"${nPrefix}_b"), col("containment"),
         (col("containment") >= lit(containMin)).as("is_neardup"))
   }
+
+  case class MMAudioFp(doc_id: Long, pos: Int, fp: String)
+
+  /** Acoustic fingerprints — the chromaprint shape over the stub
+    * decoder's window energies: per document, consecutive window
+    * ENERGY DELTAS (invariant to a constant gain/DC offset, the way a
+    * real fingerprint survives re-mastering) shingled `shingle` at a
+    * time into one string key per position. A clip lifted from a
+    * longer recording reproduces the source's delta sequence, so its
+    * shingles land in the same buckets — [[audioNearDupPairs]] then
+    * detects the re-use exactly like the video plane's shared frames.
+    * Computed INSIDE the row (per-partition decoder, one flatMap, no
+    * window functions, no shuffle — usable unchanged under Structured
+    * Streaming); documents shorter than `shingle`+1 windows emit
+    * nothing (nothing to match on).
+    */
+  def audioFingerprints(withPayload: DataFrame, shingle: Int): DataFrame = {
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.as[MMVideo].mapPartitions { rows =>
+      val decoder = FakeDecoder.open()
+      rows.flatMap { d =>
+        val n = decoder.audioWindowCount(d.payload)
+        val e = Array.tabulate(n)(w => decoder.windowEnergy(d.payload, w))
+        val deltas = Array.tabulate(math.max(0, n - 1))(w => e(w + 1) - e(w))
+        (0 to deltas.length - shingle).iterator.map(p =>
+          MMAudioFp(d.doc_id, p, deltas.slice(p, p + shingle).mkString(":")))
+      }
+    }.toDF()
+  }
+
+  /** Audio near-dup pairs — clip-reuse detection, the audio twin of
+    * [[videoNearDupPairs]] (the modality symmetry r19 left open: audio
+    * had segmentation but no re-use detection): documents sharing
+    * ≥ `minShared` distinct acoustic fingerprints, containment scored
+    * against the smaller side's distinct-fingerprint count — the right
+    * asymmetry for a short clip cut from a longer recording. Same
+    * df-capped inverted-index scale discipline: a fingerprint in more
+    * than `dfCap` documents (a silence pattern / jingle in thousands
+    * of uploads) leaves pair generation whole.
+    *
+    * @param fps (doc_id, pos, fp) from [[audioFingerprints]]
+    */
+  def audioNearDupPairs(fps: DataFrame, dfCap: Int, minShared: Long,
+      containMin: Double): DataFrame =
+    postingNearDupPairs(
+      fps.select(col("doc_id"), col("fp").as("__key")),
+      dfCap, minShared, containMin,
+      sharedName = "shared_fps", nPrefix = "nfp")
 
   /** Hamming-tolerant frame near-dup pairs — the gap exact-signature
     * matching leaves open: a re-encoded frame's perceptual hash moves
