@@ -42,7 +42,8 @@ class ExplainAuditSpec extends SparkSpec {
         "st5_neardedup_scan", "st9_paragraph_scan", "st10_containment_scan",
         "st17_binary_scan", "e8_ingest_screen", "mm_frame_dedup",
         "e9_av_curation", "mm_video_neardup", "st19_video_scan",
-        "mm_profile", "mm_split_leakage", "mm_frame_neardup")) {
+        "mm_profile", "mm_split_leakage", "mm_frame_neardup",
+        "mm_audio_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")

@@ -2197,6 +2197,30 @@ class MultimodalSpec extends SparkSpec {
         bucketCap = 200)
     }
   }
+
+  test("audio near-dup: clip containment lands on the clip side; sub-shingle docs emit nothing; df-cap drops hot fps") {
+    // blockTokens=1 → one analysis window per token, so a clip that
+    // re-uses the source's token prefix reproduces its delta sequence
+    val docs = Seq(
+      (1L, "a b c d e f g h"),    // source: 8 windows → 7 deltas → 5 fps
+      (100L, "a b c d e"),        // clip of 1's prefix: 4 deltas → 2 fps
+      (2L, "x y z"),              // 2 deltas < shingle → no fingerprints
+      // 6 docs sharing one fingerprint: df 6 > cap 5 → dropped whole
+      (10L, "p q r s"), (11L, "p q r s"), (12L, "p q r s"),
+      (13L, "p q r s"), (14L, "p q r s"), (15L, "p q r s")
+    ).toDF("doc_id", "text")
+    val fps = Multimodal.audioFingerprints(
+      Multimodal.attachAudioPayload(docs, blockTokens = 1), shingle = 3)
+    // sub-shingle doc emits nothing to match on
+    assert(fps.filter(col("doc_id") === 2L).count() == 0)
+    val pairs = Multimodal.audioNearDupPairs(fps, dfCap = 5,
+        minShared = 2L, containMin = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    // exactly the clip pair survives: the hot p-q-r-s fingerprint left
+    // pair generation whole, so docs 10..15 never pair
+    assert(pairs.toSeq == Seq((1L, 100L, 2L, 5L, 2L, 1.0, true)))
+  }
 }
 
 class SinksSpec extends SparkSpec {
