@@ -2383,11 +2383,16 @@ object SparkEntry {
         .join(broadcast(benchG), Seq("g"))
         .select("doc_id")
       val q = TextAnalysis.qualityColumns(col("text")).toMap
-      canonical.join(contaminated, Seq("doc_id"), "left_anti")
-        .join(Tables.documents(s, dir)
-            .select(col("doc_id").as("orig_id"), col("lang")),
-          pmod(col("doc_id"), lit(1000000L)) === col("orig_id"))
-        .filter(Sampling.deterministicKeep(col("doc_id"), 50))
+      // the quality/token kernels below otherwise run on the anti-join
+      // output AQE coalesced to ~1 partition (profiled 1.3 s single-task
+      // at sf0.1); gauge = the raw scan (identity at scale, see Fan)
+      Fan.outLike(
+          canonical.join(contaminated, Seq("doc_id"), "left_anti")
+            .join(Tables.documents(s, dir)
+                .select(col("doc_id").as("orig_id"), col("lang")),
+              pmod(col("doc_id"), lit(1000000L)) === col("orig_id"))
+            .filter(Sampling.deterministicKeep(col("doc_id"), 50)),
+          Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), q("quality").as("quality"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"))
         .filter(col("quality") >= Cfg.qualityMin)
@@ -2474,7 +2479,10 @@ object SparkEntry {
     // ranked by the same two-phase global rank as ta_shuffle — no
     // global sort through one task; ties to the lower doc_id.
     "ta_curriculum" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      // fanned out before the quality kernel — the tokenize-heavy
+      // scoring ran single-task on the unsplittable scan (see Fan)
+      val docs = Fan.out(
+        Tables.documents(s, dir).filter(col("text").isNotNull))
       val q = TextAnalysis.qualityColumns(col("text")).toMap
       val scored = docs.select(col("doc_id"), q("quality").as("quality"))
       // quality ∈ [0,1] at 4 dp → key = 10000 − round(q·10⁴) ∈ [0,10⁴]
@@ -3383,9 +3391,16 @@ object SparkEntry {
     // only shuffles are paragraph dedup's three, the lang join, and the
     // two-phase pack.
     "e6_pretrain_corpus" -> ((s, dir) => {
-      val deduped = Dedup.paragraphDedup(recrawl(s, dir), "doc_id",
-          col("text"), Cfg.paraBlockTokens)
-        .filter(col("n_kept") > 0)
+      // Fan.out after the paragraph-dedup aggregate: AQE coalesces the
+      // agg's tiny-byte output to one partition, serializing the pii
+      // regex + classifier chain below (profiled 1.2 s single-task at
+      // sf0.1); at scale the agg output already carries >= target
+      // partitions and this is the identity
+      val corpus = recrawl(s, dir)
+      val deduped = Fan.outLike(
+        Dedup.paragraphDedup(corpus, "doc_id",
+            col("text"), Cfg.paraBlockTokens)
+          .filter(col("n_kept") > 0), corpus)
       val injected = piiInject(col("clean_text"))
       val scrubbed = deduped.select(
         col("doc_id") +: col("n_paras") +: col("n_kept") +:
@@ -3427,11 +3442,18 @@ object SparkEntry {
       val n = size(split(col("text"), " "))
       val bits = when(n <= 1, lit(0))
         .otherwise(length(bin((n - 1).cast("long")))).cast("long")
-      val gated = corpus
+      // fanned out before the quality kernel (the tokenize-heavy
+      // scoring otherwise rides the 2-split recrawl scan), and
+      // checkpointed BETWEEN the projection and the gate: `base` has
+      // three consumers (the layout rank and both sides of the final
+      // join), and the deterministic gate predicate otherwise pushes
+      // below the fan-out onto the 2-task scan — profiled r21 as THREE
+      // ~1.2 s-wall copies of the quality stage per run; staged+fanned
+      // it is one 8-task pass (~0.3 s wall). Identity at scale (Fan).
+      val scored = Fan.out(corpus)
         .select(col("doc_id"), q("quality").as("quality"), bits.as("bucket_bits"))
-        .filter(col("quality") >= Cfg.qualityMin)
-      // not checkpointed: the closure's per-round checkpoints already
-      // bound the re-run tail (measured neutral-to-slower staged)
+        .localCheckpoint(eager = false)
+      val gated = scored.filter(col("quality") >= Cfg.qualityMin)
       val base = gated.join(sw, Seq("doc_id"))
       val laid = Packing.shuffleLayout(base.select(col("doc_id")), "doc_id",
         shardSize = Cfg.shuffleShardSize)

@@ -159,7 +159,10 @@ object Dedup {
     * tokenize+md5 pass and derive everything else from it.
     */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+    // fan the byte-light corpus out before the per-token md5 kernel —
+    // identity at scale, spreads the dominant CPU stage locally (Fan)
+    Fan.out(docs)
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
       .select(col("id"), shingleValuesFromTokens(col("tv")).as("sh"))
 
   /** Minhash signatures over an (id, sh) [[shingleFrame]]: explode →
@@ -353,8 +356,10 @@ object Dedup {
       dfCap: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one tokenize+md5+sort pass, read by the posting explode and both
-    // verify sides
-    val d = docs.select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
+    // verify sides; fanned out first — the per-token md5 + per-doc sort
+    // is the operator's dominant CPU stage (identity at scale, see Fan)
+    val d = Fan.out(docs)
+      .select(col(idCol).as("id"), tokenValues(col(textCol)).as("tv"))
       .select(col("id"), sortedShingleValuesFromTokens(col("tv")).as("sh"))
       .localCheckpoint(eager = false)
     val post = d.select(col("id"), explode(col("sh")).as("g"))
@@ -957,7 +962,9 @@ object Dedup {
       blockTokens: Int, carry: Seq[String] = Nil): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     val keep = (docId +: carry).map(col)
-    df.filter(text.isNotNull)
+    // fan out before the tokenize + per-block md5 explode — the
+    // paragraph plane's dominant CPU stage (identity at scale, see Fan)
+    Fan.out(df.filter(text.isNotNull))
       .select(keep :+ split(text, " ").as("_tv"): _*)
       // integer ceil via `div` (Column `/` is double division); ids
       // 0..(n-1) div B inclusive = ceil(n/B) blocks, slice clamps the tail
@@ -1040,7 +1047,10 @@ object Dedup {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val carryCols = carry.map(col)
-    val toks = df.filter(text.isNotNull)
+    // fan out before the tokenize — the per-window md5 explode below
+    // is the span plane's dominant CPU stage and inherits this
+    // partitioning through the checkpoint (identity at scale, see Fan)
+    val toks = Fan.out(df.filter(text.isNotNull))
       .select(col(docId) +: tokenValues(text).as("tv") +: carryCols: _*)
       .localCheckpoint(eager = false)
     // window positions 1 .. n-w+1 (docs shorter than w contribute none)

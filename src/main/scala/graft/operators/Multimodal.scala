@@ -209,7 +209,10 @@ object Multimodal {
   private def payloadFromBlocks(docs: DataFrame, blockTokens: Int,
       perBlock: Column => Column): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
-    docs.filter(col("text").isNotNull)
+    // fan out before the per-block md5 payload build — the multimodal
+    // plane's dominant narrow CPU stage, and the decode fan-outs
+    // downstream inherit the spread (identity at scale, see Fan)
+    Fan.out(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), split(col("text"), " ").as("_tv"))
       .select(col("doc_id"),
         unhex(concat_ws("", transform(

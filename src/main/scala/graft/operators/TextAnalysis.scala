@@ -403,7 +403,11 @@ object TextAnalysis {
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val g = docs
+    // fan out before the gram explode: `g` feeds BOTH the model build
+    // and the scoring pass, so the per-gram md5 kernel runs twice over
+    // the scan's partitioning (profiled 2×>0.5 s single-task at sf0.1;
+    // identity at scale, see Fan)
+    val g = Fan.out(docs)
       .select(col(idCol), targetPred.as("__t"),
         split(col(textCol), " ").as("__toks"))
       .select(col(idCol), col("__t"),

@@ -768,10 +768,16 @@ class ExplainAuditSpec extends SparkSpec {
     val p = plan("mm_audio_segments")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // the running-change-count form keeps every window on hash(doc_id)
-    // and the segment aggregate co-partitioned: exactly ONE shuffle (the
-    // rank form needed hash(doc_id, flag) + hash(doc_id) + the agg)
-    assert("Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size == 1,
-      s"audio segmentation grew a second shuffle:\n$p")
+    // and the segment aggregate co-partitioned: exactly ONE hash
+    // shuffle (the rank form needed hash(doc_id, flag) + hash(doc_id)
+    // + the agg). The r21 Fan.out round-robin spread of the byte-light
+    // scan is counted separately — it exists only when the scan is
+    // under-parallel (never at scale) and carries no key semantics.
+    assert("Exchange hashpartitioning".r
+        .findAllIn(p.replace("ReusedExchange", "")).size == 1,
+      s"audio segmentation grew a second hash shuffle:\n$p")
+    assert("Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size <= 2,
+      s"audio segmentation grew an unexpected shuffle:\n$p")
     // one sort feeds both window passes
     assert("(?m)^\\s*[+:]- Sort".r.findAllIn(p).size == 1,
       s"window passes stopped sharing the per-doc sort:\n$p")
